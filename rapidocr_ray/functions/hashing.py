@@ -1,0 +1,100 @@
+"""Hashing kernels for near-duplicate detection: shingling, MinHash,
+SimHash.  Pure numpy, deterministic, vectorized per document.
+
+Design for scale (ray_guide aggregation pattern): all of these emit
+per-document signatures inside ``map_batches``; the expensive work
+(banding, bucket groupby, pair verification) happens on the much
+smaller signature stream, never on raw text twice.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """k-gram word shingles (distinct, order-insensitive set semantics
+    left to the caller)."""
+    words = text.split(" ")
+    if len(words) < k:
+        return [" ".join(words)] if words != [""] else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def shingle_set_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct shingle 64-bit hashes, sorted (deterministic)."""
+    hs = {_stable_hash64(s) for s in word_shingles(text, k)}
+    return np.fromiter(sorted(hs), dtype=np.uint64, count=len(hs))
+
+
+class MinHasher:
+    """n_perm universal-hash MinHash over shingle hashes.  Seeded
+    parameters are generated once (actor __init__ state)."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """uint64 shingle hashes -> uint64 [n_perm] signature."""
+        if shingles.size == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (a*x + b) mod p, vectorized over (perm, shingle); python ints
+        # avoid uint64 overflow in the multiply
+        x = shingles.astype(object)[None, :]
+        vals = (self.a.astype(object)[:, None] * x + self.b.astype(object)[:, None]) % _MERSENNE
+        return np.array([int(min(row)) for row in vals], dtype=np.uint64)
+
+    def band_keys(self, sig: np.ndarray, n_bands: int = 32) -> list[tuple[int, int]]:
+        """LSH banding: [(band_id, band_hash)] — equal keys = candidates."""
+        r = self.n_perm // n_bands
+        out = []
+        for band in range(n_bands):
+            chunk = sig[band * r:(band + 1) * r]
+            h = _stable_hash64("|".join(map(str, chunk.tolist())) + f"#{band}")
+            out.append((band, h))
+        return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted distinct-hash arrays."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+class SimHasher:
+    """64-bit SimHash over word features (token unigram hashes)."""
+
+    def __init__(self, n_bits: int = 64):
+        self.n_bits = n_bits
+
+    def signature(self, text: str) -> int:
+        acc = np.zeros(self.n_bits, dtype=np.int64)
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            h = _stable_hash64(tok)
+            bits = (h >> np.arange(self.n_bits, dtype=np.uint64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        sig = 0
+        for i in range(self.n_bits):
+            if acc[i] > 0:
+                sig |= 1 << i
+        return sig
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin(a ^ b).count("1"))

@@ -1,0 +1,111 @@
+"""Text-analysis kernels for the training-data pipeline extensions:
+language ID, quality scoring, token counting, fingerprinting.
+
+All kernels are deterministic and vectorization-friendly (called per
+batch inside ``map_batches``); the SQL-expressible ones mirror their
+DuckDB oracle exactly (same tokenizer: split on single spaces, same
+stopword list) so the driver's value-hash comparison holds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# shared with the SQL oracles in pipelines/queries.py — keep in sync
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# ID heuristic (the graft's model-registry routing analog feeds on the
+# lang column; this recovers it from text when absent)
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the and of to is in it a for on with as".split()),
+    "de": frozenset("der die das und ist ein eine nicht mit von zu".split()),
+    "fr": frozenset("le la les et est un une pas avec de du".split()),
+    "es": frozenset("el la los las y es un una no con de del".split()),
+    "zh": frozenset("de shi le bu wo zai you ta men zhe".split()),
+}
+
+
+def tokenize(text: str) -> list[str]:
+    """Single-space split — matches DuckDB string_split(text, ' ')."""
+    return text.split(" ")
+
+
+def token_count(text: str) -> int:
+    return len(tokenize(text))
+
+
+def stopword_ratio(text: str) -> float:
+    toks = tokenize(text)
+    if not toks:
+        return 0.0
+    hits = sum(1 for t in toks if t in STOPWORDS)
+    return hits / len(toks)
+
+
+def avg_word_len(text: str) -> float:
+    toks = tokenize(text)
+    if not toks:
+        return 0.0
+    return sum(len(t) for t in toks) / len(toks)
+
+
+def quality_stats(text: str) -> dict:
+    """Length / word / stopword quality features (SQL-mirrored)."""
+    toks = tokenize(text)
+    n_tokens = len(toks)
+    n_chars = len(text)
+    sw = sum(1 for t in toks if t in STOPWORDS)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_word_len": (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0,
+        "stopword_ratio": (sw / n_tokens) if n_tokens else 0.0,
+    }
+
+
+def lang_id(text: str) -> str:
+    """Stopword-profile language ID: argmax profile hit-rate, ties by
+    profile name order.  Deterministic heuristic (rows-only check)."""
+    toks = set(tokenize(text.lower()))
+    best_lang, best_score = "und", 0
+    for lang in sorted(LANG_PROFILES):
+        score = len(toks & LANG_PROFILES[lang])
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+def fingerprint_md5(text: str) -> str:
+    """Content fingerprint = md5 hex — matches DuckDB md5(text)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+_ROLL_BASE = np.uint64(1000003)
+_ROLL_MOD_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Winnowing-style document fingerprint: min of rolling polynomial
+    hashes over byte windows (deterministic, order-sensitive)."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        data = data + b"\x00" * (window - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - window + 1
+    powers = np.array(
+        [pow(int(_ROLL_BASE), window - 1 - i, 1 << 61) for i in range(window)],
+        dtype=np.uint64,
+    )
+    best = np.uint64(0xFFFFFFFFFFFFFFFF)
+    h = np.uint64(0)
+    for i in range(window):
+        h = (h * _ROLL_BASE + arr[i]) & _ROLL_MOD_MASK
+    best = min(best, h)
+    top_pow = powers[0]
+    for i in range(1, n):
+        h = ((h - arr[i - 1] * top_pow) * _ROLL_BASE + arr[i + window - 1]) & _ROLL_MOD_MASK
+        best = min(best, h)
+    return int(best)

@@ -1,0 +1,100 @@
+"""The flagship extraction pipeline as a lazy ray.data.Dataset graph.
+
+    read -> [dedup by url] -> decode/route/html -> det actor pool
+         -> cls actor pool -> rec actor pool -> assemble (groupby url)
+
+Scale notes (SURVEY.md §4, §7.3):
+- two all-to-all exchanges, both keyed on ``url`` (dedup, assembly);
+  everything else is embarrassingly parallel map_batches.  At cluster
+  scale the dedup shuffle moves full payloads — unavoidable for
+  latest-capture-wins semantics over unsorted WARC dumps; when the
+  input is already url-unique, pass ``dedup=False`` and the pipeline is
+  shuffle-free until assembly.
+- the assembly shuffle moves only text + span metadata: the rec stage
+  nulls the crop payload column first, so the exchanged bytes are ~2-3
+  orders of magnitude smaller than the input.
+- actor pools autoscale ``concurrency=(1, n)`` so the same code runs on
+  a 4-CPU test session and a 32-CPU bench session without deadlocking
+  the scheduler; per-actor num_cpus=1 and the seeded kernels hold the
+  GIL, matching the reference's one-ORT-session-per-process layout.
+- oversized payloads (skew, SURVEY.md §4): rows are routed to batches
+  by Ray's block splitting; det batch_size is small (bitmap rows are
+  multi-KB..MB) while decode/html batch_size is larger.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from rapidocr_ray.config import PipelineConfig
+from rapidocr_ray.util import ensure_worker_importable
+from rapidocr_ray.stages.ray_stages import (
+    ClsStage,
+    DecodeRouteExtract,
+    DetStage,
+    RecStage,
+    assemble_group,
+    dedup_latest_group,
+)
+
+
+def dedup_by_url(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """North-rule exact dedup: hash-partition on url, latest warc_ts
+    wins (groupby-url before extraction, SURVEY.md §2.6)."""
+    ensure_worker_importable()
+    return ds.groupby("url").map_groups(dedup_latest_group, batch_format="pyarrow")
+
+
+def build_extract_pipeline(
+    ds: "ray.data.Dataset",
+    cfg: PipelineConfig | None = None,
+    dedup: bool = True,
+) -> "ray.data.Dataset":
+    """pages Dataset (url, warc_ts, html, text, lang) -> final Dataset
+    (FINAL_SCHEMA: url, ..., extracted_text, n_spans, spans, elapses)."""
+    cfg = cfg or PipelineConfig()
+    ensure_worker_importable()
+    rc = cfg.Ray
+    if dedup:
+        ds = dedup_by_url(ds)
+    ds = ds.map_batches(
+        DecodeRouteExtract(cfg),
+        batch_format="pyarrow",
+        batch_size=rc.batch_size_docs,
+    )
+    ds = ds.map_batches(
+        DetStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=rc.batch_size_bitmap,
+        concurrency=(1, rc.det_concurrency),
+        num_cpus=1,
+    )
+    if cfg.Global.use_cls:
+        ds = ds.map_batches(
+            ClsStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=rc.batch_size_regions,
+            concurrency=(1, rc.cls_concurrency),
+            num_cpus=1,
+        )
+    ds = ds.map_batches(
+        RecStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=rc.batch_size_regions,
+        concurrency=(1, rc.rec_concurrency),
+        num_cpus=1,
+    )
+    text_score = cfg.Global.text_score
+    ds = ds.groupby("url").map_groups(
+        lambda g: assemble_group(g, text_score=text_score), batch_format="pyarrow"
+    )
+    return ds
+
+
+def extract_pages_table(table, cfg: PipelineConfig | None = None, dedup: bool = True):
+    """Convenience: pyarrow pages table -> final Dataset."""
+    ds = ray.data.from_arrow(table)
+    return build_extract_pipeline(ds, cfg=cfg, dedup=dedup)

@@ -1,0 +1,184 @@
+"""The det -> cls -> rec cascade stage objects (T5 analogs,
+ch_ppocr_v3_det/text_detect.py:28-58, ch_ppocr_v2_cls/text_cls.py:28-35,
+ch_ppocr_v3_rec/text_recognize.py:27-38).
+
+These are per-document/per-crop-list APIs.  The Ray actor-pool stages
+(stages/ray_stages.py) and the single-process oracle
+(pipelines/oracle.py) both call EXACTLY these objects, so distributed
+vs sequential execution can only differ in orchestration, never in
+math — that is what the byte-identical per-url invariant tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from rapidocr_ray.config import ClsConfig, DetConfig, RecConfig
+from rapidocr_ray.functions.ctc import ctc_greedy_decode
+from rapidocr_ray.functions.imgproc import (
+    db_postprocess,
+    det_resize,
+    filter_det_boxes,
+    normalize_chw,
+    resize_nearest,
+    rotate180,
+)
+from rapidocr_ray.state.models import ModelRegistry
+
+
+class TextDetector:
+    """M1-M7: resize -> normalize -> det kernel -> DB post-process -> filter."""
+
+    def __init__(self, cfg: DetConfig, registry: ModelRegistry | None = None):
+        self.cfg = cfg
+        self.registry = registry or ModelRegistry()
+
+    def __call__(self, img: np.ndarray, lang: str = "en") -> np.ndarray:
+        """gray uint8 [H, W] -> boxes int16 [N, 4, 2] (source frame)."""
+        c = self.cfg
+        try:
+            resized, shape_info = det_resize(img, c.limit_side_len, c.limit_type)
+        except ValueError:
+            return np.zeros((0, 4, 2), dtype=np.int16)
+        tensor = normalize_chw(resized)[None]  # NCHW batch of 1 (text_detect.py:72)
+        model = self.registry.for_lang("det", lang)
+        pred = model.infer(tensor)[0, 0]
+        boxes, _scores = db_postprocess(
+            pred,
+            shape_info,
+            thresh=c.thresh,
+            box_thresh=c.box_thresh,
+            max_candidates=c.max_candidates,
+            unclip_ratio=c.unclip_ratio,
+            use_dilation=c.use_dilation,
+            min_box_side=c.min_box_side,
+        )
+        return filter_det_boxes(boxes, img.shape[0], img.shape[1])
+
+
+def cls_resize_norm(img: np.ndarray, shape: tuple = (3, 48, 192)) -> np.ndarray:
+    """M10 (ch_ppocr_v2_cls/text_cls.py:76-97): resize to h, keep aspect,
+    w capped at imgW; /255, -0.5/0.5; zero-pad right to imgW."""
+    _imgC, imgH, imgW = shape
+    h, w = img.shape[:2]
+    ratio = w / float(h)
+    resized_w = imgW if math.ceil(imgH * ratio) > imgW else int(math.ceil(imgH * ratio))
+    resized = resize_nearest(img, imgH, resized_w).astype(np.float32)
+    resized = resized / 255.0
+    resized = (resized - 0.5) / 0.5
+    out = np.full((3, imgH, imgW), 0.0, dtype=np.float32)
+    out[:, :, :resized_w] = resized[None, :, :]
+    return out
+
+
+class TextClassifier:
+    """M10-M12 + M16: width-sort, micro-batch, resize/norm, argmax over
+    ('0','180'), conditional 180-degree rotate, scatter-back."""
+
+    def __init__(self, cfg: ClsConfig, registry: ModelRegistry | None = None):
+        self.cfg = cfg
+        self.registry = registry or ModelRegistry()
+
+    def __call__(
+        self, img_list: list[np.ndarray], lang: str = "en"
+    ) -> tuple[list[np.ndarray], list[tuple[str, float]]]:
+        c = self.cfg
+        img_list = list(img_list)
+        n = len(img_list)
+        results: list[tuple[str, float]] = [("", 0.0)] * n
+        # M16: width-ratio argsort (text_cls.py:43-50)
+        ratios = [im.shape[1] / float(im.shape[0]) for im in img_list]
+        indices = np.argsort(np.array(ratios))
+        model = self.registry.for_lang("cls", lang)
+        for beg in range(0, n, c.cls_batch_num):
+            batch_idx = indices[beg:beg + c.cls_batch_num]
+            tensors = np.stack([
+                cls_resize_norm(img_list[i], c.cls_image_shape) for i in batch_idx
+            ])
+            probs = model.infer(tensors)  # [B, 2]
+            # M11 ClsPostProcess (ch_ppocr_v2_cls/utils.py:14-29)
+            for rno, i in enumerate(batch_idx):
+                idx = int(probs[rno].argmax())
+                label = c.label_list[idx]
+                score = float(probs[rno][idx])
+                results[i] = (label, score)
+                # M12 conditional rotate (text_cls.py:68-73)
+                if "180" in label and score > c.cls_thresh:
+                    img_list[i] = rotate180(img_list[i])
+        return img_list, results
+
+
+def rec_resize_norm(img: np.ndarray, max_wh_ratio: float, shape: tuple = (3, 48, 320)) -> np.ndarray:
+    """M13 (ch_ppocr_v3_rec/text_recognize.py:79-101): per-micro-batch
+    dynamic width int(imgH * max_wh_ratio); keep-aspect resize to h=imgH;
+    normalize +/-0.5; zero-pad right.
+
+    Rectification pre-step (our stand-in for DBNet's shrink/unclip text
+    core, SURVEY.md §7.0): tight-crop to the ink bounding box before
+    resizing, so the glyph band upscales by an exact integer factor."""
+    _imgC, imgH, tgt_base = shape
+    band = tight_ink_crop(img)
+    h, w = band.shape[:2]
+    imgW = int(imgH * max_wh_ratio)
+    ratio = w / float(h)
+    resized_w = imgW if math.ceil(imgH * ratio) > imgW else int(math.ceil(imgH * ratio))
+    resized = resize_nearest(band, imgH, resized_w).astype(np.float32)
+    resized = resized / 255.0
+    resized = (resized - 0.5) / 0.5
+    out = np.zeros((3, imgH, imgW), dtype=np.float32)  # zero pad, as text_recognize.py:98
+    out[:, :, :resized_w] = resized[None, :, :]
+    return out
+
+
+def tight_ink_crop(img: np.ndarray) -> np.ndarray:
+    """Crop to the bounding box of ink (>127) pixels; blank-safe."""
+    ink = img > 127
+    rows = np.flatnonzero(ink.any(axis=1))
+    cols = np.flatnonzero(ink.any(axis=0))
+    if rows.size == 0 or cols.size == 0:
+        return np.zeros((1, 1), dtype=img.dtype)
+    return img[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+
+
+def crop_wh_ratio(img: np.ndarray) -> float:
+    """w/h of the rectified (tight) band — the M16 sort key."""
+    band = tight_ink_crop(img)
+    return band.shape[1] / float(band.shape[0])
+
+
+class TextRecognizer:
+    """M13-M14 + M16/A1: width-sort, micro-batch with per-batch dynamic
+    width, rec kernel, CTC greedy decode, scatter-back."""
+
+    def __init__(self, cfg: RecConfig, registry: ModelRegistry | None = None):
+        self.cfg = cfg
+        self.registry = registry or ModelRegistry()
+
+    def __call__(
+        self, img_list: list[np.ndarray], lang: str = "en"
+    ) -> list[tuple[str, float]]:
+        c = self.cfg
+        n = len(img_list)
+        results: list[tuple[str, float]] = [("", 0.0)] * n
+        ratios = [crop_wh_ratio(im) for im in img_list]
+        indices = np.argsort(np.array(ratios))  # M16 (text_recognize.py:44-51)
+        model = self.registry.for_lang("rec", lang)
+        _imgC, imgH, imgW = c.rec_img_shape
+        for beg in range(0, n, c.rec_batch_num):
+            batch_idx = indices[beg:beg + c.rec_batch_num]
+            # A1: grouped max over the micro-batch picks the pad width
+            # (text_recognize.py:57-61), seeded with the config aspect
+            max_wh_ratio = imgW / float(imgH)
+            for i in batch_idx:
+                max_wh_ratio = max(max_wh_ratio, ratios[i])
+            tensors = np.stack([
+                rec_resize_norm(img_list[i], max_wh_ratio, c.rec_img_shape)
+                for i in batch_idx
+            ])
+            preds = model.infer(tensors)
+            decoded = ctc_greedy_decode(preds)  # M14
+            for rno, i in enumerate(batch_idx):
+                results[i] = decoded[rno]       # scatter-back (text_recognize.py:74-75)
+        return results

@@ -1,0 +1,313 @@
+"""Ray Data stages of the extraction pipeline.
+
+The reference's single-process cascade (rapid_ocr_api.py:56-107) is cut
+at its natural IR boundaries (SURVEY.md §3.1) into Dataset stages:
+
+    decode/route/html (stateless MB)  ->  det (actor pool, fan-out to
+    region rows)  ->  cls (actor pool)  ->  rec (actor pool)  ->
+    assembly (groupby url)
+
+All stages exchange one unified Arrow schema in which a row is either a
+*document* row (``is_region == false``) or a *region* row produced by
+the det stage's 1->N crop fan-out (M9; keyed ``(url, region_idx)`` so
+assembly never depends on block arrival order — SURVEY.md §7.4).
+Stateful stages are callable classes: model registry built once per
+actor in ``__init__`` (T1/T3 analog), work in ``__call__`` per batch,
+batched ACROSS documents and grouped by ``lang`` for model dispatch
+(J3).  Batch composition cannot change results: pad width (A1) only
+adds blank timesteps, which the CTC decode drops.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rapidocr_ray.config import PipelineConfig
+from rapidocr_ray.functions.html import extract_main_text
+from rapidocr_ray.functions.imgproc import (
+    crop_box,
+    sorted_boxes,
+    use_det_bypass,
+    whole_image_box,
+)
+from rapidocr_ray.glyphs import decode_rbmp, encode_rbmp, is_rbmp
+from rapidocr_ray.stages.cascade import TextClassifier, TextDetector, TextRecognizer
+from rapidocr_ray.state.models import ModelRegistry
+
+UNIFIED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("route", pa.string()),
+        ("err", pa.string()),
+        ("extracted_text", pa.string()),
+        ("n_regions", pa.int32()),
+        ("is_region", pa.bool_()),
+        ("region_idx", pa.int32()),
+        ("box", pa.list_(pa.int32())),
+        ("payload", pa.binary()),
+        ("cls_label", pa.string()),
+        ("cls_score", pa.float64()),
+        ("rec_text", pa.string()),
+        ("rec_score", pa.float64()),
+        ("det_elapse", pa.float64()),
+        ("cls_elapse", pa.float64()),
+        ("rec_elapse", pa.float64()),
+    ]
+)
+
+FINAL_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("route", pa.string()),
+        ("err", pa.string()),
+        ("extracted_text", pa.string()),
+        ("n_spans", pa.int32()),
+        ("spans", pa.string()),
+        ("det_elapse", pa.float64()),
+        ("cls_elapse", pa.float64()),
+        ("rec_elapse", pa.float64()),
+    ]
+)
+
+_UNIFIED_NAMES = [f.name for f in UNIFIED_SCHEMA]
+
+
+def _blank_row() -> dict:
+    return {name: None for name in _UNIFIED_NAMES}
+
+
+def rows_to_table(rows: list[dict], schema: pa.Schema = UNIFIED_SCHEMA) -> pa.Table:
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    return pa.table(cols, schema=schema)
+
+
+def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
+    """S1 LoadImage container sniffing (utils.py:94-152) -> (route, err).
+
+    Magic-byte routing: RBMP bitmaps take the cascade path, markup takes
+    the HTML fast path, empty/undecodable payloads become typed error
+    rows instead of raising (LoadImageError, utils.py:154)."""
+    if payload is None or len(payload) == 0:
+        return "empty", "empty payload"
+    if is_rbmp(payload):
+        return "bitmap", None
+    head = payload[:4096]
+    try:
+        snippet = head.decode("utf-8")
+    except UnicodeDecodeError:
+        return "error", "undecodable payload"
+    if "<" in snippet:
+        return "html", None
+    return "error", "unrecognized payload format"
+
+
+class DecodeRouteExtract:
+    """Stage 1 (stateless task is fine, but a class lets the HtmlConfig
+    live once per worker): sniff payload -> route; run the HTML fast
+    path inline for html rows (it is orders of magnitude cheaper than
+    the cascade — SURVEY.md §6); bitmap payloads ride along untouched."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for url, ts, payload, lang in zip(urls, tss, payloads, langs):
+            row = _blank_row()
+            row.update(url=url, warc_ts=ts, lang=lang, is_region=False, n_regions=0)
+            route, err = sniff_route(payload)
+            row["route"], row["err"] = route, err
+            if route == "html":
+                row["extracted_text"] = extract_main_text(
+                    payload.decode("utf-8", errors="replace"), self.cfg.Html
+                )
+            elif route == "bitmap":
+                row["payload"] = payload
+            rows.append(row)
+        return rows_to_table(rows)
+
+
+class DetStage:
+    """Det actor pool (T1 analog): decode RBMP, M17 routing, M1-M7 det,
+    M8 reading-order sort, M9 crop fan-out to region rows."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.registry = ModelRegistry()
+        self.detector = TextDetector(self.cfg.Det, self.registry)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.cfg.Global
+        out: list[dict] = []
+        for i in range(batch.num_rows):
+            row = {name: batch.column(name)[i].as_py() for name in _UNIFIED_NAMES}
+            if row["route"] != "bitmap" or row["err"] is not None:
+                out.append(row)
+                continue
+            t0 = time.perf_counter()
+            try:
+                img = decode_rbmp(row["payload"])
+            except ValueError as exc:
+                row.update(route="error", err=str(exc), payload=None)
+                out.append(row)
+                continue
+            h, w = img.shape
+            if not g.use_det or use_det_bypass(h, w, g.min_height, g.width_height_ratio):
+                boxes = [whole_image_box(h, w)]  # M17 (rapid_ocr_api.py:114-119)
+            else:
+                det_boxes = self.detector(img, row["lang"])
+                boxes = sorted_boxes(det_boxes) if len(det_boxes) else []
+            det_elapse = time.perf_counter() - t0
+            row.update(payload=None, n_regions=len(boxes), det_elapse=det_elapse)
+            out.append(row)  # doc row survives even when empty (M18)
+            for ridx, box in enumerate(boxes):
+                crop = crop_box(img, np.asarray(box))
+                region = _blank_row()
+                region.update(
+                    url=row["url"],
+                    lang=row["lang"],
+                    route="bitmap",
+                    is_region=True,
+                    region_idx=ridx,
+                    box=[int(v) for v in np.asarray(box).reshape(-1)],
+                    payload=encode_rbmp(crop),
+                )
+                out.append(region)
+        return rows_to_table(out)
+
+
+def _region_indices_by_lang(batch: pa.Table) -> dict[str, list[int]]:
+    is_region = batch.column("is_region").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    groups: dict[str, list[int]] = {}
+    for i, (reg, lang) in enumerate(zip(is_region, langs)):
+        if reg:
+            groups.setdefault(lang or "en", []).append(i)
+    return groups
+
+
+class ClsStage:
+    """Cls actor pool: M10-M12 + M16 over region rows, batched across
+    documents, dispatched per lang (T3 grouped dispatch)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.registry = ModelRegistry()
+        self.classifier = TextClassifier(self.cfg.Cls, self.registry)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.cfg.Global.use_cls:
+            return batch
+        rows = [
+            {name: batch.column(name)[i].as_py() for name in _UNIFIED_NAMES}
+            for i in range(batch.num_rows)
+        ]
+        for lang, idxs in _region_indices_by_lang(batch).items():
+            t0 = time.perf_counter()
+            crops = [decode_rbmp(rows[i]["payload"]) for i in idxs]
+            crops, cls_res = self.classifier(crops, lang)
+            share = (time.perf_counter() - t0) / max(1, len(idxs))
+            for i, crop, (label, score) in zip(idxs, crops, cls_res):
+                rows[i].update(
+                    payload=encode_rbmp(crop),
+                    cls_label=label,
+                    cls_score=score,
+                    cls_elapse=share,
+                )
+        return rows_to_table(rows)
+
+
+class RecStage:
+    """Rec actor pool: M13-M14 + M16/A1 over region rows; drops the crop
+    payload afterwards so the assembly shuffle moves only text."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.registry = ModelRegistry()
+        self.recognizer = TextRecognizer(self.cfg.Rec, self.registry)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            {name: batch.column(name)[i].as_py() for name in _UNIFIED_NAMES}
+            for i in range(batch.num_rows)
+        ]
+        for lang, idxs in _region_indices_by_lang(batch).items():
+            t0 = time.perf_counter()
+            crops = [decode_rbmp(rows[i]["payload"]) for i in idxs]
+            rec_res = self.recognizer(crops, lang)
+            share = (time.perf_counter() - t0) / max(1, len(idxs))
+            for i, (text, score) in zip(idxs, rec_res):
+                rows[i].update(
+                    payload=None, rec_text=text, rec_score=score, rec_elapse=share
+                )
+        return rows_to_table(rows)
+
+
+def assemble_group(group: pa.Table, text_score: float = 0.5) -> pa.Table:
+    """J1/M15/A5/A6 per url: positional join of boxes with rec results
+    (already keyed by region_idx), score filter, ordered '\\n' concat."""
+    rows = [
+        {name: group.column(name)[i].as_py() for name in group.schema.names}
+        for i in range(group.num_rows)
+    ]
+    docs = [r for r in rows if not r["is_region"]]
+    regions = sorted(
+        (r for r in rows if r["is_region"]), key=lambda r: r["region_idx"]
+    )
+    if not docs:  # defensive: regions without a doc row should not happen
+        docs = [dict(rows[0], is_region=False, n_regions=len(regions))]
+    doc = docs[0]
+    out = {
+        "url": doc["url"],
+        "warc_ts": doc["warc_ts"],
+        "lang": doc["lang"],
+        "route": doc["route"],
+        "err": doc["err"],
+        "extracted_text": doc["extracted_text"],
+        "n_spans": 0,
+        "spans": "[]",
+        "det_elapse": doc["det_elapse"],
+        "cls_elapse": None,
+        "rec_elapse": None,
+    }
+    if regions:
+        # M15 filter_boxes_rec_by_score (rapid_ocr_api.py:176-183)
+        kept = [r for r in regions if (r["rec_score"] or 0.0) >= text_score]
+        if kept:
+            out["extracted_text"] = "\n".join(r["rec_text"] for r in kept)  # A5
+            out["n_spans"] = len(kept)
+            out["spans"] = json.dumps(
+                [
+                    {"box": r["box"], "text": r["rec_text"], "score": r["rec_score"]}
+                    for r in kept
+                ]
+            )
+        else:
+            out["extracted_text"] = None  # M18: empty result -> null, row kept
+        cls_vals = [r["cls_elapse"] for r in regions if r["cls_elapse"] is not None]
+        rec_vals = [r["rec_elapse"] for r in regions if r["rec_elapse"] is not None]
+        out["cls_elapse"] = float(sum(cls_vals)) if cls_vals else None
+        out["rec_elapse"] = float(sum(rec_vals)) if rec_vals else None
+    return rows_to_table([out], schema=FINAL_SCHEMA)
+
+
+def dedup_latest_group(group: pa.Table) -> pa.Table:
+    """Exact dedup by url, latest capture wins (north rule; tie-break by
+    warc_ts max — SURVEY.md §2.6)."""
+    idx = pc.sort_indices(
+        group, sort_keys=[("warc_ts", "descending"), ("url", "ascending")]
+    )
+    return group.take(idx[:1])

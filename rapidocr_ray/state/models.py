@@ -1,0 +1,209 @@
+"""Seeded deterministic "model" kernels + the per-worker model registry.
+
+The reference holds an ONNXRuntime ``InferenceSession`` per stage,
+built once per process (T1, python/rapidocr_onnxruntime/utils.py:21-87)
+and cached across languages through two ``lru_cache`` levels (T3,
+ocrweb_multi/rapidocr/rapid_ocr_api.py:53-61, main.py:15-19).  No model
+files ship in the reference and this sandbox has no network, so — per
+SURVEY.md §7.0 — each session is a deterministic numpy kernel behind
+the same ``infer(tensor) -> ndarray`` interface.  Everything
+*observable* (tensor contracts NCHW float32, prob-map post-processing,
+argmax semantics, CTC logit layout) matches the reference's shapes.
+
+``ModelRegistry`` is the T3 analog: a per-actor dict cache keyed by
+``(stage, model_name)`` plus a language -> (det, cls, rec) routing
+table (J3, ocrweb_multi/config.yaml:72-104), so one actor serves many
+languages with shared sub-models.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rapidocr_ray.glyphs import (
+    CHARSET,
+    GLYPH_ADVANCE,
+    GLYPH_GAP,
+    GLYPH_H,
+    GLYPH_W,
+    TEMPLATES,
+)
+from rapidocr_ray.functions.imgproc import IMAGENET_MEAN, IMAGENET_STD
+
+N_CLASSES = 1 + len(CHARSET)  # blank + keys + space, CTC layout (M14)
+
+# det kernel receptive field: text pixels are smeared horizontally so
+# word gaps fuse into line-level regions — the behavior DBNet learns;
+# here it is an explicit max-filter (SURVEY.md §7.0 stand-in).
+DET_H_REACH = 5   # +/- columns: bridges inter-word gaps -> line-level regions
+DET_V_REACH = 3   # +/- rows: bridges the glyph's blank rows 6..10 so the
+                  # row-11 anchors fuse with the dense top band; line gaps
+                  # (>= 32 px in the synthetic corpus) stay separate
+DET_PEAK = 0.9    # prob value inside text regions
+
+
+def _max_filter_1d(x: np.ndarray, reach: int, axis: int) -> np.ndarray:
+    out = x.copy()
+    for s in range(1, reach + 1):
+        for sign in (1, -1):
+            shifted = np.roll(x, sign * s, axis=axis)
+            if axis == 0:
+                if sign > 0:
+                    shifted[:s, :] = 0
+                else:
+                    shifted[-s:, :] = 0
+            else:
+                if sign > 0:
+                    shifted[:, :s] = 0
+                else:
+                    shifted[:, -s:] = 0
+            np.maximum(out, shifted, out=out)
+    return out
+
+
+def _ink_from_normalized(chan0: np.ndarray) -> np.ndarray:
+    """Invert M2 normalization on channel 0 -> boolean ink map."""
+    return (chan0 * IMAGENET_STD[0] + IMAGENET_MEAN[0]) > 0.5
+
+
+class DetModel:
+    """DBNet stand-in: NCHW float32 -> prob maps [N, 1, H, W]."""
+
+    def infer(self, x: np.ndarray) -> np.ndarray:
+        n, _, h, w = x.shape
+        out = np.zeros((n, 1, h, w), dtype=np.float32)
+        for i in range(n):
+            ink = _ink_from_normalized(x[i, 0]).astype(np.float32)
+            smear = _max_filter_1d(ink, DET_H_REACH, axis=1)
+            smear = _max_filter_1d(smear, DET_V_REACH, axis=0)
+            out[i, 0] = smear * DET_PEAK
+        return out
+
+
+class ClsModel:
+    """AngleNet stand-in: NCHW float32 (M10-normalized, +/-0.5) ->
+    softmax probs [N, 2] over ('0', '180').
+
+    The learned 0/180 feature is replaced by the glyph alphabet's
+    enforced top-heaviness (glyphs.py): upright text has more ink in
+    the top half of its tight row band.  k is sized so the enforced
+    margin clears the reference's 0.9 rotate threshold (M12)."""
+
+    K = 20.0
+
+    def infer(self, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        out = np.zeros((n, 2), dtype=np.float32)
+        for i in range(n):
+            ink = x[i, 0] > 0.0  # M10 normalization maps ink->+1, bg->-1
+            rows = np.flatnonzero(ink.any(axis=1))
+            if rows.size == 0:
+                out[i] = [0.5, 0.5]
+                continue
+            band = ink[rows[0]:rows[-1] + 1]
+            hh = band.shape[0] // 2
+            top = int(band[:hh].sum())
+            bot = int(band[band.shape[0] - hh:].sum())
+            total = max(1, int(band.sum()))
+            ratio = (top - bot) / total
+            p0 = 1.0 / (1.0 + np.exp(-self.K * ratio))
+            out[i] = [p0, 1.0 - p0]
+        return out
+
+
+class RecModel:
+    """CRNN-CTC stand-in: NCHW float32 (M13-normalized, h=48=4x glyph
+    height) -> CTC logits [N, T, C].
+
+    Matched filter over the shared glyph templates at the glyph stride,
+    emitting interleaved blank timesteps (T = 2*nmax+1) so the faithful
+    CTC greedy decode (M14) — blank drop + repeat collapse — recovers
+    doubled letters exactly as a real CRNN's blank-separated emissions
+    would."""
+
+    def infer(self, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        per_item: list[np.ndarray] = []
+        max_chars = 0
+        for i in range(n):
+            ink4 = x[i, 0] > 0.0          # M13 maps ink->+1, bg/pad->-1
+            ink = ink4[::4, ::4]           # exact inverse of the 4x nearest upscale
+            logits = self._line_logits(ink)
+            max_chars = max(max_chars, logits.shape[0])
+            per_item.append(logits)
+        t_total = 2 * max_chars + 1
+        out = np.zeros((n, t_total, N_CLASSES), dtype=np.float32)
+        out[:, :, 0] = 1.0                 # blank-certain everywhere by default
+        for i, logits in enumerate(per_item):
+            for k in range(logits.shape[0]):
+                out[i, 2 * k + 1, :] = logits[k]
+        return out
+
+    @staticmethod
+    def _line_logits(ink: np.ndarray) -> np.ndarray:
+        """boolean [H, W] -> per-char class scores [n_chars, C]."""
+        rows = np.flatnonzero(ink.any(axis=1))
+        cols = np.flatnonzero(ink.any(axis=0))
+        if rows.size == 0 or cols.size == 0:
+            return np.zeros((0, N_CLASSES), dtype=np.float32)
+        band = ink[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+        bh, bw = band.shape
+        # glyph alphabet guarantees ink in first/last row+col of every
+        # non-space glyph, so the tight band is exactly GLYPH_H tall and
+        # starts/ends on glyph boundaries; degenerate crops fall back to
+        # a padded/cropped canvas (deterministic either way).
+        canvas = np.zeros((GLYPH_H, bw), dtype=np.float32)
+        canvas[:min(GLYPH_H, bh), :] = band[:min(GLYPH_H, bh), :]
+        n_chars = (bw - 1) // GLYPH_ADVANCE + 1
+        logits = np.zeros((n_chars, N_CLASSES), dtype=np.float32)
+        area = float(GLYPH_H * GLYPH_W)
+        for k in range(n_chars):
+            x0 = k * GLYPH_ADVANCE
+            win = np.zeros((GLYPH_H, GLYPH_W), dtype=np.float32)
+            seg = canvas[:, x0:x0 + GLYPH_W]
+            win[:, :seg.shape[1]] = seg
+            # match fraction per template: 1 - normalized hamming distance
+            diff = np.abs(TEMPLATES - win[None, :, :]).reshape(TEMPLATES.shape[0], -1)
+            match = 1.0 - diff.sum(axis=1) / area
+            logits[k, 0] = 0.3             # blank baseline at char timesteps
+            logits[k, 1:] = match          # template j -> dict index j+1
+        return logits
+
+
+# ---------------------------------------------------------------------------
+# Registry (T3/J3 analog)
+# ---------------------------------------------------------------------------
+
+_FACTORIES = {
+    ("det", "det_ch"): DetModel,
+    ("cls", "cls_ch"): ClsModel,
+    ("rec", "rec_ch"): RecModel,
+}
+
+# language -> model-name triple; distinct languages share sub-models,
+# exactly the sharing ocrweb_multi/config.yaml:43-47,72-104 exercises.
+LANG_ROUTES: dict[str, dict[str, str]] = {
+    lang: {"det": "det_ch", "cls": "cls_ch", "rec": "rec_ch"}
+    for lang in ("ch", "en", "cht", "ja", "zh", "es", "de", "fr")
+}
+DEFAULT_LANG = "en"
+
+
+class ModelRegistry:
+    """Per-actor model cache keyed (stage, name) — the lru_cache analog.
+
+    Built once in each Ray actor's ``__init__``; ``for_lang`` resolves
+    the routing table and returns shared session objects."""
+
+    def __init__(self):
+        self._cache: dict[tuple[str, str], object] = {}
+
+    def get(self, stage: str, name: str):
+        key = (stage, name)
+        if key not in self._cache:
+            self._cache[key] = _FACTORIES[key]()
+        return self._cache[key]
+
+    def for_lang(self, stage: str, lang: str):
+        route = LANG_ROUTES.get(lang, LANG_ROUTES[DEFAULT_LANG])
+        return self.get(stage, route[stage])

@@ -1,0 +1,92 @@
+"""The per-url byte-identical invariant: Ray Data pipeline vs the
+single-process oracle over the same synthetic corpus (FIXTURES.md,
+verification protocol), plus dedup semantics and the documents
+roundtrip that backs the driver's SQL oracle."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rapidocr_ray.pipelines.oracle import OracleExtractor
+from rapidocr_ray.sources.pages import pages_from_documents, synth_pages
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _to_sorted_pandas(table):
+    df = table.to_pandas() if isinstance(table, pa.Table) else table
+    return df.sort_values("url").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def synth_result(ray_session):
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+
+    pages = synth_pages(120, seed=42)
+    got = _to_sorted_pandas(extract_pages_table(pages).to_pandas())
+    want = _to_sorted_pandas(OracleExtractor().run(pages))
+    return pages, got, want
+
+
+COMPARE_COLS = ["url", "route", "err", "extracted_text", "n_spans", "spans", "lang"]
+
+
+def test_ray_matches_oracle_byte_identical(synth_result):
+    _, got, want = synth_result
+    assert len(got) == len(want)
+    for col in COMPARE_COLS:
+        g = got[col].fillna("<NULL>").tolist()
+        w = want[col].fillna("<NULL>").tolist()
+        assert g == w, f"column {col} diverges"
+
+
+def test_dedup_latest_capture_wins(synth_result):
+    pages, got, _ = synth_result
+    n_unique = len(set(pages.column("url").to_pylist()))
+    assert len(got) == n_unique
+    # duplicated urls (kind 17 in synth_pages) must carry the LATER
+    # capture's content: the duplicate is html titled dup{i}
+    dup_urls = [u for u in pages.column("url").to_pylist()
+                if pages.column("url").to_pylist().count(u) > 1]
+    assert dup_urls, "fixture should contain duplicates"
+    sub = got[got.url.isin(set(dup_urls))]
+    assert (sub.route == "html").all()
+
+
+def test_route_mix_covered(synth_result):
+    _, got, _ = synth_result
+    routes = set(got.route)
+    assert {"html", "bitmap", "empty", "error"} <= routes
+
+
+def test_documents_roundtrip_matches_source_text(ray_session):
+    """pages_from_documents: extraction must recover documents.text
+    byte-for-byte (html single-block and bitmap single-line routes) —
+    this is what makes the driver's plain-SQL oracle valid."""
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+    pages = pages_from_documents(docs)
+    got = _to_sorted_pandas(extract_pages_table(pages, dedup=False).to_pandas())
+    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    checked = 0
+    for _, row in got.iterrows():
+        doc_id = int(row.url.rsplit("/", 1)[1])
+        if doc_id % 20 < 19:  # html or bitmap route
+            assert row.extracted_text == texts[doc_id], (doc_id, row.route)
+            checked += 1
+        else:
+            assert row.route == "empty" and row.extracted_text is None
+    assert checked > 0
+
+
+def test_entry_smoke(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry_mod = importlib.import_module("__ray_entry__")
+    result = entry_mod.entry()
+    import ray.data
+
+    assert isinstance(result, (ray.data.Dataset, pa.Table)) or hasattr(result, "shape")
