@@ -83,29 +83,26 @@ def fingerprint_md5(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
-_ROLL_BASE = np.uint64(1000003)
-_ROLL_MOD_MASK = np.uint64((1 << 61) - 1)
+_ROLL_BASE = 1000003
+_ROLL_MOD = (1 << 61) - 1
 
 
 def rolling_fingerprint(text: str, window: int = 16) -> int:
     """Winnowing-style document fingerprint: min of rolling polynomial
-    hashes over byte windows (deterministic, order-sensitive)."""
+    hashes over byte windows (deterministic, order-sensitive).  Two
+    documents sharing ANY byte window share a candidate fingerprint —
+    the winnowing property; near-identical docs therefore collide by
+    design."""
     data = text.encode("utf-8")
     if len(data) < window:
         data = data + b"\x00" * (window - len(data))
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    n = len(arr) - window + 1
-    powers = np.array(
-        [pow(int(_ROLL_BASE), window - 1 - i, 1 << 61) for i in range(window)],
-        dtype=np.uint64,
-    )
-    best = np.uint64(0xFFFFFFFFFFFFFFFF)
-    h = np.uint64(0)
-    for i in range(window):
-        h = (h * _ROLL_BASE + arr[i]) & _ROLL_MOD_MASK
-    best = min(best, h)
-    top_pow = powers[0]
-    for i in range(1, n):
-        h = ((h - arr[i - 1] * top_pow) * _ROLL_BASE + arr[i + window - 1]) & _ROLL_MOD_MASK
-        best = min(best, h)
-    return int(best)
+    top_pow = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
+    h = 0
+    for b in data[:window]:
+        h = (h * _ROLL_BASE + b) % _ROLL_MOD
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * top_pow) * _ROLL_BASE + data[i]) % _ROLL_MOD
+        if h < best:
+            best = h
+    return best

@@ -1,10 +1,16 @@
 """Driver-facing query registry: one entry per implemented operator
 (SURVEY.md §2 + the training-data-pipeline extensions), each over the
 testdata tables in ``sf_dir``, with DuckDB oracle SQL where the
-semantics are SQL-expressible.
+semantics are SQL-expressible (non-SQL-expressible / approximate ops
+are rows-only: minhash LSH, simhash, IVF ANN, rolling fingerprints,
+image features).
 
 Column names in each Ray result match the SQL aliases exactly (the
-driver hashes values after sorting columns by name).
+driver hashes values after sorting columns by name).  Float columns are
+avoided in results where summation order could differ between numpy and
+DuckDB: money sums go through exact integer cents
+(floor(x*100 + 0.5)), per-element float64 arithmetic (ratios, jaccard)
+is identical on both sides by construction.
 """
 
 from __future__ import annotations
@@ -12,23 +18,41 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+from rapidocr_ray.functions.textstats import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint_md5,
+    lang_id,
+    quality_stats,
+    rolling_fingerprint,
+)
+from rapidocr_ray.util import ensure_worker_importable
 
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    from rapidocr_ray.util import ensure_worker_importable
-
     ensure_worker_importable()
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-# ---------------------------------------------------------------------------
-# Extraction pipeline over pages synthesized from documents (flagship).
-# SQL-expressible because pages_from_documents makes extraction
-# recover documents.text byte-for-byte (tests/test_pipeline_e2e.py).
-# ---------------------------------------------------------------------------
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Exact integer cents: floor(x*100 + 0.5) — same expression in SQL
+    so float rounding mode cannot diverge."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ===========================================================================
+# 1. Flagship extraction (SURVEY.md §3.1 pipeline; SQL oracle valid
+#    because pages_from_documents makes extraction recover
+#    documents.text byte-for-byte — tests/test_pipeline_e2e.py)
+# ===========================================================================
 
 
 def q_extract_pages(sf_dir: str):
@@ -51,6 +75,51 @@ FROM documents
 """
 
 
+def q_extract_metrics(sf_dir: str):
+    """A6/A7 analog: per-route run metrics over the extraction output."""
+    from ray.data.aggregate import Count, Sum
+
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+    from rapidocr_ray.sources.pages import pages_from_documents
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    ds = extract_pages_table(pages_from_documents(docs), dedup=False)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        has_text = pc.cast(pc.is_valid(batch.column("extracted_text")), pa.int64())
+        return pa.table(
+            {
+                "route": batch.column("route"),
+                "has_text": has_text,
+                "n_spans": pc.cast(batch.column("n_spans"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("route")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("has_text", alias_name="n_with_text"),
+            Sum("n_spans", alias_name="n_spans_total"),
+        )
+    )
+
+
+SQL_EXTRACT_METRICS = """
+WITH m AS (
+  SELECT CASE WHEN doc_id % 20 < 16 THEN 'html'
+              WHEN doc_id % 20 < 19 THEN 'bitmap'
+              ELSE 'empty' END AS route,
+         CASE WHEN doc_id % 20 < 19 THEN 1 ELSE 0 END AS has_text,
+         CASE WHEN doc_id % 20 >= 16 AND doc_id % 20 < 19 THEN 1 ELSE 0 END AS n_spans
+  FROM documents)
+SELECT route, COUNT(*) AS n_docs, CAST(SUM(has_text) AS BIGINT) AS n_with_text,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans_total
+FROM m GROUP BY route
+"""
+
+
 def q_route_counts(sf_dir: str):
     """M17 routing-counts analog: grouped counts per (lang, source)."""
     from ray.data.aggregate import Count
@@ -64,12 +133,615 @@ SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source
 """
 
 
+# ===========================================================================
+# 2. Relational surface (groupby/join/sort/limit/window — the Ray Data
+#    expressions of the reference's aggregation/ordering semantics)
+# ===========================================================================
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Pre-aggregation pattern (ray_guide 'Aggregation at scale'):
+    partial sums per batch inside map_batches, tiny global groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sum_qty"] = df.l_quantity.astype(np.int64)
+        df["base_cents"] = _cents(df.l_extendedprice.to_numpy())
+        df["disc_cents"] = _cents(
+            (df.l_extendedprice * (1.0 - df.l_discount)).to_numpy()
+        )
+        df["n"] = 1
+        agg = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty", "base_cents", "disc_cents", "n"]
+            ].sum()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Sum("n", alias_name="count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """O-family sort + limit with deterministic tie-break."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_cents": pa.array(
+                    _cents(np.asarray(batch.column("o_totalprice"))), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .sort([("total_cents"), ("o_orderkey")], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_revenue_by_mktsegment(sf_dir: str):
+    """Broadcast join (J3 pattern): small customer side ray.put once,
+    looked up per batch — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        segs = [lk.get(k) for k in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "total_cents": pa.array(
+                    _cents(np.asarray(batch.column("o_totalprice"))), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("total_cents", alias_name="revenue_cents")
+        )
+    )
+
+
+SQL_REVENUE_BY_MKTSEGMENT = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Partitioned hash join, both sides large (ray_guide join pattern):
+    bucket by hash(key) % B on both sides, per-bucket pandas merge,
+    then a small global aggregate."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = 32
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def bucket_orders(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("o_orderkey"))
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, type=pa.int64()),
+                "orderkey": pa.array(keys, type=pa.int64()),
+                "priority": batch.column("o_orderpriority"),
+                "rev_cents": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+            }
+        )
+
+    def bucket_lineitem(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("l_orderkey"))
+        rev = _cents(
+            np.asarray(batch.column("l_extendedprice"))
+            * (1.0 - np.asarray(batch.column("l_discount")))
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, type=pa.int64()),
+                "orderkey": pa.array(keys, type=pa.int64()),
+                "priority": pa.array([None] * len(keys), type=pa.string()),
+                "rev_cents": pa.array(rev, type=pa.int64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+            }
+        )
+
+    both = orders.map_batches(bucket_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(bucket_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group.side == 0][["orderkey", "priority"]]
+        right = group[group.side == 1][["orderkey", "rev_cents"]]
+        m = left.merge(right, on="orderkey")
+        if m.empty:
+            return pd.DataFrame(columns=["o_orderpriority", "revenue_cents"])
+        agg = m.groupby("priority", as_index=False)["rev_cents"].sum()
+        return agg.rename(
+            columns={"priority": "o_orderpriority", "rev_cents": "revenue_cents"}
+        )
+
+    return (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_ORDERS_LINEITEM_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_score_filter(sf_dir: str):
+    """M15 filter analog as a standalone relational op: vectorized
+    predicate inside map_batches (score >= threshold)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("value"), pa.scalar(90.0))).select(
+            ["event_id", "user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SCORE_FILTER = """
+SELECT event_id, user_id, event_type FROM events WHERE value >= 90.0
+"""
+
+
+def q_dedup_latest_wins(sf_dir: str):
+    """North-rule dedup semantics on the events table: one row per
+    user_id, latest (ts, event_id) wins — the url/warc_ts analog."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def latest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        )
+        return group.take(idx[:1]).select(["user_id", "event_id"])
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+
+
+SQL_DEDUP_LATEST_WINS = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_grouped_concat(sf_dir: str):
+    """A5 analog as a standalone op: ordered grouped string concat
+    (per user, event_type joined by ',' in (ts, event_id) order)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def concat(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            [{"user_id": g.user_id.iloc[0], "event_seq": ",".join(g.event_type)}]
+        )
+
+    return ds.groupby("user_id").map_groups(concat, batch_format="pandas")
+
+
+SQL_GROUPED_CONCAT = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped workload per
+    ray_guide): 1-hour windows per user over the ordered event log."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df.ts.dt.floor("h")
+        df["value_cents"] = _cents(df.value.to_numpy())
+        return pa.Table.from_pandas(
+            df[["user_id", "window_start", "value_cents"]], preserve_index=False
+        )
+
+    return (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents")
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id, date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ===========================================================================
+# 3. Text analysis (training-data extensions)
+# ===========================================================================
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_tokens"] = df.text.str.split(" ").str.len().astype(np.int64)
+        return pa.Table.from_pandas(df[["doc_id", "n_tokens"]], preserve_index=False)
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            s = quality_stats(text)
+            rows.append({"doc_id": doc_id, **s})
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+_SW = ",".join(f"'{w}'" for w in STOPWORDS)
+SQL_QUALITY_SCORES = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS avg_word_len,
+       CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks) AS stopword_ratio
+FROM t
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language ID (n-gram heuristic family)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def guess(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {"doc_id": ids, "lang_guess": [lang_id(t) for t in texts]},
+            schema=pa.schema([("doc_id", pa.int64()), ("lang_guess", pa.string())]),
+        )
+
+    return ds.map_batches(guess, batch_format="pyarrow")
+
+
+def _profile_expr(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+    return f"len(list_intersect(toks, [{words}]))"
+
+
+_SCORES = {lang: _profile_expr(lang) for lang in sorted(LANG_PROFILES)}
+_GREATEST = "greatest(" + ",".join(f"s_{lang}" for lang in sorted(LANG_PROFILES)) + ")"
+_CASE = "CASE WHEN " + _GREATEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lang} = {_GREATEST} THEN '{lang}'" for lang in sorted(LANG_PROFILES)
+) + " END"
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
+s AS (SELECT doc_id, {", ".join(f"{expr} AS s_{lang}" for lang, expr in _SCORES.items())} FROM t)
+SELECT doc_id, {_CASE} AS lang_guess FROM s
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {"doc_id": ids, "fp_md5": [fingerprint_md5(t) for t in texts]},
+            schema=pa.schema([("doc_id", pa.int64()), ("fp_md5", pa.string())]),
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def q_rolling_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprint (rows-only: not
+    SQL-expressible)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {"doc_id": ids, "fp_roll": [rolling_fingerprint(t) for t in texts]},
+            schema=pa.schema([("doc_id", pa.int64()), ("fp_roll", pa.uint64())]),
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ===========================================================================
+# 4. Dedup family
+# ===========================================================================
+
+
+def q_dedup_exact(sf_dir: str):
+    from rapidocr_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from rapidocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, k=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+       WHERE len(w) >= 3
+       UNION
+       SELECT doc_id, text AS s FROM documents WHERE len(string_split(text,' ')) < 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    """Approximate near-dup candidates (rows-only: probabilistic)."""
+    from rapidocr_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_signatures(sf_dir: str):
+    """Deterministic but not SQL-expressible (rows-only)."""
+    from rapidocr_ray.stages.dedup import simhash_signatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_signatures(ds)
+
+
+def q_embedding_cosine_pairs(sf_dir: str):
+    from rapidocr_ray.stages.dedup import embedding_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_cosine_pairs(ds, threshold=0.45)
+
+
+SQL_EMBEDDING_COSINE_PAIRS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+# ===========================================================================
+# 5. Similarity search
+# ===========================================================================
+
+
+def _load_queries(sf_dir: str, n: int = 10):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    ids = df.vec_id.to_numpy().astype(np.int64)
+    mat = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for the first 10 vec_ids (exact
+    baseline; rank comparison is float-safe, see stages/ann.py)."""
+    from rapidocr_ray.stages.ann import brute_force_topk
+
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, ids, mat, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings ORDER BY vec_id LIMIT 10),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, CAST(c.embedding AS DOUBLE[])) AS sim
+      FROM q JOIN embeddings c ON c.vec_id != q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (rows-only: approximate by construction)."""
+    from rapidocr_ray.stages.ann import ivf_topk
+
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, ids, mat, k=5)
+
+
+# ===========================================================================
+# 6. Multimodal plumbing
+# ===========================================================================
+
+
+def q_image_metadata(sf_dir: str):
+    """Image decode actor-pool over the pages payload column: RBMP rows
+    decode for real, html/empty rows surface typed decode errors."""
+    import ray.data
+
+    from rapidocr_ray.sources.pages import pages_from_documents
+    from rapidocr_ray.stages.multimodal import image_metadata_pipeline
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs)
+    ds = ray.data.from_arrow(pages.select(["url", "html"]))
+    out = image_metadata_pipeline(ds)
+    return out.select_columns(["url", "height", "width", "decode_ok"])
+
+
+SQL_IMAGE_METADATA = """
+SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 20 BETWEEN 16 AND 18 THEN 28 END AS height,
+       CASE WHEN doc_id % 20 BETWEEN 16 AND 18 THEN 9*length(text) + 15 END AS width,
+       doc_id % 20 BETWEEN 16 AND 18 AS decode_ok
+FROM documents
+"""
+
+
+def q_image_features(sf_dir: str):
+    """Feature-extraction actor-pool (rows-only: float vectors)."""
+    import ray.data
+
+    from rapidocr_ray.sources.pages import pages_from_documents
+    from rapidocr_ray.stages.multimodal import image_feature_pipeline
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs)
+    ds = ray.data.from_arrow(pages.select(["url", "html"]))
+    return image_feature_pipeline(ds)
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "extract_pages": q_extract_pages,
+    "extract_metrics": q_extract_metrics,
     "route_counts": q_route_counts,
+    "lineitem_agg": q_lineitem_agg,
+    "top_orders": q_top_orders,
+    "revenue_by_mktsegment": q_revenue_by_mktsegment,
+    "orders_lineitem_join": q_orders_lineitem_join,
+    "score_filter": q_score_filter,
+    "dedup_latest_wins": q_dedup_latest_wins,
+    "grouped_concat": q_grouped_concat,
+    "events_window": q_events_window,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "image_metadata": q_image_metadata,
+    "image_features": q_image_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "extract_pages": SQL_EXTRACT_PAGES,
+    "extract_metrics": SQL_EXTRACT_METRICS,
     "route_counts": SQL_ROUTE_COUNTS,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "top_orders": SQL_TOP_ORDERS,
+    "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
+    "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
+    "score_filter": SQL_SCORE_FILTER,
+    "dedup_latest_wins": SQL_DEDUP_LATEST_WINS,
+    "grouped_concat": SQL_GROUPED_CONCAT,
+    "events_window": SQL_EVENTS_WINDOW,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "fingerprints": SQL_FINGERPRINTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "image_metadata": SQL_IMAGE_METADATA,
 }

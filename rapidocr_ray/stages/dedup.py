@@ -1,25 +1,25 @@
 """Deduplication operators over a documents-style table
 (id + text columns) — the training-data-pipeline extensions.
 
-Every operator is Ray-Data-first and scale-shaped:
+Every operator is Ray-Data-first and scale-shaped.  A recurring design
+rule here: **never groupby into millions of tiny python groups**.
+High-cardinality keys (shingle, band-hash) are folded into a bounded
+number of hash buckets first; within a bucket the work is a vectorized
+pandas merge; cross-bucket combination is a C-level
+``groupby().aggregate``.  The only per-group python calls left are on
+small, low-cardinality groups.
 
-- exact dedup: add a content-hash column in a vectorized map_batches,
-  hash-partition groupby(hash) keep-first — one shuffle over (hash,id),
-  not over full text when ``project=True``.
-- MinHash-LSH near-dup: signature per doc (map_batches, actor pool for
-  the seeded permutations) -> explode to (band_id, band_hash, doc)
-  rows -> groupby bucket -> candidate pairs -> exact-Jaccard verify.
-  Only signatures and candidate pairs shuffle; raw text is re-read
-  only for the verified candidates (small side, broadcast join).
-- SimHash: 64-bit signature per doc + bucket by bit-prefix for
-  near-neighbor candidate generation.
-- n-gram Jaccard (exact): shingle explode -> groupby shingle ->
-  per-shingle pair emission with per-doc set sizes carried along ->
-  groupby pair -> exact jaccard.  This is the exact (non-probabilistic)
-  path; SQL-expressible, so it backs the DuckDB oracle.
-- embedding cosine near-dup: normalized-vector blocks, all-pairs cosine
-  by blockwise matmul against a broadcast matrix (brute-force baseline;
-  see stages/ann.py for the bucketed scale path).
+Operators:
+- exact dedup: content-hash column (vectorized map_batches) ->
+  groupby(hash) keep-first.
+- MinHash-LSH near-dup: signatures (actor pool) -> band explode ->
+  bucket merge -> candidate pairs -> signature-estimated jaccard >= t.
+- SimHash: 64-bit signature + bit-prefix bucket key.
+- n-gram Jaccard (exact): shingle explode -> bucketed co-occurrence
+  count -> exact jaccard.  SQL-expressible; backs the DuckDB oracle.
+- embedding cosine near-dup: blockwise float64 matmul against a
+  broadcast normalized matrix (brute-force baseline; bucketed scale
+  path in stages/ann.py).
 """
 
 from __future__ import annotations
@@ -31,10 +31,13 @@ import pyarrow as pa
 from rapidocr_ray.functions.hashing import (
     MinHasher,
     SimHasher,
-    jaccard,
+    _stable_hash64,
     shingle_set_hashes,
 )
 from rapidocr_ray.functions.textstats import fingerprint_md5
+from rapidocr_ray.util import ensure_worker_importable
+
+N_BUCKETS = 256  # bounded shuffle fan-in for high-cardinality keys
 
 
 # ---------------------------------------------------------------------------
@@ -44,14 +47,15 @@ from rapidocr_ray.functions.textstats import fingerprint_md5
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    return batch.append_column("content_hash", pa.array([fingerprint_md5(t) for t in texts]))
+    return batch.append_column(
+        "content_hash", pa.array([fingerprint_md5(t) for t in texts])
+    )
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the min-id row per distinct text (hash-partitioned)."""
-    ds = ds.map_batches(
-        lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
-    )
+    ensure_worker_importable()
+    ds = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
 
     def keep_first(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -77,8 +81,7 @@ class MinHashSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        sigs = []
-        sizes = []
+        sigs, sizes = [], []
         for t in texts:
             sh = shingle_set_hashes(t, self.k)
             sizes.append(sh.size)
@@ -95,6 +98,16 @@ class MinHashSignatures:
         )
 
 
+def minhash_signatures(ds, n_perm: int = 128, k: int = 3, seed: int = 7):
+    ensure_worker_importable()
+    return ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     n_perm: int = 128,
@@ -103,42 +116,38 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 7,
 ):
-    """documents Dataset -> verified near-dup pairs
-    (doc_a, doc_b, jaccard >= threshold), jaccard estimated from the
-    MinHash signatures of the candidate pair (no second text pass).
+    """documents -> candidate near-dup pairs (doc_a, doc_b, est_jaccard)
+    with est_jaccard (signature agreement fraction) >= threshold.
 
-    Scale shape: signatures ~ n_perm*8 bytes/doc regardless of doc
-    size; the bucket groupby shuffles only (band_hash, doc_id, sig)."""
+    Scale shape: signatures are n_perm*8 bytes/doc regardless of doc
+    size; band rows shuffle by a bounded bucket key; candidate pairing
+    is a vectorized merge per bucket; the final per-pair reduction is a
+    C-level groupby max."""
     hasher = MinHasher(n_perm=n_perm, seed=seed)
-    sig_ds = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    sig_ds = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        rows_doc, rows_band, rows_hash, rows_sig = [], [], [], []
+        rows_doc, rows_hash, rows_bucket, rows_sig = [], [], [], []
         for i in range(batch.num_rows):
             doc = batch.column("doc_id")[i].as_py()
             sig = np.array(batch.column("sig")[i].as_py(), dtype=np.uint64)
-            for band, bh in hasher.band_keys(sig, n_bands):
+            for _band, bh in hasher.band_keys(sig, n_bands):
                 rows_doc.append(doc)
-                rows_band.append(band)
                 rows_hash.append(bh)
+                rows_bucket.append(bh % N_BUCKETS)
                 rows_sig.append(sig.tolist())
         return pa.table(
             {
                 "doc_id": rows_doc,
-                "band": rows_band,
                 "band_hash": rows_hash,
+                "bucket": rows_bucket,
                 "sig": rows_sig,
             },
             schema=pa.schema(
                 [
                     ("doc_id", pa.int64()),
-                    ("band", pa.int32()),
                     ("band_hash", pa.uint64()),
+                    ("bucket", pa.uint64()),
                     ("sig", pa.list_(pa.uint64())),
                 ]
             ),
@@ -147,31 +156,28 @@ def minhash_lsh_pairs(
     band_ds = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = group.sort_values("doc_id").to_dict("records")
+        g = group[["doc_id", "band_hash"]].drop_duplicates()
+        m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
+        m = m[m.doc_id_a < m.doc_id_b][["doc_id_a", "doc_id_b"]].drop_duplicates()
+        if m.empty:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
+        sig_map = {
+            r.doc_id: np.asarray(r.sig, dtype=np.uint64)
+            for r in group[["doc_id", "sig"]].drop_duplicates("doc_id").itertuples()
+        }
         out = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                a, b = docs[i], docs[j]
-                if a["doc_id"] == b["doc_id"]:
-                    continue
-                sa = np.asarray(a["sig"], dtype=np.uint64)
-                sb = np.asarray(b["sig"], dtype=np.uint64)
-                est = float((sa == sb).mean())
-                if est >= threshold:
-                    out.append(
-                        {"doc_a": a["doc_id"], "doc_b": b["doc_id"], "est_jaccard": est}
-                    )
+        for a, b in zip(m.doc_id_a.to_numpy(), m.doc_id_b.to_numpy()):
+            est = float((sig_map[a] == sig_map[b]).mean())
+            if est >= threshold:
+                out.append({"doc_a": int(a), "doc_b": int(b), "est_jaccard": est})
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
 
-    pair_ds = band_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pair_ds = band_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    from ray.data.aggregate import Max
 
-    return pair_ds.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
+    return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
     )
 
 
@@ -183,6 +189,7 @@ def minhash_lsh_pairs(
 def simhash_signatures(ds, prefix_bits: int = 16):
     """documents -> (doc_id, simhash, bucket = top prefix_bits) — the
     bucket column is the LSH partition key for near-neighbor search."""
+    ensure_worker_importable()
     hasher = SimHasher()
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -209,67 +216,86 @@ def simhash_signatures(ds, prefix_bits: int = 16):
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.2):
-    """Exact all-pairs Jaccard >= threshold via shingle-explode +
-    co-occurrence counting: shuffle key = shingle string, then pair.
+def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5):
+    """Exact all-pairs Jaccard >= threshold, mirroring the DuckDB
+    oracle: same shingling (word k-grams as strings), same float64
+    division.
 
-    Mirrors the DuckDB oracle exactly (same shingles, same float64
-    division)."""
+    Plan: per-doc distinct shingles explode (with per-doc set size
+    carried), bucket by shingle hash -> vectorized self-merge per
+    bucket -> per-pair co-occurrence Sum (C-level groupby) -> jaccard
+    filter.  Shuffled bytes ~ shingle rows, bounded fan-in."""
+    ensure_worker_importable()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_id, out_sh, out_n = [], [], []
+        out_id, out_sh, out_n, out_b = [], [], [], []
         for doc, text in zip(ids, texts):
             words = text.split(" ")
             if len(words) < k:
                 shingles = {" ".join(words)}
             else:
-                shingles = {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+                shingles = {
+                    " ".join(words[i:i + k]) for i in range(len(words) - k + 1)
+                }
+            n = len(shingles)
             for s in shingles:
                 out_id.append(doc)
                 out_sh.append(s)
-                out_n.append(len(shingles))
+                out_n.append(n)
+                out_b.append(_stable_hash64(s) % N_BUCKETS)
         return pa.table(
-            {"doc_id": out_id, "shingle": out_sh, "n_sh": out_n},
+            {"doc_id": out_id, "shingle": out_sh, "n_sh": out_n, "bucket": out_b},
             schema=pa.schema(
-                [("doc_id", pa.int64()), ("shingle", pa.string()), ("n_sh", pa.int64())]
+                [
+                    ("doc_id", pa.int64()),
+                    ("shingle", pa.string()),
+                    ("n_sh", pa.int64()),
+                    ("bucket", pa.uint64()),
+                ]
             ),
         )
 
     sh_ds = ds.map_batches(explode, batch_format="pyarrow")
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = group[["doc_id", "n_sh"]].drop_duplicates().sort_values("doc_id")
-        recs = docs.to_dict("records")
-        out = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                out.append(
-                    {
-                        "doc_a": recs[i]["doc_id"],
-                        "doc_b": recs[j]["doc_id"],
-                        "na": recs[i]["n_sh"],
-                        "nb": recs[j]["n_sh"],
-                    }
-                )
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "na", "nb"])
+    def bucket_cooccur(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["doc_id", "shingle", "n_sh"]]
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m.doc_id_a < m.doc_id_b]
+        if m.empty:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "na", "nb", "c"])
+        agg = (
+            m.groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"])
+            .size()
+            .reset_index(name="c")
+        )
+        return agg.rename(
+            columns={
+                "doc_id_a": "doc_a",
+                "doc_id_b": "doc_b",
+                "n_sh_a": "na",
+                "n_sh_b": "nb",
+            }
+        )
 
-    pair_ds = sh_ds.groupby("shingle").map_groups(emit_pairs, batch_format="pandas")
+    pair_ds = sh_ds.groupby("bucket").map_groups(bucket_cooccur, batch_format="pandas")
 
-    def score_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        c = len(group)
-        row = group.iloc[0]
-        j = c / (row.na + row.nb - c)
-        if j >= threshold:
-            return pd.DataFrame(
-                [{"doc_a": row.doc_a, "doc_b": row.doc_b, "jaccard": float(j)}]
-            )
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    from ray.data.aggregate import Sum
 
-    return pair_ds.groupby(["doc_a", "doc_b"]).map_groups(
-        score_pairs, batch_format="pandas"
+    counts = pair_ds.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
+        Sum("c", alias_name="c")
     )
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        j = df.c / (df.na + df.nb - df.c)
+        keep = df[j >= threshold].copy()
+        keep["jaccard"] = j[j >= threshold].astype(np.float64)
+        out = keep[["doc_a", "doc_b", "jaccard"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return counts.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -277,17 +303,18 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.2):
 # ---------------------------------------------------------------------------
 
 
-def embedding_cosine_pairs(ds, threshold: float = 0.95):
+def embedding_cosine_pairs(ds, threshold: float = 0.45):
     """embeddings(vec_id, embedding) -> pairs with cosine >= threshold.
 
-    Broadcast pattern: the (normalized) full matrix is put in the
-    object store ONCE; each batch computes a [batch, N] float64 matmul
-    against it.  At cluster scale replace the broadcast with the IVF
-    bucketing in stages/ann.py."""
+    Broadcast pattern: the normalized full matrix is put in the object
+    store ONCE; each batch computes a [batch, N] float64 matmul against
+    it.  At cluster scale swap the broadcast for the IVF bucketing in
+    stages/ann.py."""
     import ray
 
+    ensure_worker_importable()
     mat_tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = mat_tbl["vec_id"].to_numpy()
+    ids = mat_tbl["vec_id"].to_numpy().astype(np.int64)
     mat = np.stack(mat_tbl["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat_n = mat / np.where(norms == 0, 1, norms)
@@ -295,18 +322,19 @@ def embedding_cosine_pairs(ds, threshold: float = 0.95):
 
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
-        b_ids = np.asarray(batch.column("vec_id").to_pylist())
-        b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()])
+        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        b_mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
         bn = np.linalg.norm(b_mat, axis=1, keepdims=True)
         b_n = b_mat / np.where(bn == 0, 1, bn)
         sims = b_n @ all_mat.T
+        hit_r, hit_c = np.where(sims >= threshold)
         out_a, out_b = [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for h in hits:
-                if all_ids[h] > b_ids[r]:  # each unordered pair once
-                    out_a.append(int(b_ids[r]))
-                    out_b.append(int(all_ids[h]))
+        for r, h in zip(hit_r, hit_c):
+            if all_ids[h] > b_ids[r]:  # each unordered pair once
+                out_a.append(int(b_ids[r]))
+                out_b.append(int(all_ids[h]))
         return pa.table(
             {"vec_a": out_a, "vec_b": out_b},
             schema=pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),

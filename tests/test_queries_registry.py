@@ -1,0 +1,47 @@
+"""Registry contract: every oracle key has a query, callables run at
+sf0.001 (full DuckDB comparison is the driver's job; tests/verify do a
+spot check on one cheap query)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from rapidocr_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_rows_only_queries_documented():
+    rows_only = set(QUERIES) - set(ORACLE_SQL)
+    # every rows-only query must be approximate or non-SQL by nature
+    assert rows_only == {
+        "rolling_fingerprints",
+        "minhash_lsh_pairs",
+        "simhash_signatures",
+        "ann_ivf_topk",
+        "image_features",
+    }
+
+
+@pytest.mark.parametrize("name", ["route_counts", "token_counts", "dedup_latest_wins"])
+def test_cheap_query_matches_duckdb(ray_session, name):
+    out = QUERIES[name](SF)
+    df = out.to_pandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    odf = con.execute(ORACLE_SQL[name]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
