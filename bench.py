@@ -1,0 +1,271 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "throughput": {...docs_per_s...}}
+
+``--scaling``: runs the headline extraction pipeline in two fresh
+subprocesses (num_cpus=8 and num_cpus=32) on the same input and prints
+both throughputs plus scaling efficiency = t8/(4*t32) — the sandbox
+substitute for N vs 4N Ray nodes (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def bench_extract(sf_dir: str) -> tuple[float, int]:
+    """Headline: full extraction pipeline (dedup -> route -> html fast
+    path + det/cls/rec cascade -> assembly) over pages synthesized from
+    documents.parquet."""
+    import pyarrow.parquet as pq
+
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+    from rapidocr_ray.sources.pages import pages_from_documents
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs)
+    t0 = time.perf_counter()
+    ds = extract_pages_table(pages, dedup=True)
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n += batch.num_rows
+    return time.perf_counter() - t0, n
+
+
+def bench_extract_multiline(sf_dir: str) -> tuple[float, int]:
+    """Det-path stress: synthetic multi-line/rotated bitmap corpus."""
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+    from rapidocr_ray.sources.pages import synth_pages
+
+    n_pages = 1000 if sf_dir.endswith("0.1") else 200
+    pages = synth_pages(n_pages, seed=42)
+    t0 = time.perf_counter()
+    ds = extract_pages_table(pages, dedup=True)
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n += batch.num_rows
+    return time.perf_counter() - t0, n
+
+
+def _consume(ds) -> int:
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n += batch.num_rows
+    return n
+
+
+def main() -> None:
+    _init_ray()
+    from rapidocr_ray.pipelines import queries as q
+
+    # warm the OS page cache so we measure compute + shuffle, not
+    # first-read disk latency
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    sec, n_docs = bench_extract(SF_DIR)
+    timings["extract_pages"] = round(sec, 3)
+    throughput["extract_docs_per_s"] = round(n_docs / sec, 2)
+
+    sec, n_multi = bench_extract_multiline(SF_DIR)
+    timings["extract_multiline"] = round(sec, 3)
+    throughput["extract_multiline_docs_per_s"] = round(n_multi / sec, 2)
+
+    for name in (
+        "lineitem_agg",
+        "events_window",
+        "minhash_lsh_pairs",
+        "ann_topk",
+        "quality_scores",
+    ):
+        t0 = time.perf_counter()
+        _consume(q.QUERIES[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # exact all-pairs jaccard is inherently quadratic in shingle doc
+    # frequency; the synthetic corpus (tiny vocabulary) makes every
+    # shingle corpus-hot, so the exact op is benched on a 1k-doc sample
+    # (MinHash-LSH above is the full-corpus scale path)
+    import ray.data
+
+    from rapidocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    t0 = time.perf_counter()
+    docs_ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).limit(1000)
+    _consume(ngram_jaccard_pairs(docs_ds, k=3, threshold=0.5))
+    timings["ngram_jaccard_pairs_1k"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e extraction + ops suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "throughput": throughput,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "/tmp/rapidocr_ray_scaling_corpus")
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "4000"))
+
+
+def ensure_scaling_corpus() -> str:
+    """Deterministic det-path-heavy corpus (multi-line bitmap pages),
+    written to parquet ONCE and read by both scaling runs: compute must
+    dominate fixed overhead for the efficiency measurement to reflect
+    the engine rather than session startup."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rapidocr_ray import glyphs
+    from rapidocr_ray.sources.pages import PAGES_SCHEMA, _ts, _rand_text, wrap_lines, write_pages_parquet
+
+    marker = os.path.join(SCALING_CORPUS, f"done-{SCALING_DOCS}")
+    if os.path.isfile(marker):
+        return SCALING_CORPUS
+    urls, tss, payloads, texts, langs = [], [], [], [], []
+    for i in range(SCALING_DOCS):
+        rng = np.random.default_rng(990_001 + i)
+        text = _rand_text(rng, int(rng.integers(24, 56)))
+        lines = wrap_lines(text, width=48)
+        page = glyphs.render_page(lines, margin=28, line_gap=32,
+                                  rotate180=bool(rng.random() < 0.2))
+        urls.append(f"https://scale.example/p/{i}")
+        tss.append(_ts(i))
+        payloads.append(glyphs.encode_rbmp(page))
+        texts.append(text)
+        langs.append(["en", "zh", "es", "de", "fr"][i % 5])
+    table = pa.table(
+        {"url": urls, "warc_ts": tss, "html": payloads, "text": texts, "lang": langs},
+        schema=PAGES_SCHEMA,
+    )
+    write_pages_parquet(table, SCALING_CORPUS, n_files=32)
+    open(marker, "w").close()
+    return SCALING_CORPUS
+
+
+def scaling() -> None:
+    """Two fresh processes at 8 and 32 CPUs over the same input."""
+    ensure_scaling_corpus()
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, GRAFT_HEADLINE="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (8 -> 32 cpus, same input)",
+                "sec_8cpu": t8,
+                "sec_32cpu": t32,
+                "docs_per_s_8cpu": results[8]["throughput"]["extract_docs_per_s"],
+                "docs_per_s_32cpu": results[32]["throughput"]["extract_docs_per_s"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def headline_only() -> None:
+    """Inner run for --scaling: cascade-heavy extraction over the
+    pre-written parquet corpus, one JSON line."""
+    import glob
+
+    _init_ray()
+    import ray
+    import ray.data
+
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline
+
+    corpus = ensure_scaling_corpus()
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    # warm page cache (untimed read)
+    import pyarrow.parquet as pq
+
+    for f in files:
+        pq.read_table(f)
+    t0 = time.perf_counter()
+    ds = build_extract_pipeline(ray.data.read_parquet(files), dedup=True)
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n += batch.num_rows
+    sec = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "extraction wall time (det-path corpus)",
+                "value": round(sec, 3),
+                "unit": "sec",
+                "throughput": {"extract_docs_per_s": round(n / sec, 2)},
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_HEADLINE"):
+        headline_only()
+    else:
+        main()

@@ -33,6 +33,9 @@ class GlobalConfig:
     use_rec: bool = True
     min_height: int = 30             # M17 det-bypass route (rapid_ocr_api.py:69-77)
     width_height_ratio: float = 8.0  # M17
+    max_payload_bytes: int = 64 * 1024 * 1024  # skew guard: larger payloads
+                                     # become typed error rows instead of
+                                     # monopolizing an actor (SURVEY.md §4 skew)
 
 
 @dataclass(frozen=True)
@@ -84,6 +87,12 @@ class RayConfig:
     """Physical execution knobs (SURVEY.md §4) — per-stage sizing so no
     stage starves the others on a fixed-size pool."""
 
+    fuse_cascade: bool = True        # one det+cls+rec actor pool (crops
+                                     # never enter the object store) vs
+                                     # three independently-scaled pools
+    cascade_concurrency: int = 64    # fused-pool size cap; actual pool =
+                                     # min(cap, cluster CPUs - 2) so the
+                                     # cascade scales with the session
     det_concurrency: int = 4
     cls_concurrency: int = 2
     rec_concurrency: int = 4

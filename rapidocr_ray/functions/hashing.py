@@ -36,24 +36,27 @@ def shingle_set_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """n_perm universal-hash MinHash over shingle hashes.  Seeded
-    parameters are generated once (actor __init__ state)."""
+    """n_perm multiply-shift MinHash over shingle hashes.  Seeded
+    parameters are generated once (actor __init__ state).
+
+    The permutation family is multiply-shift hashing
+    h_i(x) = (a_i * x + b_i) with native uint64 wraparound (a_i odd) —
+    a standard universal family that vectorizes to one numpy matmul-
+    shaped op, no object-dtype bignum math."""
 
     def __init__(self, n_perm: int = 128, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, n_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, n_perm, dtype=np.uint64)
+        self.a = (rng.integers(1, 1 << 63, n_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, n_perm, dtype=np.uint64)
         self.n_perm = n_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """uint64 shingle hashes -> uint64 [n_perm] signature."""
         if shingles.size == 0:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a*x + b) mod p, vectorized over (perm, shingle); python ints
-        # avoid uint64 overflow in the multiply
-        x = shingles.astype(object)[None, :]
-        vals = (self.a.astype(object)[:, None] * x + self.b.astype(object)[:, None]) % _MERSENNE
-        return np.array([int(min(row)) for row in vals], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * shingles[None, :] + self.b[:, None]
+        return vals.min(axis=1)
 
     def band_keys(self, sig: np.ndarray, n_bands: int = 32) -> list[tuple[int, int]]:
         """LSH banding: [(band_id, band_hash)] — equal keys = candidates."""

@@ -29,6 +29,7 @@ import ray.data
 from rapidocr_ray.config import PipelineConfig
 from rapidocr_ray.util import ensure_worker_importable
 from rapidocr_ray.stages.ray_stages import (
+    CascadeStage,
     ClsStage,
     DecodeRouteExtract,
     DetStage,
@@ -45,6 +46,20 @@ def dedup_by_url(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.groupby("url").map_groups(dedup_latest_group, batch_format="pyarrow")
 
 
+def _target_blocks() -> int:
+    """Enough blocks that every stage can use the whole pool: blocks
+    are the unit of task parallelism in Ray Data (one input block = one
+    map task), so a single-block source (from_arrow, a groupby output
+    on small data) would serialize the cascade."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover — session not up yet
+        cpus = 8
+    return max(8, cpus * 2)
+
+
 def build_extract_pipeline(
     ds: "ray.data.Dataset",
     cfg: PipelineConfig | None = None,
@@ -55,6 +70,11 @@ def build_extract_pipeline(
     cfg = cfg or PipelineConfig()
     ensure_worker_importable()
     rc = cfg.Ray
+    # split single-block sources (from_arrow, small reads) FIRST: block
+    # count is task parallelism, and the dedup sort/groupby preserves
+    # input blockiness — a 1-block input would serialize everything
+    # downstream including the per-group dedup kernels
+    ds = ds.repartition(_target_blocks())
     if dedup:
         ds = dedup_by_url(ds)
     ds = ds.map_batches(
@@ -62,31 +82,51 @@ def build_extract_pipeline(
         batch_format="pyarrow",
         batch_size=rc.batch_size_docs,
     )
-    ds = ds.map_batches(
-        DetStage,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=rc.batch_size_bitmap,
-        concurrency=(1, rc.det_concurrency),
-        num_cpus=1,
-    )
-    if cfg.Global.use_cls:
+    if rc.fuse_cascade:
+        # fixed-size pool sized to the session: autoscaling ramps too
+        # slowly for short waves, leaving the pool at ~3x effective
+        # parallelism while 20+ core-seconds of cascade work queue up
+        import ray as _ray
+
+        try:
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover
+            cpus = 8
+        pool = max(2, min(rc.cascade_concurrency, cpus - 2))
         ds = ds.map_batches(
-            ClsStage,
+            CascadeStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=rc.batch_size_bitmap,
+            concurrency=pool,
+            num_cpus=1,
+        )
+    else:
+        ds = ds.map_batches(
+            DetStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=rc.batch_size_bitmap,
+            concurrency=(1, rc.det_concurrency),
+            num_cpus=1,
+        )
+        if cfg.Global.use_cls:
+            ds = ds.map_batches(
+                ClsStage,
+                fn_constructor_kwargs={"cfg": cfg},
+                batch_format="pyarrow",
+                batch_size=rc.batch_size_regions,
+                concurrency=(1, rc.cls_concurrency),
+                num_cpus=1,
+            )
+        ds = ds.map_batches(
+            RecStage,
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
             batch_size=rc.batch_size_regions,
-            concurrency=(1, rc.cls_concurrency),
+            concurrency=(1, rc.rec_concurrency),
             num_cpus=1,
         )
-    ds = ds.map_batches(
-        RecStage,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=rc.batch_size_regions,
-        concurrency=(1, rc.rec_concurrency),
-        num_cpus=1,
-    )
     text_score = cfg.Global.text_score
     ds = ds.groupby("url").map_groups(
         lambda g: assemble_group(g, text_score=text_score), batch_format="pyarrow"

@@ -51,6 +51,9 @@ class OracleExtractor:
             "det_elapse": None, "cls_elapse": None, "rec_elapse": None,
         }
         route, err = sniff_route(payload)
+        max_bytes = g.max_payload_bytes
+        if payload is not None and len(payload) > max_bytes:
+            route, err = "error", f"payload exceeds max_payload_bytes ({max_bytes})"
         row["route"], row["err"] = route, err
         if route == "html":
             row["extracted_text"] = extract_main_text(

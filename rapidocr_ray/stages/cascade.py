@@ -84,8 +84,20 @@ class TextClassifier:
     def __call__(
         self, img_list: list[np.ndarray], lang: str = "en"
     ) -> tuple[list[np.ndarray], list[tuple[str, float]]]:
-        c = self.cfg
         img_list = list(img_list)
+        results = self.classify_only(img_list, lang)
+        # M12 conditional rotate (text_cls.py:68-73)
+        for i, (label, score) in enumerate(results):
+            if "180" in label and score > self.cfg.cls_thresh:
+                img_list[i] = rotate180(img_list[i])
+        return img_list, results
+
+    def classify_only(
+        self, img_list: list[np.ndarray], lang: str = "en"
+    ) -> list[tuple[str, float]]:
+        """Labels/scores without rotating — the A4 most-angle path's
+        first half."""
+        c = self.cfg
         n = len(img_list)
         results: list[tuple[str, float]] = [("", 0.0)] * n
         # M16: width-ratio argsort (text_cls.py:43-50)
@@ -101,13 +113,8 @@ class TextClassifier:
             # M11 ClsPostProcess (ch_ppocr_v2_cls/utils.py:14-29)
             for rno, i in enumerate(batch_idx):
                 idx = int(probs[rno].argmax())
-                label = c.label_list[idx]
-                score = float(probs[rno][idx])
-                results[i] = (label, score)
-                # M12 conditional rotate (text_cls.py:68-73)
-                if "180" in label and score > c.cls_thresh:
-                    img_list[i] = rotate180(img_list[i])
-        return img_list, results
+                results[i] = (c.label_list[idx], float(probs[rno][idx]))
+        return results
 
 
 def rec_resize_norm(img: np.ndarray, max_wh_ratio: float, shape: tuple = (3, 48, 320)) -> np.ndarray:
@@ -146,6 +153,29 @@ def crop_wh_ratio(img: np.ndarray) -> float:
     """w/h of the rectified (tight) band — the M16 sort key."""
     band = tight_ink_crop(img)
     return band.shape[1] / float(band.shape[0])
+
+
+def most_angle(cls_res: list[tuple[str, float]]) -> str:
+    """A4 majority vote (C++-only feature, AngleNet.cpp:113-130): mean
+    of angle indices vs 0.5 decides ONE angle for all of a document's
+    crops.  Exposed for per-document callers (the oracle / a
+    groupby(url) Ray variant); the default distributed path classifies
+    per crop like the reference's Python path."""
+    if not cls_res:
+        return "0"
+    idx_sum = sum(1 for label, _ in cls_res if "180" in label)
+    return "180" if idx_sum / len(cls_res) > 0.5 else "0"
+
+
+def apply_most_angle(
+    raw_crops: list[np.ndarray], cls_res: list[tuple[str, float]]
+) -> list[np.ndarray]:
+    """C++ flow (OcrLite.cpp:150-160): vote over the UNROTATED crops'
+    labels, then rotate all crops or none.  Callers pass crops that
+    have NOT been individually rotated (use classify_only)."""
+    if most_angle(cls_res) == "180":
+        return [rotate180(img) for img in raw_crops]
+    return list(raw_crops)
 
 
 class TextRecognizer:

@@ -216,7 +216,7 @@ def simhash_signatures(ds, prefix_bits: int = 16):
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5):
+def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None):
     """Exact all-pairs Jaccard >= threshold, mirroring the DuckDB
     oracle: same shingling (word k-grams as strings), same float64
     division.
@@ -224,7 +224,15 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5):
     Plan: per-doc distinct shingles explode (with per-doc set size
     carried), bucket by shingle hash -> vectorized self-merge per
     bucket -> per-pair co-occurrence Sum (C-level groupby) -> jaccard
-    filter.  Shuffled bytes ~ shingle rows, bounded fan-in."""
+    filter.  Shuffled bytes ~ shingle rows, bounded fan-in.
+
+    ``max_shingle_df``: candidate generation cost is sum over shingles
+    of df^2, which explodes on corpus-hot shingles (boilerplate
+    n-grams).  Setting a df cap drops hotter shingles from the
+    CANDIDATE merge only — pairs are still scored with exact set sizes,
+    but pairs whose every common shingle is hot can be missed, so this
+    is the documented approximate knob for web-scale corpora (the exact
+    default backs the DuckDB oracle)."""
     ensure_worker_importable()
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -261,6 +269,9 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5):
 
     def bucket_cooccur(group: pd.DataFrame) -> pd.DataFrame:
         g = group[["doc_id", "shingle", "n_sh"]]
+        if max_shingle_df is not None:
+            df_counts = g.groupby("shingle")["doc_id"].transform("size")
+            g = g[df_counts <= max_shingle_df]
         m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
         m = m[m.doc_id_a < m.doc_id_b]
         if m.empty:

@@ -100,6 +100,16 @@ def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
         return "empty", "empty payload"
     if is_rbmp(payload):
         return "bitmap", None
+    # real-world image containers (incl. the GIF path the reference
+    # special-cases, ocrweb_multi/rapidocr/main.py:29-40) are stubbed:
+    # codecs are unavailable in this environment (SURVEY.md §7.0)
+    for magic, name in (
+        (b"GIF8", "gif"),
+        (b"\xff\xd8\xff", "jpeg"),
+        (b"\x89PNG", "png"),
+    ):
+        if payload[: len(magic)] == magic:
+            return "error", f"image codec unavailable ({name} stub)"
     head = payload[:4096]
     try:
         snippet = head.decode("utf-8")
@@ -124,11 +134,16 @@ class DecodeRouteExtract:
         tss = batch.column("warc_ts").to_pylist()
         payloads = batch.column("html").to_pylist()
         langs = batch.column("lang").to_pylist()
+        max_bytes = self.cfg.Global.max_payload_bytes
         rows = []
         for url, ts, payload, lang in zip(urls, tss, payloads, langs):
             row = _blank_row()
             row.update(url=url, warc_ts=ts, lang=lang, is_region=False, n_regions=0)
             route, err = sniff_route(payload)
+            if payload is not None and len(payload) > max_bytes:
+                # skew guard: an oversized blob would monopolize a
+                # cascade actor; surface it as a typed error row
+                route, err = "error", f"payload exceeds max_payload_bytes ({max_bytes})"
             row["route"], row["err"] = route, err
             if route == "html":
                 row["extracted_text"] = extract_main_text(
@@ -152,8 +167,7 @@ class DetStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.cfg.Global
         out: list[dict] = []
-        for i in range(batch.num_rows):
-            row = {name: batch.column(name)[i].as_py() for name in _UNIFIED_NAMES}
+        for row in batch.to_pylist():
             if row["route"] != "bitmap" or row["err"] is not None:
                 out.append(row)
                 continue
@@ -211,10 +225,7 @@ class ClsStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.cfg.Global.use_cls:
             return batch
-        rows = [
-            {name: batch.column(name)[i].as_py() for name in _UNIFIED_NAMES}
-            for i in range(batch.num_rows)
-        ]
+        rows = batch.to_pylist()
         for lang, idxs in _region_indices_by_lang(batch).items():
             t0 = time.perf_counter()
             crops = [decode_rbmp(rows[i]["payload"]) for i in idxs]
@@ -240,10 +251,7 @@ class RecStage:
         self.recognizer = TextRecognizer(self.cfg.Rec, self.registry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = [
-            {name: batch.column(name)[i].as_py() for name in _UNIFIED_NAMES}
-            for i in range(batch.num_rows)
-        ]
+        rows = batch.to_pylist()
         for lang, idxs in _region_indices_by_lang(batch).items():
             t0 = time.perf_counter()
             crops = [decode_rbmp(rows[i]["payload"]) for i in idxs]
@@ -256,13 +264,104 @@ class RecStage:
         return rows_to_table(rows)
 
 
+class CascadeStage:
+    """Fused det -> cls -> rec actor-pool stage (the default physical
+    plan).  The reference's stage boundaries are per-doc function calls
+    inside one process (SURVEY.md §3.1 'all the boundaries are ours to
+    draw'); fusing them into one Ray stage means crop payloads NEVER
+    enter the object store — only text/span rows leave the actor — while
+    cls/rec still batch ACROSS the documents of the batch (M16/A1
+    micro-batching is batch-composition-invariant, tested in
+    tests/test_cascade.py::test_batch_composition_invariant).
+
+    The split stages (DetStage/ClsStage/RecStage) remain available for
+    pipelines that need independent per-stage scaling (e.g. a GPU rec
+    pool); `PipelineConfig.Ray.fuse_cascade` picks the plan."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.registry = ModelRegistry()
+        self.detector = TextDetector(self.cfg.Det, self.registry)
+        self.classifier = TextClassifier(self.cfg.Cls, self.registry)
+        self.recognizer = TextRecognizer(self.cfg.Rec, self.registry)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.cfg.Global
+        out: list[dict] = []
+        # per-doc det + crop fan-out, crops held in actor memory
+        pending: list[tuple[int, int, "np.ndarray", list[int], str]] = []
+        # (out_doc_idx, region_idx, crop, box, lang)
+        for row in batch.to_pylist():
+            if row["route"] != "bitmap" or row["err"] is not None:
+                out.append(row)
+                continue
+            t0 = time.perf_counter()
+            try:
+                img = decode_rbmp(row["payload"])
+            except ValueError as exc:
+                row.update(route="error", err=str(exc), payload=None)
+                out.append(row)
+                continue
+            h, w = img.shape
+            if not g.use_det or use_det_bypass(h, w, g.min_height, g.width_height_ratio):
+                boxes = [whole_image_box(h, w)]
+            else:
+                det_boxes = self.detector(img, row["lang"])
+                boxes = sorted_boxes(det_boxes) if len(det_boxes) else []
+            row.update(
+                payload=None,
+                n_regions=len(boxes),
+                det_elapse=time.perf_counter() - t0,
+            )
+            doc_idx = len(out)
+            out.append(row)
+            for ridx, box in enumerate(boxes):
+                crop = crop_box(img, np.asarray(box))
+                pending.append(
+                    (doc_idx, ridx, crop,
+                     [int(v) for v in np.asarray(box).reshape(-1)],
+                     row["lang"] or "en")
+                )
+        # cls + rec across all docs in the batch, grouped by lang (J3)
+        by_lang: dict[str, list[int]] = {}
+        for i, item in enumerate(pending):
+            by_lang.setdefault(item[4], []).append(i)
+        rec_results: dict[int, tuple[str, float, float, float]] = {}
+        for lang, idxs in by_lang.items():
+            crops = [pending[i][2] for i in idxs]
+            cls_elapse = 0.0
+            if g.use_cls:
+                t1 = time.perf_counter()
+                crops, _cls_res = self.classifier(crops, lang)
+                cls_elapse = (time.perf_counter() - t1) / max(1, len(idxs))
+            t2 = time.perf_counter()
+            decoded = self.recognizer(crops, lang)
+            rec_elapse = (time.perf_counter() - t2) / max(1, len(idxs))
+            for i, (text, score) in zip(idxs, decoded):
+                rec_results[i] = (text, score, cls_elapse, rec_elapse)
+        for i, (doc_idx, ridx, _crop, box, _lang) in enumerate(pending):
+            text, score, cls_el, rec_el = rec_results[i]
+            region = _blank_row()
+            region.update(
+                url=out[doc_idx]["url"],
+                lang=out[doc_idx]["lang"],
+                route="bitmap",
+                is_region=True,
+                region_idx=ridx,
+                box=box,
+                rec_text=text,
+                rec_score=score,
+                cls_elapse=cls_el if g.use_cls else None,
+                rec_elapse=rec_el,
+            )
+            out.append(region)
+        return rows_to_table(out)
+
+
 def assemble_group(group: pa.Table, text_score: float = 0.5) -> pa.Table:
     """J1/M15/A5/A6 per url: positional join of boxes with rec results
     (already keyed by region_idx), score filter, ordered '\\n' concat."""
-    rows = [
-        {name: group.column(name)[i].as_py() for name in group.schema.names}
-        for i in range(group.num_rows)
-    ]
+    rows = group.to_pylist()
     docs = [r for r in rows if not r["is_region"]]
     regions = sorted(
         (r for r in rows if r["is_region"]), key=lambda r: r["region_idx"]

@@ -152,21 +152,22 @@ class RecModel:
         # non-space glyph, so the tight band is exactly GLYPH_H tall and
         # starts/ends on glyph boundaries; degenerate crops fall back to
         # a padded/cropped canvas (deterministic either way).
-        canvas = np.zeros((GLYPH_H, bw), dtype=np.float32)
-        canvas[:min(GLYPH_H, bh), :] = band[:min(GLYPH_H, bh), :]
         n_chars = (bw - 1) // GLYPH_ADVANCE + 1
+        canvas = np.zeros((GLYPH_H, n_chars * GLYPH_ADVANCE), dtype=np.float32)
+        canvas[:min(GLYPH_H, bh), :bw] = band[:min(GLYPH_H, bh), :]
+        # all windows at the glyph stride in one strided view, matched
+        # against every template in one vectorized op
+        isz = canvas.itemsize
+        windows = np.lib.stride_tricks.as_strided(
+            canvas,
+            shape=(n_chars, GLYPH_H, GLYPH_W),
+            strides=(GLYPH_ADVANCE * isz, canvas.shape[1] * isz, isz),
+        )
+        diff = np.abs(windows[:, None, :, :] - TEMPLATES[None, :, :, :])
+        match = 1.0 - diff.sum(axis=(2, 3)) / float(GLYPH_H * GLYPH_W)  # [n, C-1]
         logits = np.zeros((n_chars, N_CLASSES), dtype=np.float32)
-        area = float(GLYPH_H * GLYPH_W)
-        for k in range(n_chars):
-            x0 = k * GLYPH_ADVANCE
-            win = np.zeros((GLYPH_H, GLYPH_W), dtype=np.float32)
-            seg = canvas[:, x0:x0 + GLYPH_W]
-            win[:, :seg.shape[1]] = seg
-            # match fraction per template: 1 - normalized hamming distance
-            diff = np.abs(TEMPLATES - win[None, :, :]).reshape(TEMPLATES.shape[0], -1)
-            match = 1.0 - diff.sum(axis=1) / area
-            logits[k, 0] = 0.3             # blank baseline at char timesteps
-            logits[k, 1:] = match          # template j -> dict index j+1
+        logits[:, 0] = 0.3                 # blank baseline at char timesteps
+        logits[:, 1:] = match              # template j -> dict index j+1
         return logits
 
 

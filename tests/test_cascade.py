@@ -173,6 +173,18 @@ class TestOracleE2E:
         row = ox.extract_one("u", None, payload, "en")
         assert row["extracted_text"] is None
 
+    def test_oversize_payload_guard(self):
+        """Skew guard: payloads above max_payload_bytes become typed
+        error rows (SURVEY.md §4), same in pipeline and oracle."""
+        cfg = PipelineConfig().with_overrides(max_payload_bytes=1024)
+        ox = OracleExtractor(cfg)
+        payload = glyphs.encode_rbmp(page_of(["abc def ghi jkl mno pqr"]))
+        assert len(payload) > 1024
+        row = ox.extract_one("u", None, payload, "en")
+        assert row["route"] == "error"
+        assert "max_payload_bytes" in row["err"]
+        assert row["extracted_text"] is None
+
     def test_charset_stress(self, oracle):
         rng = np.random.default_rng(3)
         ks = glyphs.KEYS

@@ -1,0 +1,95 @@
+"""S6/S7 writers, base64 ingest adapter, A4 most-angle, CLI e2e."""
+
+import base64
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rapidocr_ray import glyphs
+from rapidocr_ray.sources.writers import (
+    decode_data_url,
+    render_boxes,
+    result_to_json,
+)
+
+
+def test_render_boxes_burns_outline():
+    img = np.zeros((20, 30), dtype=np.uint8)
+    out = render_boxes(img, [[[2, 3], [10, 3], [10, 8], [2, 8]]])
+    assert out[3, 2] == 128 and out[8, 10] == 128
+    assert out[5, 5] == 0  # interior untouched
+    assert img.sum() == 0  # original untouched
+
+
+def test_result_to_json_numpy_aware():
+    s = result_to_json(
+        {"box": np.array([[1, 2]]), "score": np.float32(0.5), "n": np.int64(3), "b": b"\x01"}
+    )
+    d = json.loads(s)
+    assert d["box"] == [[1, 2]] and d["score"] == 0.5 and d["n"] == 3
+    assert base64.b64decode(d["b"]) == b"\x01"
+
+
+def test_decode_data_url():
+    payload = b"hello bytes"
+    url = "data:image/png;base64," + base64.b64encode(payload).decode()
+    assert decode_data_url(url) == payload
+    assert decode_data_url(base64.b64encode(payload).decode()) == payload
+
+
+class TestMostAngle:
+    """A4 (C++-only mostAngle, AngleNet.cpp:113-130)."""
+
+    def test_vote(self):
+        from rapidocr_ray.stages.cascade import most_angle
+
+        assert most_angle([("180", 0.9), ("180", 0.9), ("0", 0.9)]) == "180"
+        assert most_angle([("180", 0.9), ("0", 0.9)]) == "0"  # 0.5 not > 0.5
+        assert most_angle([]) == "0"
+
+    def test_apply_rotates_all_or_none(self):
+        from rapidocr_ray.config import PipelineConfig
+        from rapidocr_ray.stages.cascade import TextClassifier, apply_most_angle
+
+        cls = TextClassifier(PipelineConfig().Cls)
+        up = glyphs.render_line("hello world")
+        down = up[::-1, ::-1].copy()
+        crops = [down, down, up]  # majority rotated
+        res = cls.classify_only(crops)
+        fixed = apply_most_angle(crops, res)
+        # every crop rotated (even the upright one) — C++ semantics
+        assert (fixed[0] == up).all()
+        assert (fixed[2] == up[::-1, ::-1]).all()
+
+
+def test_cli_end_to_end(ray_session, tmp_path):
+    from rapidocr_ray.cli import main
+    from rapidocr_ray.sources.pages import synth_pages, write_pages_parquet
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    write_pages_parquet(synth_pages(40, seed=42), str(in_dir), n_files=2)
+    rc = main(
+        [
+            "--input", str(in_dir / "*.parquet"),
+            "--output", str(out_dir),
+            "--set", "text_score=0.5",
+            "--set", "det_box_thresh=0.5",
+        ]
+    )
+    assert rc == 0
+    assert os.path.isfile(out_dir / "part-00000" / "manifest.json")
+    assert os.path.isfile(out_dir / "part-00001" / "data.parquet")
+    # resume run skips both
+    rc2 = main(["--input", str(in_dir / "*.parquet"), "--output", str(out_dir)])
+    assert rc2 == 0
+
+
+def test_cli_override_parsing():
+    from rapidocr_ray.cli import parse_overrides
+
+    out = parse_overrides(["det_thresh=0.4", "use_cls=false", "html_join_sep=\" \""])
+    assert out["det_thresh"] == 0.4
+    assert out["use_cls"] is False
