@@ -70,11 +70,15 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
 def normalize_chw(img: np.ndarray) -> np.ndarray:
-    """gray uint8 HW -> float32 CHW normalized, C=3."""
+    """gray uint8 HW -> float32 CHW normalized, C=3.  Written directly
+    in CHW (no HWC intermediate / transpose copy); per-channel values
+    identical to the reference formula (img*scale - mean)/std."""
     f = img.astype(np.float32) * (1.0 / 255.0)
-    hwc = np.repeat(f[:, :, None], 3, axis=2)
-    hwc = (hwc - IMAGENET_MEAN) / IMAGENET_STD
-    return hwc.transpose(2, 0, 1)
+    out = np.empty((3, img.shape[0], img.shape[1]), dtype=np.float32)
+    for c in range(3):
+        np.subtract(f, IMAGENET_MEAN[c], out=out[c])
+        np.divide(out[c], IMAGENET_STD[c], out=out[c])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -109,43 +113,52 @@ def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
             else:
                 parent[ra] = rb
 
-    # row runs
-    runs_by_row: list[list[tuple[int, int, int]]] = []  # (x0, x1, label)
-    prev_runs: list[tuple[int, int, int]] = []
-    for y in range(h):
-        row = bitmap[y]
-        runs: list[tuple[int, int, int]] = []
-        xs = np.flatnonzero(row)
-        if xs.size:
-            # split into consecutive runs
-            breaks = np.flatnonzero(np.diff(xs) > 1)
-            starts = np.concatenate([[0], breaks + 1])
-            ends = np.concatenate([breaks, [xs.size - 1]])
-            for s, e in zip(starts, ends):
-                x0, x1 = int(xs[s]), int(xs[e])
-                label = len(parent)
-                parent.append(label)
-                # 8-connectivity: overlap with [x0-1, x1+1] of previous row
-                for px0, px1, plab in prev_runs:
-                    if px0 <= x1 + 1 and px1 >= x0 - 1:
-                        union(label, plab)
-                runs.append((x0, x1, label))
-        runs_by_row.append(runs)
-        prev_runs = runs
+    # vectorized run extraction: all (row, x0, x1) runs in one pass —
+    # the python work below is proportional to the RUN count (text
+    # regions), not the pixel count
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = bitmap
+    d = np.diff(padded, axis=1)
+    sy, sx = np.nonzero(d == 1)    # run starts, row-major order
+    ey, ex = np.nonzero(d == -1)   # run ends (exclusive), same order
+    all_runs = list(zip(sy.tolist(), sx.tolist(), (ex - 1).tolist()))
+
+    runs_with_labels: list[tuple[int, int, int, int]] = []  # (y, x0, x1, label)
+    prev_runs: list[tuple[int, int, int]] = []  # (x0, x1, label) of prev row
+    prev_y = -2
+    i = 0
+    n_runs = len(all_runs)
+    while i < n_runs:
+        y = all_runs[i][0]
+        row_runs: list[tuple[int, int, int]] = []
+        if y != prev_y + 1:
+            prev_runs = []
+        while i < n_runs and all_runs[i][0] == y:
+            _, x0, x1 = all_runs[i]
+            label = len(parent)
+            parent.append(label)
+            # 8-connectivity: overlap with [x0-1, x1+1] of previous row
+            for px0, px1, plab in prev_runs:
+                if px0 <= x1 + 1 and px1 >= x0 - 1:
+                    union(label, plab)
+            row_runs.append((x0, x1, label))
+            runs_with_labels.append((y, x0, x1, label))
+            i += 1
+        prev_runs = row_runs
+        prev_y = y
 
     boxes: dict[int, list[int]] = {}
     order: list[int] = []
-    for y, runs in enumerate(runs_by_row):
-        for x0, x1, label in runs:
-            root = find(label)
-            if root not in boxes:
-                boxes[root] = [x0, y, x1, y]
-                order.append(root)
-            else:
-                b = boxes[root]
-                b[0] = min(b[0], x0)
-                b[2] = max(b[2], x1)
-                b[3] = y  # rows are scanned top-down
+    for y, x0, x1, label in runs_with_labels:
+        root = find(label)
+        if root not in boxes:
+            boxes[root] = [x0, y, x1, y]
+            order.append(root)
+        else:
+            b = boxes[root]
+            b[0] = min(b[0], x0)
+            b[2] = max(b[2], x1)
+            b[3] = y  # rows are scanned top-down
     return [tuple(boxes[r]) for r in order]
 
 

@@ -34,30 +34,94 @@ from rapidocr_ray.stages.ray_stages import (
     DecodeRouteExtract,
     DetStage,
     RecStage,
+    add_url_bucket,
+    assemble_bucket,
     assemble_group,
+    dedup_bucket,
     dedup_latest_group,
 )
 
 
-def dedup_by_url(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """North-rule exact dedup: hash-partition on url, latest warc_ts
-    wins (groupby-url before extraction, SURVEY.md §2.6)."""
+def dedup_by_url(
+    ds: "ray.data.Dataset",
+    strict: bool = False,
+    broadcast_limit: int = 20_000_000,
+) -> "ray.data.Dataset":
+    """North-rule exact dedup: latest warc_ts wins per url (groupby-url
+    before extraction, SURVEY.md §2.6).
+
+    Default plan is the two-pass winners-broadcast: a column-pruned
+    pass aggregates max(warc_ts) per url (tiny shuffle: two narrow
+    columns, with parquet projection pushdown the payload bytes are
+    never read), the winner map is ray.put ONCE, and the main pass
+    filters rows to the winners inside map_batches — the multi-KB/MB
+    payload column never enters a shuffle.  Precondition: (url,
+    warc_ts) pairs are unique (WARC capture timestamps are); with ties
+    both captures would survive, so pass ``strict=True`` to use the
+    hash-bucketed groupby plan (payload shuffle, exact under ties).
+
+    At cluster scale the broadcast is valid while distinct urls fit one
+    node's heap (~20M urls / few GB); beyond that, shard inputs by url
+    (the resumable runner's layout) so dedup runs per shard, or use
+    strict=True."""
     ensure_worker_importable()
-    return ds.groupby("url").map_groups(dedup_latest_group, batch_format="pyarrow")
+    if strict:
+        return (
+            ds.map_batches(add_url_bucket, batch_format="pyarrow")
+            .groupby("url_bucket")
+            .map_groups(dedup_bucket, batch_format="pyarrow")
+            .drop_columns(["url_bucket"])
+        )
+    import ray as _ray
+    from ray.data.aggregate import Max
+
+    winners_ds = (
+        ds.select_columns(["url", "warc_ts"])
+        .groupby("url")
+        .aggregate(Max("warc_ts", alias_name="max_ts"))
+    )
+    winners = {}
+    n = 0
+    for batch in winners_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += batch.num_rows
+        if n > broadcast_limit:
+            raise ValueError(
+                f"dedup_by_url broadcast path saw > {broadcast_limit} distinct "
+                "urls; shard the input by url or use strict=True"
+            )
+        winners.update(
+            zip(batch.column("url").to_pylist(), batch.column("max_ts").to_pylist())
+        )
+    ref = _ray.put(winners)
+
+    def keep_winners(batch):
+        import pyarrow as pa
+
+        m = _ray.get(ref)
+        mask = [
+            m.get(u) == t
+            for u, t in zip(
+                batch.column("url").to_pylist(), batch.column("warc_ts").to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
-def _target_blocks() -> int:
+def _target_blocks(factor: int = 2) -> int:
     """Enough blocks that every stage can use the whole pool: blocks
     are the unit of task parallelism in Ray Data (one input block = one
     map task), so a single-block source (from_arrow, a groupby output
-    on small data) would serialize the cascade."""
+    on small data) would serialize the cascade.  A higher factor
+    smooths stragglers on skewed per-doc costs."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover — session not up yet
         cpus = 8
-    return max(8, cpus * 2)
+    return max(8, cpus * factor)
 
 
 def build_extract_pipeline(
@@ -77,6 +141,9 @@ def build_extract_pipeline(
     ds = ds.repartition(_target_blocks())
     if dedup:
         ds = dedup_by_url(ds)
+        # the sort/groupby emits fewer, uneven blocks; re-split so the
+        # cascade pool gets ~4 tasks per actor (straggler smoothing)
+        ds = ds.repartition(_target_blocks(4))
     ds = ds.map_batches(
         DecodeRouteExtract(cfg),
         batch_format="pyarrow",
@@ -128,8 +195,9 @@ def build_extract_pipeline(
             num_cpus=1,
         )
     text_score = cfg.Global.text_score
-    ds = ds.groupby("url").map_groups(
-        lambda g: assemble_group(g, text_score=text_score), batch_format="pyarrow"
+    ds = ds.map_batches(add_url_bucket, batch_format="pyarrow")
+    ds = ds.groupby("url_bucket").map_groups(
+        lambda g: assemble_bucket(g, text_score=text_score), batch_format="pyarrow"
     )
     return ds
 

@@ -573,6 +573,40 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_dup_groups(sf_dir: str):
+    """Connected components over exact-jaccard near-dup pairs: one
+    (doc_id, group_id=min reachable doc) row per clustered doc."""
+    from rapidocr_ray.stages.dedup import dup_groups, ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5)
+    return dup_groups(pairs)
+
+
+SQL_DUP_GROUPS = """
+WITH RECURSIVE
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+       WHERE len(w) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = inter.doc_a
+          JOIN sizes sb ON sb.doc_id = inter.doc_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, r) AS (
+    SELECT doc, doc FROM nodes
+    UNION
+    SELECT reach.doc, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+SELECT doc AS doc_id, MIN(r) AS group_id FROM reach GROUP BY doc
+"""
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     """Approximate near-dup candidates (rows-only: probabilistic)."""
     from rapidocr_ray.stages.dedup import minhash_lsh_pairs
@@ -713,6 +747,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprints": q_fingerprints,
     "rolling_fingerprints": q_rolling_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "dup_groups": q_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_signatures": q_simhash_signatures,
@@ -740,6 +775,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dup_groups": SQL_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,

@@ -310,6 +310,103 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5, max_shingle_df: 
 
 
 # ---------------------------------------------------------------------------
+# duplicate groups: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dup_groups(pairs_ds, max_iters: int = 10):
+    """(doc_a, doc_b) pair Dataset -> (doc_id, group_id) where group_id
+    is the MIN doc id reachable through the pair graph (connected
+    components by iterative min-label propagation — ray_guide LSH
+    pattern).
+
+    Each round is one groupby shuffle over (node, candidate_label)
+    rows; rounds needed = graph diameter (near-dup clusters are
+    shallow).  Runs a fixed max_iters bound; deterministic."""
+    import ray
+
+    ensure_worker_importable()
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_a").to_pylist(), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b").to_pylist(), dtype=np.int64)
+        # emit (node, label) for both endpoints, label = min endpoint
+        lab = np.minimum(a, b)
+        return pa.table(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "label": np.concatenate([lab, lab]),
+            },
+            schema=pa.schema([("doc_id", pa.int64()), ("label", pa.int64())]),
+        )
+
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": pc_cast_int64(t.column("doc_a")),
+                "doc_b": pc_cast_int64(t.column("doc_b")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # small pair set; reused every round
+
+    labels = (
+        edges.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("label", alias_name="label"))
+    ).materialize()
+
+    for _ in range(max_iters):
+        lmap = {
+            r["doc_id"]: r["label"] for r in labels.take_all()
+        }  # labels are one row per doc in the pair graph — small by
+        # construction (dup clusters), broadcastable; at larger scale
+        # swap for a bucketed join on doc_id
+        ref = ray.put(lmap)
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            a = batch.column("doc_a").to_pylist()
+            b = batch.column("doc_b").to_pylist()
+            out_doc, out_lab = [], []
+            for x, y in zip(a, b):
+                lx, ly = m[x], m[y]
+                low = min(lx, ly)
+                out_doc.extend((x, y))
+                out_lab.extend((low, low))
+            return pa.table(
+                {"doc_id": out_doc, "label": out_lab},
+                schema=pa.schema([("doc_id", pa.int64()), ("label", pa.int64())]),
+            )
+
+        new_labels = (
+            edges.map_batches(propagate, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        new_map = {r["doc_id"]: r["label"] for r in new_labels.take_all()}
+        if new_map == lmap:
+            break
+        labels = new_labels
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "group_id": batch.column("label")},
+            schema=pa.schema([("doc_id", pa.int64()), ("group_id", pa.int64())]),
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def pc_cast_int64(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (brute-force baseline)
 # ---------------------------------------------------------------------------
 

@@ -405,8 +405,104 @@ def assemble_group(group: pa.Table, text_score: float = 0.5) -> pa.Table:
 
 def dedup_latest_group(group: pa.Table) -> pa.Table:
     """Exact dedup by url, latest capture wins (north rule; tie-break by
-    warc_ts max — SURVEY.md §2.6)."""
+    warc_ts max — SURVEY.md §2.6).  Per-url variant (one group per url)."""
     idx = pc.sort_indices(
         group, sort_keys=[("warc_ts", "descending"), ("url", "ascending")]
     )
     return group.take(idx[:1])
+
+
+N_URL_BUCKETS = 256  # bounded shuffle fan-in for url-keyed groupbys
+
+
+def add_url_bucket(batch: pa.Table) -> pa.Table:
+    """Stable url hash bucket — the explicit partition key for the
+    dedup and assembly shuffles (ONE key reused across both,
+    SURVEY.md §7.3)."""
+    import hashlib
+
+    buckets = [
+        int.from_bytes(hashlib.blake2b(u.encode(), digest_size=4).digest(), "little")
+        % N_URL_BUCKETS
+        for u in batch.column("url").to_pylist()
+    ]
+    return batch.append_column("url_bucket", pa.array(buckets, type=pa.int32()))
+
+
+def dedup_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized latest-capture-wins over ONE url bucket: arrow-native
+    sort (url asc, warc_ts desc) + keep-first-per-url via a boundary
+    mask — no per-url python calls (a per-url map_groups pays ~1 ms of
+    framework overhead per url) and no pandas copy of the multi-KB/MB
+    payload bytes."""
+    idx = pc.sort_indices(
+        group, sort_keys=[("url", "ascending"), ("warc_ts", "descending")]
+    )
+    s = group.take(idx)
+    urls = s.column("url").combine_chunks()
+    n = len(urls)
+    if n == 0:
+        return s
+    first = pa.concat_arrays(
+        [
+            pa.array([True]),
+            pc.not_equal(urls.slice(1, n - 1), urls.slice(0, n - 1)),
+        ]
+    )
+    return s.filter(first)
+
+
+def assemble_bucket(group: pa.Table, text_score: float = 0.5) -> pa.Table:
+    """Assembly over ONE url bucket: J1/M15/A5/A6 for every url in the
+    bucket.  Sorting and splitting are vectorized; the per-url join is
+    a tight loop over numpy slices."""
+    import numpy as np
+
+    df = group.to_pandas()
+    df = df.sort_values(
+        ["url", "is_region", "region_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    urls = df["url"].to_numpy()
+    bounds = np.flatnonzero(np.concatenate([[True], urls[1:] != urls[:-1]]))
+    bounds = np.append(bounds, len(urls))
+    out_rows = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        sub = df.iloc[s:e]
+        doc = sub[~sub.is_region.fillna(False)]
+        regions = sub[sub.is_region.fillna(False)]
+        base = doc.iloc[0] if len(doc) else regions.iloc[0]
+        out = {
+            "url": base["url"],
+            "warc_ts": None if len(doc) == 0 else doc.iloc[0]["warc_ts"],
+            "lang": base["lang"],
+            "route": base["route"],
+            "err": base["err"],
+            "extracted_text": None if len(doc) == 0 else doc.iloc[0]["extracted_text"],
+            "n_spans": 0,
+            "spans": "[]",
+            "det_elapse": None if len(doc) == 0 else doc.iloc[0]["det_elapse"],
+            "cls_elapse": None,
+            "rec_elapse": None,
+        }
+        if len(regions):
+            scores = regions["rec_score"].fillna(0.0)
+            kept = regions[scores >= text_score]
+            if len(kept):
+                out["extracted_text"] = "\n".join(kept["rec_text"])  # A5
+                out["n_spans"] = int(len(kept))
+                out["spans"] = json.dumps(
+                    [
+                        {"box": [int(v) for v in b], "text": t, "score": float(sc)}
+                        for b, t, sc in zip(
+                            kept["box"], kept["rec_text"], kept["rec_score"]
+                        )
+                    ]
+                )
+            else:
+                out["extracted_text"] = None  # M18
+            cls_vals = regions["cls_elapse"].dropna()
+            rec_vals = regions["rec_elapse"].dropna()
+            out["cls_elapse"] = float(cls_vals.sum()) if len(cls_vals) else None
+            out["rec_elapse"] = float(rec_vals.sum()) if len(rec_vals) else None
+        out_rows.append(out)
+    return rows_to_table(out_rows, schema=FINAL_SCHEMA)

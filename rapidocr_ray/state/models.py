@@ -43,21 +43,24 @@ DET_PEAK = 0.9    # prob value inside text regions
 
 
 def _max_filter_1d(x: np.ndarray, reach: int, axis: int) -> np.ndarray:
+    """Centered 1-D max filter (window 2*reach+1), zero-padded edges.
+    Successive-doubling dilation: a dilation by s applied to a map
+    already dilated by c yields dilation by c+s, so reach r needs
+    O(log r) full-array max passes instead of 2r shifted copies."""
     out = x.copy()
-    for s in range(1, reach + 1):
-        for sign in (1, -1):
-            shifted = np.roll(x, sign * s, axis=axis)
-            if axis == 0:
-                if sign > 0:
-                    shifted[:s, :] = 0
-                else:
-                    shifted[-s:, :] = 0
-            else:
-                if sign > 0:
-                    shifted[:, :s] = 0
-                else:
-                    shifted[:, -s:] = 0
-            np.maximum(out, shifted, out=out)
+    covered = 0
+    step = 1
+    while covered < reach:
+        s = min(step, reach - covered)
+        prev = out.copy()
+        if axis == 1:
+            np.maximum(out[:, :-s], prev[:, s:], out=out[:, :-s])
+            np.maximum(out[:, s:], prev[:, :-s], out=out[:, s:])
+        else:
+            np.maximum(out[:-s, :], prev[s:, :], out=out[:-s, :])
+            np.maximum(out[s:, :], prev[:-s, :], out=out[s:, :])
+        covered += s
+        step = covered  # doubling: next dilation can be as large as covered
     return out
 
 
