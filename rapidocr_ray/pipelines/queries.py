@@ -420,6 +420,174 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def _bucket_by(ds, col: str, n_buckets: int = 64):
+    """Add a bounded shuffle key: hash-bucket of an int column."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(col))
+        return batch.append_column(
+            "bucket", pa.array((keys * 2654435761 % 2**32) % n_buckets, type=pa.int64())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def q_topk_per_group(sf_dir: str):
+    """Grouped top-k: top-3 orders per customer by (total_cents desc,
+    orderkey asc) — bucketed shuffle + vectorized within-bucket."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_cents": pa.array(
+                    _cents(np.asarray(batch.column("o_totalprice"))), type=pa.int64()
+                ),
+            }
+        )
+
+    ds = _bucket_by(ds.map_batches(cents, batch_format="pyarrow"), "o_custkey")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["o_custkey", "total_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("o_custkey", sort=False).head(3)
+        return out[["o_custkey", "o_orderkey", "total_cents"]]
+
+    return ds.groupby("bucket").map_groups(topk, batch_format="pandas")
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, total_cents FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY FLOOR(o_totalprice*100 + 0.5) DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min starts a new session) per user —
+    the streaming-shaped workload pattern: partition by key, sort by ts
+    within partition, window inside map_groups."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    ds = _bucket_by(ds, "user_id")
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g.user_id != g.user_id.shift()
+        gap = g.ts - g.ts.shift()
+        new_session = new_user | (gap > pd.Timedelta(minutes=30))
+        g = g.assign(session_id=new_session.groupby(g.user_id).cumsum().astype(np.int64))
+        agg = g.groupby(["user_id", "session_id"], sort=False).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        return agg.reset_index()
+
+    return ds.groupby("bucket").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (ray_guide pattern): for every purchase event, the
+    most recent strictly-earlier click by the same user, via
+    pd.merge_asof inside per-bucket groups."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    ds = _bucket_by(ds, "user_id")
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        purchases = group[group.event_type == "purchase"].sort_values("ts", kind="mergesort")
+        clicks = group[group.event_type == "click"].sort_values("ts", kind="mergesort")
+        if purchases.empty:
+            return pd.DataFrame(columns=["purchase_id", "last_click_ts"])
+        m = pd.merge_asof(
+            purchases[["event_id", "ts", "user_id"]],
+            clicks[["ts", "user_id"]].rename(columns={"ts": "last_click_ts"}),
+            left_on="ts",
+            right_on="last_click_ts",
+            by="user_id",
+            allow_exact_matches=False,
+        )
+        out = m.rename(columns={"event_id": "purchase_id"})[["purchase_id", "last_click_ts"]]
+        return out
+
+    return ds.groupby("bucket").map_groups(asof, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id AS purchase_id,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts)
+           AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+def q_user_distinct_types(sf_dir: str):
+    """Exact grouped distinct count via per-batch partial set union
+    (the mergeable-sketch shape with an exact set as the 'sketch')."""
+    from ray.data.aggregate import AggregateFn
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("user_id")["event_type"].agg(lambda s: sorted(set(s)))
+        return pa.table(
+            {
+                "user_id": agg.index.to_numpy(),
+                "types": agg.to_list(),
+            },
+            schema=pa.schema(
+                [("user_id", pa.int64()), ("types", pa.list_(pa.string()))]
+            ),
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        merged: set = set()
+        for lst in group["types"]:
+            merged.update(lst)
+        return pd.DataFrame(
+            [{"user_id": group.user_id.iloc[0], "n_types": np.int64(len(merged))}]
+        )
+
+    return part.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+SQL_USER_DISTINCT_TYPES = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 # ===========================================================================
 # 3. Text analysis (training-data extensions)
 # ===========================================================================
@@ -741,6 +909,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_latest_wins": q_dedup_latest_wins,
     "grouped_concat": q_grouped_concat,
     "events_window": q_events_window,
+    "topk_per_group": q_topk_per_group,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "user_distinct_types": q_user_distinct_types,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -770,6 +942,10 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_latest_wins": SQL_DEDUP_LATEST_WINS,
     "grouped_concat": SQL_GROUPED_CONCAT,
     "events_window": SQL_EVENTS_WINDOW,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "sessionize": SQL_SESSIONIZE,
+    "asof_join": SQL_ASOF_JOIN,
+    "user_distinct_types": SQL_USER_DISTINCT_TYPES,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
