@@ -153,11 +153,10 @@ def main() -> None:
 
 
 SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "/tmp/rapidocr_ray_scaling_corpus")
-# 8k docs: compute-dominated but still fits the object store without
-# spill-driven superlinear shuffle cost (32k docs measurably degrades
-# both absolute throughput and the 8->32 ratio on this box — see
-# BASELINE.md round-1 notes; revisit with spill tuning)
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "8000"))
+# large enough that cascade compute dominates the session-fixed floor
+# (the shuffle-free fused plan streams payload blocks with backpressure,
+# so there is no spill-driven degradation at this size — BASELINE.md)
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "32000"))
 
 
 def ensure_scaling_corpus() -> str:
@@ -255,11 +254,15 @@ def headline_only() -> None:
     # untimed warm-up execution: starts Ray worker processes, ships the
     # by-value module code, imports numpy in every worker — session
     # fixed costs that a steady-state cluster would have amortized
-    warm = build_extract_pipeline(ray.data.read_parquet(files[:2]), dedup=True)
+    from rapidocr_ray.pipelines.extract import read_pages as _rp
+
+    warm = build_extract_pipeline(_rp(files[:2]), dedup=True)
     for _ in warm.iter_batches(batch_format="pyarrow", batch_size=4096):
         pass
     t0 = time.perf_counter()
-    ds = build_extract_pipeline(ray.data.read_parquet(files), dedup=True)
+    from rapidocr_ray.pipelines.extract import read_pages
+
+    ds = build_extract_pipeline(read_pages(files), dedup=True)
     n = 0
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
         n += batch.num_rows

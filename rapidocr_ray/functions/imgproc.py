@@ -81,6 +81,18 @@ def normalize_chw(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def normalize_ch0(img: np.ndarray) -> np.ndarray:
+    """Channel 0 of normalize_chw as a single (H, W) float32 plane —
+    bit-identical to normalize_chw(img)[0].  The det kernel reads only
+    channel 0 (state/models.py::_ink_from_normalized), so the hot path
+    materializes one plane and broadcasts the channel dim (1/3 the
+    memory traffic); normalize_chw remains the full-tensor contract."""
+    f = img.astype(np.float32) * (1.0 / 255.0)
+    np.subtract(f, IMAGENET_MEAN[0], out=f)
+    np.divide(f, IMAGENET_STD[0], out=f)
+    return f
+
+
 # ---------------------------------------------------------------------------
 # Connected components — replaces cv2.findContours in the DBPostProcess
 # chain (M6, ch_ppocr_v3_det/utils.py:280-307).  Two-pass row-run

@@ -134,18 +134,17 @@ def build_extract_pipeline(
     cfg = cfg or PipelineConfig()
     ensure_worker_importable()
     rc = cfg.Ray
-    # split single-block sources (from_arrow, small reads) FIRST: block
-    # count is task parallelism, and the dedup sort/groupby preserves
-    # input blockiness — a 1-block input would serialize everything
-    # downstream including the per-group dedup kernels
-    ds = ds.repartition(_target_blocks())
+    # NOTE on block granularity: blocks are the unit of task dispatch,
+    # and ds.repartition() is an all-to-all BARRIER that materializes
+    # the whole input in the object store (measured: it is what made
+    # 64k-doc runs degrade superlinearly).  So this builder does NOT
+    # repartition — callers control granularity at the source, where it
+    # is free and streaming: read_parquet(override_num_blocks=...) via
+    # sources.pages.read_pages, or a sliced from_arrow via
+    # extract_pages_table.  ~2x the cascade batch size per block keeps
+    # the pool busy through the tail.
     if dedup:
         ds = dedup_by_url(ds)
-    # fine-grained blocks feed the cascade pool: blocks are the unit of
-    # actor-task dispatch, and ~2x the cascade batch size per block
-    # keeps every actor busy through the tail without drowning the
-    # scheduler in tiny tasks (12-row blocks measured 40% slower)
-    ds = ds.repartition(target_num_rows_per_block=2 * rc.batch_size_bitmap)
     ds = ds.map_batches(
         DecodeRouteExtract(cfg),
         batch_format="pyarrow",
@@ -161,10 +160,10 @@ def build_extract_pipeline(
             cpus = int(_ray.cluster_resources().get("CPU", 8))
         except Exception:  # pragma: no cover
             cpus = 8
-        # leave ~1/4 of the session for the read/decode/assembly stages
-        # so the pipeline stays pipelined (a pool that reserves every
-        # CPU serializes the stages around it)
-        pool = max(2, min(rc.cascade_concurrency, cpus - max(2, cpus // 4)))
+        # leave a slice of the session for the read tasks (decode fuses
+        # into the pool; in-actor assembly removed the downstream
+        # stages) so the pipeline stays pipelined
+        pool = max(2, min(rc.cascade_concurrency, cpus - max(2, cpus // 8)))
         ds = ds.map_batches(
             CascadeStage,
             fn_constructor_kwargs={"cfg": cfg},
@@ -173,6 +172,9 @@ def build_extract_pipeline(
             concurrency=pool,
             num_cpus=1,
         )
+        # the fused stage assembles in-actor and emits FINAL_SCHEMA rows
+        # directly: no all-to-all remains after dedup
+        return ds
     else:
         ds = ds.map_batches(
             DetStage,
@@ -208,6 +210,33 @@ def build_extract_pipeline(
 
 
 def extract_pages_table(table, cfg: PipelineConfig | None = None, dedup: bool = True):
-    """Convenience: pyarrow pages table -> final Dataset."""
-    ds = ray.data.from_arrow(table)
+    """Convenience: pyarrow pages table -> final Dataset.  The table is
+    sliced into ~2x-cascade-batch blocks driver-side (from_arrow with a
+    table list emits one block per slice) so the pipeline parallelizes
+    without a repartition barrier."""
+    cfg = cfg or PipelineConfig()
+    rows_per_block = max(1, 2 * cfg.Ray.batch_size_bitmap)
+    slices = [
+        table.slice(off, rows_per_block)
+        for off in range(0, table.num_rows, rows_per_block)
+    ] or [table]
+    ds = ray.data.from_arrow(slices)
     return build_extract_pipeline(ds, cfg=cfg, dedup=dedup)
+
+
+def read_pages(files: list[str], rows_per_block: int = 256):
+    """read_parquet with block granularity derived from file metadata:
+    override_num_blocks = total_rows / rows_per_block, so the reader
+    emits right-sized blocks natively (streaming, no barrier).
+
+    256 rows/block measured best on the det-path corpus at 32 CPUs
+    (64 -> 52.7s, 128 -> 41.3s, 256 -> 36.9s, 512 -> 43.0s): smaller
+    blocks pay per-task parquet open/decode overhead, larger ones
+    straggle on the pool tail.  Blocks can only split at parquet
+    row-group boundaries — write sources with small row groups
+    (sources.pages.write_pages_parquet row_group_size=64)."""
+    import pyarrow.parquet as pq
+
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    n_blocks = max(len(files), total // max(1, rows_per_block))
+    return ray.data.read_parquet(files, override_num_blocks=n_blocks)

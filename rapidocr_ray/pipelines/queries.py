@@ -552,8 +552,6 @@ FROM events p WHERE p.event_type = 'purchase'
 def q_user_distinct_types(sf_dir: str):
     """Exact grouped distinct count via per-batch partial set union
     (the mergeable-sketch shape with an exact set as the 'sketch')."""
-    from ray.data.aggregate import AggregateFn
-
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -165,9 +165,16 @@ def synth_pages(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def write_pages_parquet(table: pa.Table, out_dir: str, n_files: int = 4) -> list[str]:
+def write_pages_parquet(
+    table: pa.Table, out_dir: str, n_files: int = 4, row_group_size: int = 64
+) -> list[str]:
     """Write the pages table as n_files parquet shards (the unit of the
-    resumable runner's partitioning, state/manifest.py)."""
+    resumable runner's partitioning, state/manifest.py).
+
+    Small row groups matter: Ray's read_parquet can only split blocks
+    at row-group boundaries, so cascade-sized row groups let
+    override_num_blocks produce fine-grained tasks without a
+    repartition barrier (pipelines/extract.py::read_pages)."""
     import os
 
     import pyarrow.parquet as pq
@@ -181,6 +188,6 @@ def write_pages_parquet(table: pa.Table, out_dir: str, n_files: int = 4) -> list
         if shard.num_rows == 0:
             break
         path = os.path.join(out_dir, f"pages-{k:05d}.parquet")
-        pq.write_table(shard, path)
+        pq.write_table(shard, path, row_group_size=row_group_size)
         paths.append(path)
     return paths

@@ -21,6 +21,7 @@ from rapidocr_ray.functions.imgproc import (
     db_postprocess,
     det_resize,
     filter_det_boxes,
+    normalize_ch0,
     normalize_chw,
     resize_nearest,
     rotate180,
@@ -42,7 +43,10 @@ class TextDetector:
             resized, shape_info = det_resize(img, c.limit_side_len, c.limit_type)
         except ValueError:
             return np.zeros((0, 4, 2), dtype=np.int16)
-        tensor = normalize_chw(resized)[None]  # NCHW batch of 1 (text_detect.py:72)
+        # NCHW batch of 1 (text_detect.py:72); channel dim broadcast —
+        # the kernel reads channel 0 only (normalize_ch0 docstring)
+        ch0 = normalize_ch0(resized)
+        tensor = np.broadcast_to(ch0[None, None], (1, 3) + ch0.shape)
         model = self.registry.for_lang("det", lang)
         pred = model.infer(tensor)[0, 0]
         boxes, _scores = db_postprocess(
@@ -117,10 +121,13 @@ class TextClassifier:
         return results
 
 
-def rec_resize_norm(img: np.ndarray, max_wh_ratio: float, shape: tuple = (3, 48, 320)) -> np.ndarray:
-    """M13 (ch_ppocr_v3_rec/text_recognize.py:79-101): per-micro-batch
-    dynamic width int(imgH * max_wh_ratio); keep-aspect resize to h=imgH;
-    normalize +/-0.5; zero-pad right.
+def rec_resize_norm_ch0(img: np.ndarray, max_wh_ratio: float, shape: tuple = (3, 48, 320)) -> np.ndarray:
+    """Single-channel plane of M13
+    (ch_ppocr_v3_rec/text_recognize.py:79-101): per-micro-batch dynamic
+    width int(imgH * max_wh_ratio); keep-aspect resize to h=imgH;
+    normalize +/-0.5; zero-pad right.  All three channels of the M13
+    tensor are identical, so the hot path materializes one plane and
+    broadcasts the channel dim (rec_resize_norm gives the full tensor).
 
     Rectification pre-step (our stand-in for DBNet's shrink/unclip text
     core, SURVEY.md §7.0): tight-crop to the ink bounding box before
@@ -134,9 +141,15 @@ def rec_resize_norm(img: np.ndarray, max_wh_ratio: float, shape: tuple = (3, 48,
     resized = resize_nearest(band, imgH, resized_w).astype(np.float32)
     resized = resized / 255.0
     resized = (resized - 0.5) / 0.5
-    out = np.zeros((3, imgH, imgW), dtype=np.float32)  # zero pad, as text_recognize.py:98
-    out[:, :, :resized_w] = resized[None, :, :]
+    out = np.zeros((imgH, imgW), dtype=np.float32)  # zero pad, as text_recognize.py:98
+    out[:, :resized_w] = resized
     return out
+
+
+def rec_resize_norm(img: np.ndarray, max_wh_ratio: float, shape: tuple = (3, 48, 320)) -> np.ndarray:
+    """M13 full-tensor form: (3, imgH, imgW) float32; channels equal."""
+    plane = rec_resize_norm_ch0(img, max_wh_ratio, shape)
+    return np.broadcast_to(plane[None], (3,) + plane.shape).copy()
 
 
 def tight_ink_crop(img: np.ndarray) -> np.ndarray:
@@ -203,10 +216,14 @@ class TextRecognizer:
             max_wh_ratio = imgW / float(imgH)
             for i in batch_idx:
                 max_wh_ratio = max(max_wh_ratio, ratios[i])
-            tensors = np.stack([
-                rec_resize_norm(img_list[i], max_wh_ratio, c.rec_img_shape)
+            planes = np.stack([
+                rec_resize_norm_ch0(img_list[i], max_wh_ratio, c.rec_img_shape)
                 for i in batch_idx
             ])
+            # channel dim broadcast: the CTC kernel reads channel 0 only
+            tensors = np.broadcast_to(
+                planes[:, None], (planes.shape[0], 3) + planes.shape[1:]
+            )
             preds = model.infer(tensors)
             decoded = ctc_greedy_decode(preds)  # M14
             for rno, i in enumerate(batch_idx):

@@ -276,7 +276,14 @@ class CascadeStage:
 
     The split stages (DetStage/ClsStage/RecStage) remain available for
     pipelines that need independent per-stage scaling (e.g. a GPU rec
-    pool); `PipelineConfig.Ray.fuse_cascade` picks the plan."""
+    pool); `PipelineConfig.Ray.fuse_cascade` picks the plan.
+
+    Because every region of a document is produced and consumed inside
+    ONE actor call, the fused stage also performs the per-document
+    assembly (J1/M15/A5/A6) and emits FINAL_SCHEMA rows directly — the
+    fused pipeline therefore has NO all-to-all operation after dedup
+    (the unfused plan still needs the groupby-url assembly, since its
+    region rows cross stage boundaries)."""
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
@@ -287,20 +294,33 @@ class CascadeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.cfg.Global
-        out: list[dict] = []
+        docs: list[dict] = []
         # per-doc det + crop fan-out, crops held in actor memory
         pending: list[tuple[int, int, "np.ndarray", list[int], str]] = []
-        # (out_doc_idx, region_idx, crop, box, lang)
+        # (doc_idx, region_idx, crop, box, lang)
         for row in batch.to_pylist():
+            final = {
+                "url": row["url"],
+                "warc_ts": row["warc_ts"],
+                "lang": row["lang"],
+                "route": row["route"],
+                "err": row["err"],
+                "extracted_text": row["extracted_text"],
+                "n_spans": 0,
+                "spans": "[]",
+                "det_elapse": None,
+                "cls_elapse": None,
+                "rec_elapse": None,
+            }
             if row["route"] != "bitmap" or row["err"] is not None:
-                out.append(row)
+                docs.append(final)
                 continue
             t0 = time.perf_counter()
             try:
                 img = decode_rbmp(row["payload"])
             except ValueError as exc:
-                row.update(route="error", err=str(exc), payload=None)
-                out.append(row)
+                final.update(route="error", err=str(exc))
+                docs.append(final)
                 continue
             h, w = img.shape
             if not g.use_det or use_det_bypass(h, w, g.min_height, g.width_height_ratio):
@@ -308,13 +328,9 @@ class CascadeStage:
             else:
                 det_boxes = self.detector(img, row["lang"])
                 boxes = sorted_boxes(det_boxes) if len(det_boxes) else []
-            row.update(
-                payload=None,
-                n_regions=len(boxes),
-                det_elapse=time.perf_counter() - t0,
-            )
-            doc_idx = len(out)
-            out.append(row)
+            final["det_elapse"] = time.perf_counter() - t0
+            doc_idx = len(docs)
+            docs.append(final)
             for ridx, box in enumerate(boxes):
                 crop = crop_box(img, np.asarray(box))
                 pending.append(
@@ -339,23 +355,30 @@ class CascadeStage:
             rec_elapse = (time.perf_counter() - t2) / max(1, len(idxs))
             for i, (text, score) in zip(idxs, decoded):
                 rec_results[i] = (text, score, cls_elapse, rec_elapse)
+        # in-actor assembly (J1/M15/A5/A6): regions are already ordered
+        # per doc by region_idx (construction order)
+        spans_by_doc: dict[int, list] = {}
         for i, (doc_idx, ridx, _crop, box, _lang) in enumerate(pending):
             text, score, cls_el, rec_el = rec_results[i]
-            region = _blank_row()
-            region.update(
-                url=out[doc_idx]["url"],
-                lang=out[doc_idx]["lang"],
-                route="bitmap",
-                is_region=True,
-                region_idx=ridx,
-                box=box,
-                rec_text=text,
-                rec_score=score,
-                cls_elapse=cls_el if g.use_cls else None,
-                rec_elapse=rec_el,
+            spans_by_doc.setdefault(doc_idx, []).append(
+                (ridx, box, text, score, cls_el, rec_el)
             )
-            out.append(region)
-        return rows_to_table(out)
+        for doc_idx, regions in spans_by_doc.items():
+            final = docs[doc_idx]
+            regions.sort(key=lambda r: r[0])
+            kept = [r for r in regions if r[3] >= g.text_score]  # M15
+            if kept:
+                final["extracted_text"] = "\n".join(r[2] for r in kept)  # A5
+                final["n_spans"] = len(kept)
+                final["spans"] = json.dumps(
+                    [{"box": r[1], "text": r[2], "score": r[3]} for r in kept]
+                )
+            else:
+                final["extracted_text"] = None  # M18
+            if g.use_cls:
+                final["cls_elapse"] = float(sum(r[4] for r in regions))
+            final["rec_elapse"] = float(sum(r[5] for r in regions))
+        return rows_to_table(docs, schema=FINAL_SCHEMA)
 
 
 def assemble_group(group: pa.Table, text_score: float = 0.5) -> pa.Table:

@@ -142,7 +142,9 @@ def run_resumable(
             continue
         from rapidocr_ray.stages.ray_stages import FINAL_SCHEMA
 
-        ds = ray.data.read_parquet(group)
+        from rapidocr_ray.pipelines.extract import read_pages
+
+        ds = read_pages(group)
         result = build_extract_pipeline(ds, cfg=cfg, dedup=dedup)
         batches = list(result.iter_batches(batch_format="pyarrow", batch_size=4096))
         table = (

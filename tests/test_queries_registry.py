@@ -30,7 +30,10 @@ def test_rows_only_queries_documented():
     }
 
 
-@pytest.mark.parametrize("name", ["route_counts", "token_counts", "dedup_latest_wins"])
+@pytest.mark.parametrize(
+    "name",
+    ["route_counts", "token_counts", "dedup_latest_wins", "topk_per_group", "asof_join"],
+)
 def test_cheap_query_matches_duckdb(ray_session, name):
     out = QUERIES[name](SF)
     df = out.to_pandas()
