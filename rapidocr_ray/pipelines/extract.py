@@ -97,7 +97,7 @@ def dedup_by_url(
     def keep_winners(batch):
         import pyarrow as pa
 
-        m = _ray.get(ref)
+        m = _winners_cached(ref)
         mask = [
             m.get(u) == t
             for u, t in zip(
@@ -107,6 +107,22 @@ def dedup_by_url(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep_winners, batch_format="pyarrow")
+
+
+_WINNER_CACHE: dict = {}
+
+
+def _winners_cached(ref):
+    """ray.get deserializes a plain dict on every call; cache it per
+    worker (keyed by object ref) so the filter pays the cost once per
+    worker instead of once per batch."""
+    import ray as _ray
+
+    key = ref.hex()
+    if key not in _WINNER_CACHE:
+        _WINNER_CACHE.clear()  # one winners map at a time per worker
+        _WINNER_CACHE[key] = _ray.get(ref)
+    return _WINNER_CACHE[key]
 
 
 def _target_blocks(factor: int = 2) -> int:

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+golden-only strategy (SURVEY.md §5): randomized inputs exercise the
+kernels' invariants instead of fixed fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rapidocr_ray import glyphs
+from rapidocr_ray.functions import imgproc as ip
+from rapidocr_ray.functions.ctc import CHAR_DICT, ctc_greedy_decode
+from rapidocr_ray.functions.hashing import MinHasher, jaccard, shingle_set_hashes
+
+# text drawn from the glyph charset, no leading/trailing/double spaces
+charset_word = st.text(alphabet=list(glyphs.KEYS), min_size=1, max_size=10)
+line_strategy = st.lists(charset_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(line_strategy)
+def test_rec_roundtrip_any_charset_line(line):
+    """render -> recognize is the identity for any charset line."""
+    from rapidocr_ray.config import PipelineConfig
+    from rapidocr_ray.stages.cascade import TextRecognizer
+
+    rec = TextRecognizer(PipelineConfig().Rec)
+    [(text, score)] = rec([glyphs.render_line(line)])
+    assert text == line
+    assert score >= 0.5
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(8, 300), st.integers(8, 1200))
+def test_det_resize_invariants(h, w):
+    """x32 rounding + ratio bookkeeping hold for any size."""
+    img = np.zeros((h, w), dtype=np.uint8)
+    try:
+        out, (sh, sw, rh, rw) = ip.det_resize(img, 960, "max")
+    except ValueError:
+        return  # degenerate rounding-to-zero path
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    assert max(out.shape) <= 960 + 16  # rounding can exceed the limit by < 16
+    assert rh == out.shape[0] / sh and rw == out.shape[1] / sw
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 200), st.integers(0, 200)), min_size=1, max_size=12))
+def test_sorted_boxes_is_permutation(corners):
+    boxes = np.stack(
+        [
+            np.array([[x, y], [x + 20, y], [x + 20, y + 10], [x, y + 10]], dtype=np.int16)
+            for x, y in corners
+        ]
+    )
+    out = ip.sorted_boxes(boxes)
+    assert len(out) == len(boxes)
+    key = lambda b: tuple(np.asarray(b).reshape(-1))
+    assert sorted(map(key, out)) == sorted(map(key, boxes))
+    # no box with strictly smaller y (by >= 10) appears after one below it
+    ys = [b[0][1] for b in out]
+    for i in range(len(ys) - 1):
+        assert ys[i + 1] >= ys[i] - 9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, len(CHAR_DICT) - 1), min_size=1, max_size=30),
+)
+def test_ctc_decode_invariants(idx_seq):
+    """Decode never emits blanks and never emits adjacent repeats from
+    a run of equal indices."""
+    n_cls = len(CHAR_DICT)
+    logits = np.zeros((1, len(idx_seq), n_cls), dtype=np.float32)
+    for t, i in enumerate(idx_seq):
+        logits[0, t, i] = 1.0
+    [(text, _)] = ctc_greedy_decode(logits)
+    # length equals number of collapsed non-blank runs
+    runs = []
+    for i in idx_seq:
+        if not runs or runs[-1] != i:
+            runs.append(i)
+    expect = "".join(CHAR_DICT[i] for i in runs if i != 0)
+    assert text == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**63), st.integers(0, 2**63), st.integers(2, 40))
+def test_minhash_estimate_bounds(seed_a, seed_b, n_words):
+    """Signature agreement is a [0,1] estimator; identical sets give 1."""
+    rng = np.random.default_rng(seed_a % 2**32)
+    words = [f"w{i}" for i in rng.integers(0, 50, n_words)]
+    text = " ".join(words)
+    sh = shingle_set_hashes(text)
+    mh = MinHasher(64, seed=7)
+    sig = mh.signature(sh)
+    assert float((sig == mh.signature(sh)).mean()) == 1.0
+    rng2 = np.random.default_rng(seed_b % 2**32)
+    other = " ".join(f"w{i}" for i in rng2.integers(0, 50, n_words))
+    est = float((sig == mh.signature(shingle_set_hashes(other))).mean())
+    assert 0.0 <= est <= 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(line_strategy, min_size=1, max_size=4))
+def test_oracle_page_roundtrip_property(lines):
+    """Full-cascade property: any charset page (det path geometry)
+    recovers its lines byte-for-byte in order.
+
+    Precondition (matches the synthesis contract, wrap_lines): lines
+    have no leading/trailing spaces — trailing whitespace renders as
+    blank glyphs with no ink, which OCR cannot observe (hypothesis
+    found the naive [:48] truncation violating this)."""
+    from rapidocr_ray.pipelines.oracle import OracleExtractor
+
+    lines = [ln[:48].strip() or "x" for ln in lines]
+    page = glyphs.render_page(lines, margin=28, line_gap=32)
+    row = OracleExtractor().extract_one("u", None, glyphs.encode_rbmp(page), "en")
+    assert row["extracted_text"] == "\n".join(lines)
