@@ -212,19 +212,24 @@ class TextRecognizer:
         for beg in range(0, n, c.rec_batch_num):
             batch_idx = indices[beg:beg + c.rec_batch_num]
             # A1: grouped max over the micro-batch picks the pad width
-            # (text_recognize.py:57-61), seeded with the config aspect
+            # (text_recognize.py:57-61), seeded with the config aspect;
+            # observable only through blank timesteps, which the fast
+            # band path reproduces (RecModel.infer_bands docstring)
             max_wh_ratio = imgW / float(imgH)
             for i in batch_idx:
                 max_wh_ratio = max(max_wh_ratio, ratios[i])
-            planes = np.stack([
-                rec_resize_norm_ch0(img_list[i], max_wh_ratio, c.rec_img_shape)
-                for i in batch_idx
-            ])
-            # channel dim broadcast: the CTC kernel reads channel 0 only
-            tensors = np.broadcast_to(
-                planes[:, None], (planes.shape[0], 3) + planes.shape[1:]
-            )
-            preds = model.infer(tensors)
+            if getattr(model, "infer_bands", None) is not None:
+                bands = [tight_ink_crop(img_list[i]) > 127 for i in batch_idx]
+                preds = model.infer_bands(bands)
+            else:  # contract path: full M13 tensors
+                planes = np.stack([
+                    rec_resize_norm_ch0(img_list[i], max_wh_ratio, c.rec_img_shape)
+                    for i in batch_idx
+                ])
+                tensors = np.broadcast_to(
+                    planes[:, None], (planes.shape[0], 3) + planes.shape[1:]
+                )
+                preds = model.infer(tensors)
             decoded = ctc_greedy_decode(preds)  # M14
             for rno, i in enumerate(batch_idx):
                 results[i] = decoded[rno]       # scatter-back (text_recognize.py:74-75)

@@ -125,17 +125,29 @@ class RecModel:
     would."""
 
     def infer(self, x: np.ndarray) -> np.ndarray:
-        n = x.shape[0]
+        inks = []
+        for i in range(x.shape[0]):
+            ink4 = x[i, 0] > 0.0          # M13 maps ink->+1, bg/pad->-1
+            inks.append(ink4[::4, ::4])    # exact inverse of the 4x nearest upscale
+        return self.infer_bands(inks)
+
+    def infer_bands(self, inks: list[np.ndarray]) -> np.ndarray:
+        """Fast entry: boolean glyph-resolution ink maps -> CTC logits.
+
+        ``infer(rec_resize_norm(crop))`` and ``infer_bands([band])``
+        are bit-identical by construction: the M13 4x nearest upscale
+        is exactly inverted by [::4, ::4] (tests/test_imgproc.py::
+        test_resize_nearest_integer_upscale_exact and
+        tests/test_cascade.py fast-vs-contract equality), so the hot
+        path skips the float32 48-high tensor round trip entirely."""
         per_item: list[np.ndarray] = []
         max_chars = 0
-        for i in range(n):
-            ink4 = x[i, 0] > 0.0          # M13 maps ink->+1, bg/pad->-1
-            ink = ink4[::4, ::4]           # exact inverse of the 4x nearest upscale
+        for ink in inks:
             logits = self._line_logits(ink)
             max_chars = max(max_chars, logits.shape[0])
             per_item.append(logits)
         t_total = 2 * max_chars + 1
-        out = np.zeros((n, t_total, N_CLASSES), dtype=np.float32)
+        out = np.zeros((len(inks), t_total, N_CLASSES), dtype=np.float32)
         out[:, :, 0] = 1.0                 # blank-certain everywhere by default
         for i, logits in enumerate(per_item):
             for k in range(logits.shape[0]):

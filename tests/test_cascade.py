@@ -110,6 +110,34 @@ class TestRecStage:
         together = rec([short, long])[0]
         assert alone == together
 
+    def test_fast_band_path_equals_contract_path(self):
+        """RecModel.infer_bands must be bit-identical to the full M13
+        tensor path (the hot path skips the 4x float32 round trip)."""
+        import numpy as np
+
+        from rapidocr_ray.stages.cascade import rec_resize_norm_ch0, tight_ink_crop
+        from rapidocr_ray.state.models import RecModel
+
+        rng = np.random.default_rng(5)
+        m = RecModel()
+        for _ in range(10):
+            lines = []
+            for _ in range(int(rng.integers(1, 5))):
+                s = "".join(
+                    glyphs.KEYS[i] if rng.random() > 0.15 else " "
+                    for i in rng.integers(0, len(glyphs.KEYS), int(rng.integers(2, 40)))
+                ).strip()
+                lines.append(" ".join(s.split()) or "x")
+            crops = [glyphs.render_line(ln) for ln in lines]
+            ratios = [tight_ink_crop(c).shape[1] / 12 for c in crops]
+            mwr = max([320 / 48] + ratios)
+            planes = np.stack([rec_resize_norm_ch0(c, mwr) for c in crops])
+            slow = m.infer(
+                np.broadcast_to(planes[:, None], (len(crops), 3) + planes.shape[1:])
+            )
+            fast = m.infer_bands([tight_ink_crop(c) > 127 for c in crops])
+            assert np.array_equal(slow, fast), lines
+
     def test_blank_crop_empty_low_score(self):
         rec = TextRecognizer(CFG.Rec)
         [(text, score)] = rec([np.zeros((12, 40), dtype=np.uint8)])
