@@ -205,7 +205,7 @@ def db_postprocess(
     min_box_side: int = 3,
 ) -> tuple[np.ndarray, list[float]]:
     """pred: float32 [H, W] probability map in resized frame.
-    Returns (boxes int16 [N,4,2] in SOURCE frame, scores)."""
+    Returns (boxes int32 [N,4,2] in SOURCE frame, scores)."""
     src_h, src_w, ratio_h, ratio_w = shape_info
     bitmap = pred > thresh
     if use_dilation:
@@ -239,10 +239,10 @@ def db_postprocess(
         )
         box[:, 0] = np.clip(np.round(box[:, 0] / ratio_w), 0, src_w)
         box[:, 1] = np.clip(np.round(box[:, 1] / ratio_h), 0, src_h)
-        out_boxes.append(box.astype(np.int16))
+        out_boxes.append(box.astype(np.int32))
         out_scores.append(score)
     if not out_boxes:
-        return np.zeros((0, 4, 2), dtype=np.int16), []
+        return np.zeros((0, 4, 2), dtype=np.int32), []
     return np.stack(out_boxes), out_scores
 
 
@@ -276,9 +276,9 @@ def filter_det_boxes(boxes: np.ndarray, src_h: int, src_w: int) -> np.ndarray:
         rect_h = int(np.linalg.norm(b[0] - b[3]))
         if rect_w <= 3 or rect_h <= 3:
             continue
-        kept.append(b.astype(np.int16))
+        kept.append(b.astype(np.int32))
     if not kept:
-        return np.zeros((0, 4, 2), dtype=np.int16)
+        return np.zeros((0, 4, 2), dtype=np.int32)
     return np.stack(kept)
 
 
@@ -348,4 +348,4 @@ def use_det_bypass(h: int, w: int, min_height: int = 30, width_height_ratio: flo
 
 
 def whole_image_box(h: int, w: int) -> np.ndarray:
-    return np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.int16)
+    return np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.int32)

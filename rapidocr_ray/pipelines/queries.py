@@ -754,7 +754,9 @@ WITH RECURSIVE
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
-       WHERE len(w) >= 3),
+       WHERE len(w) >= 3
+       UNION
+       SELECT doc_id, text AS s FROM documents WHERE len(string_split(text,' ')) < 3),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -872,7 +874,8 @@ def q_image_metadata(sf_dir: str):
 SQL_IMAGE_METADATA = """
 SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
        CASE WHEN doc_id % 20 BETWEEN 16 AND 18 THEN 28 END AS height,
-       CASE WHEN doc_id % 20 BETWEEN 16 AND 18 THEN 9*length(text) + 15 END AS width,
+       CASE WHEN doc_id % 20 BETWEEN 16 AND 18
+            THEN greatest(9*length(text) - 1, 64) + 16 END AS width,
        doc_id % 20 BETWEEN 16 AND 18 AS decode_ok
 FROM documents
 """

@@ -37,12 +37,12 @@ class TextDetector:
         self.registry = registry or ModelRegistry()
 
     def __call__(self, img: np.ndarray, lang: str = "en") -> np.ndarray:
-        """gray uint8 [H, W] -> boxes int16 [N, 4, 2] (source frame)."""
+        """gray uint8 [H, W] -> boxes int32 [N, 4, 2] (source frame)."""
         c = self.cfg
         try:
             resized, shape_info = det_resize(img, c.limit_side_len, c.limit_type)
         except ValueError:
-            return np.zeros((0, 4, 2), dtype=np.int16)
+            return np.zeros((0, 4, 2), dtype=np.int32)
         # NCHW batch of 1 (text_detect.py:72); channel dim broadcast —
         # the kernel reads channel 0 only (normalize_ch0 docstring)
         ch0 = normalize_ch0(resized)

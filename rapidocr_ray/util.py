@@ -17,22 +17,25 @@ from __future__ import annotations
 
 import sys
 
-_done = False
+_registered: set[str] = set()
 
 
 def ensure_worker_importable() -> None:
-    global _done
-    if _done:
-        return
+    # No early-return on "done": modules imported lazily after the first
+    # call (e.g. stages.dedup inside a later query) must still be
+    # registered, or they'd serialize by reference and fail to import on
+    # workers launched from a non-repo CWD.
     try:
         from ray import cloudpickle  # same pickler Ray uses for tasks
     except Exception:  # pragma: no cover
         import cloudpickle  # type: ignore
     for name in sorted(sys.modules):
+        if name in _registered:
+            continue
         if name == "rapidocr_ray" or name.startswith("rapidocr_ray."):
             mod = sys.modules[name]
             try:
                 cloudpickle.register_pickle_by_value(mod)
+                _registered.add(name)
             except Exception:  # pragma: no cover — best-effort
                 pass
-    _done = True

@@ -37,7 +37,7 @@ class TestDetStage:
         lines = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota"]
         boxes = det(page_of(lines))
         assert boxes.shape == (3, 4, 2)
-        assert boxes.dtype == np.int16
+        assert boxes.dtype == np.int32
 
     def test_empty_page_no_boxes(self):
         det = TextDetector(CFG.Det)

@@ -59,7 +59,7 @@ class TestSortedBoxes:
 
     @staticmethod
     def box(x, y, w=20, h=10):
-        return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], dtype=np.int16)
+        return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], dtype=np.int32)
 
     def test_reading_order(self):
         b1 = self.box(0, 0)
@@ -134,8 +134,8 @@ class TestDBPostprocess:
 
 
 def test_filter_det_boxes_drops_slivers():
-    good = np.array([[0, 0], [30, 0], [30, 12], [0, 12]], dtype=np.int16)
-    sliver = np.array([[0, 0], [2, 0], [2, 12], [0, 12]], dtype=np.int16)
+    good = np.array([[0, 0], [30, 0], [30, 12], [0, 12]], dtype=np.int32)
+    sliver = np.array([[0, 0], [2, 0], [2, 12], [0, 12]], dtype=np.int32)
     out = ip.filter_det_boxes(np.stack([good, sliver]), 100, 100)
     assert out.shape[0] == 1
 

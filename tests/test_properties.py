@@ -48,7 +48,7 @@ def test_det_resize_invariants(h, w):
 def test_sorted_boxes_is_permutation(corners):
     boxes = np.stack(
         [
-            np.array([[x, y], [x + 20, y], [x + 20, y + 10], [x, y + 10]], dtype=np.int16)
+            np.array([[x, y], [x + 20, y], [x + 20, y + 10], [x, y + 10]], dtype=np.int32)
             for x, y in corners
         ]
     )
