@@ -12,6 +12,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # shared with the SQL oracles in pipelines/queries.py — keep in sync
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -75,6 +77,58 @@ def lang_id(text: str) -> str:
         score = len(toks & LANG_PROFILES[lang])
         if score > best_score:
             best_lang, best_score = lang, score
+    return best_lang
+
+
+def _pad_tokens(texts: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """' '+text+' ' with inner spaces doubled, so every token — including
+    adjacent ones — is flanked by its OWN space pair and a non-overlapping
+    substring count of ``' word '`` equals the per-token match count."""
+    doubled = pc.replace_substring(texts, " ", "  ")
+    return pc.binary_join_element_wise(pa.scalar(" "), doubled, pa.scalar(" "), "")
+
+
+def quality_stats_batch(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """Columnar ``quality_stats`` over a whole string column: Arrow
+    kernels only, bit-identical outputs to the row-wise form.
+
+    Identities used (single-space tokenizer): n_tokens = n_spaces + 1;
+    sum(len(token)) = n_chars - n_spaces; stopword hits counted via the
+    doubled-space padding trick (see ``_pad_tokens``)."""
+    n_chars = pc.utf8_length(texts)
+    n_spaces = pc.count_substring(texts, " ")
+    n_tokens = pc.add(n_spaces, 1)
+    ftok = pc.cast(n_tokens, pa.float64())
+    avg = pc.divide(pc.cast(pc.subtract(n_chars, n_spaces), pa.float64()), ftok)
+    padded = _pad_tokens(texts)
+    hits = None
+    for w in STOPWORDS:
+        c = pc.count_substring(padded, f" {w} ")
+        hits = c if hits is None else pc.add(hits, c)
+    return {
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "avg_word_len": avg,
+        "stopword_ratio": pc.divide(pc.cast(hits, pa.float64()), ftok),
+    }
+
+
+def lang_id_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Columnar ``lang_id``: per-profile-word PRESENCE (distinct-token
+    semantics) summed per language, argmax with ties broken by profile
+    name order — identical to the row-wise heuristic."""
+    padded = _pad_tokens(pc.utf8_lower(texts))
+    n = len(texts)
+    best_score = np.zeros(n, dtype=np.int64)
+    best_lang = np.full(n, "und", dtype=object)
+    for lang in sorted(LANG_PROFILES):
+        score = np.zeros(n, dtype=np.int64)
+        for w in sorted(LANG_PROFILES[lang]):
+            present = pc.greater(pc.count_substring(padded, f" {w} "), 0)
+            score += present.to_numpy(zero_copy_only=False)
+        better = score > best_score
+        best_lang[better] = lang
+        best_score = np.maximum(best_score, score)
     return best_lang
 
 

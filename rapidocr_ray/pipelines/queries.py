@@ -29,7 +29,9 @@ from rapidocr_ray.functions.textstats import (
     STOPWORDS,
     fingerprint_md5,
     lang_id,
+    lang_id_batch,
     quality_stats,
+    quality_stats_batch,
     rolling_fingerprint,
 )
 from rapidocr_ray.util import ensure_worker_importable
@@ -349,16 +351,20 @@ SELECT event_id, user_id, event_type FROM events WHERE value >= 90.0
 
 def q_dedup_latest_wins(sf_dir: str):
     """North-rule dedup semantics on the events table: one row per
-    user_id, latest (ts, event_id) wins — the url/warc_ts analog."""
+    user_id, latest (ts, event_id) wins — the url/warc_ts analog.
+
+    Bucketed (64-way hash of user_id) rather than per-key map_groups:
+    one vectorized pandas call per bucket, not one Python call per
+    user — the only shape that survives web-scale key cardinality."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = _bucket_by(ds, "user_id")
 
-    def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
-        )
-        return group.take(idx[:1]).select(["user_id", "event_id"])
+    def latest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = g.drop_duplicates("user_id", keep="last")
+        return out[["user_id", "event_id"]]
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(latest, batch_format="pandas")
 
 
 SQL_DEDUP_LATEST_WINS = """
@@ -373,14 +379,14 @@ def q_grouped_concat(sf_dir: str):
     """A5 analog as a standalone op: ordered grouped string concat
     (per user, event_type joined by ',' in (ts, event_id) order)."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    ds = _bucket_by(ds, "user_id")
 
     def concat(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            [{"user_id": g.user_id.iloc[0], "event_seq": ",".join(g.event_type)}]
-        )
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        return agg.rename("event_seq").reset_index()
 
-    return ds.groupby("user_id").map_groups(concat, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(concat, batch_format="pandas")
 
 
 SQL_GROUPED_CONCAT = """
@@ -595,9 +601,11 @@ def q_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["n_tokens"] = df.text.str.split(" ").str.len().astype(np.int64)
-        return pa.Table.from_pandas(df[["doc_id", "n_tokens"]], preserve_index=False)
+        # n_tokens = n_spaces + 1 under the single-space tokenizer
+        n = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
+        )
 
     return ds.map_batches(count, batch_format="pyarrow")
 
@@ -611,13 +619,8 @@ def q_quality_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        rows = []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            s = quality_stats(text)
-            rows.append({"doc_id": doc_id, **s})
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        stats = quality_stats_batch(batch.column("text"))
+        return pa.table({"doc_id": batch.column("doc_id"), **stats})
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -639,11 +642,11 @@ def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def guess(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
         return pa.table(
-            {"doc_id": ids, "lang_guess": [lang_id(t) for t in texts]},
-            schema=pa.schema([("doc_id", pa.int64()), ("lang_guess", pa.string())]),
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_guess": pa.array(lang_id_batch(batch.column("text")), type=pa.string()),
+            }
         )
 
     return ds.map_batches(guess, batch_format="pyarrow")

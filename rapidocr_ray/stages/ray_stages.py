@@ -35,7 +35,7 @@ from rapidocr_ray.functions.imgproc import (
     use_det_bypass,
     whole_image_box,
 )
-from rapidocr_ray.glyphs import decode_rbmp, encode_rbmp, is_rbmp
+from rapidocr_ray.glyphs import MAGIC, decode_rbmp, encode_rbmp, is_rbmp
 from rapidocr_ray.stages.cascade import TextClassifier, TextDetector, TextRecognizer
 from rapidocr_ray.state.models import ModelRegistry
 
@@ -120,39 +120,120 @@ def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
     return "error", "unrecognized payload format"
 
 
+def sniff_routes_batch(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized S1 routing over a whole binary column: the columnar
+    form of ``sniff_route`` (kept row-wise for the oracle).  Returns
+    (route, err) object ndarrays.  Magic prefixes, emptiness and the
+    utf-8 head check all run as Arrow kernels; only batches that
+    actually contain invalid-utf-8 text heads fall back to the
+    row-wise decode for those rows (semantics preserved exactly)."""
+    n = len(payloads)
+    routes = np.full(n, "error", dtype=object)
+    errs = np.full(n, None, dtype=object)
+
+    null_mask = pc.is_null(payloads).to_numpy(zero_copy_only=False)
+    lengths = pc.fill_null(pc.binary_length(payloads), 0).to_numpy(zero_copy_only=False)
+    empty = null_mask | (lengths == 0)
+    routes[empty] = "empty"
+    errs[empty] = "empty payload"
+
+    def _magic(m: bytes) -> np.ndarray:
+        eq = pc.equal(
+            pc.binary_slice(payloads, 0, len(m)), pa.scalar(m, type=pa.binary())
+        )
+        return pc.fill_null(eq, False).to_numpy(zero_copy_only=False) & ~empty
+
+    bitmap = _magic(MAGIC)
+    routes[bitmap] = "bitmap"
+    errs[bitmap] = None
+    stubbed = np.zeros(n, dtype=bool)
+    for magic, name in ((b"GIF8", "gif"), (b"\xff\xd8\xff", "jpeg"), (b"\x89PNG", "png")):
+        m = _magic(magic) & ~bitmap & ~stubbed
+        errs[m] = f"image codec unavailable ({name} stub)"
+        stubbed |= m
+
+    rest = ~(empty | bitmap | stubbed)
+    rest_idx = np.flatnonzero(rest)
+    if len(rest_idx):
+        heads = pc.binary_slice(payloads.take(pa.array(rest_idx)), 0, 4096)
+        try:
+            snippets = heads.cast(pa.string())  # validates utf-8 in C
+            has_lt = pc.match_substring(snippets, "<").to_numpy(zero_copy_only=False)
+            routes[rest_idx[has_lt]] = "html"
+            errs[rest_idx[~has_lt]] = "unrecognized payload format"
+        except pa.ArrowInvalid:
+            # rare: some head is invalid utf-8 (binary junk or a split
+            # multibyte char) — decide those rows exactly as the
+            # row-wise sniff does
+            head_bytes = heads.to_pylist()
+            for j, i in enumerate(rest_idx):
+                try:
+                    snippet = head_bytes[j].decode("utf-8")
+                except UnicodeDecodeError:
+                    errs[i] = "undecodable payload"
+                    continue
+                if "<" in snippet:
+                    routes[i] = "html"
+                else:
+                    errs[i] = "unrecognized payload format"
+    return routes, errs
+
+
 class DecodeRouteExtract:
     """Stage 1 (stateless task is fine, but a class lets the HtmlConfig
     live once per worker): sniff payload -> route; run the HTML fast
     path inline for html rows (it is orders of magnitude cheaper than
-    the cascade — SURVEY.md §6); bitmap payloads ride along untouched."""
+    the cascade — SURVEY.md §6); bitmap payloads ride along untouched.
+
+    Routing is fully columnar (``sniff_routes_batch``); the only
+    per-row Python left is the HTML parse itself, which is inherently
+    row-wise."""
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        tss = batch.column("warc_ts").to_pylist()
-        payloads = batch.column("html").to_pylist()
-        langs = batch.column("lang").to_pylist()
+        n = batch.num_rows
+        payloads = batch.column("html").combine_chunks()
         max_bytes = self.cfg.Global.max_payload_bytes
-        rows = []
-        for url, ts, payload, lang in zip(urls, tss, payloads, langs):
-            row = _blank_row()
-            row.update(url=url, warc_ts=ts, lang=lang, is_region=False, n_regions=0)
-            route, err = sniff_route(payload)
-            if payload is not None and len(payload) > max_bytes:
-                # skew guard: an oversized blob would monopolize a
-                # cascade actor; surface it as a typed error row
-                route, err = "error", f"payload exceeds max_payload_bytes ({max_bytes})"
-            row["route"], row["err"] = route, err
-            if route == "html":
-                row["extracted_text"] = extract_main_text(
+
+        routes, errs = sniff_routes_batch(payloads)
+        # skew guard: an oversized blob would monopolize a cascade
+        # actor; surface it as a typed error row (overrides the sniff)
+        lengths = pc.fill_null(pc.binary_length(payloads), 0).to_numpy(
+            zero_copy_only=False
+        )
+        over = lengths > max_bytes
+        routes[over] = "error"
+        errs[over] = f"payload exceeds max_payload_bytes ({max_bytes})"
+
+        extracted = np.full(n, None, dtype=object)
+        html_idx = np.flatnonzero(routes == "html")
+        if len(html_idx):
+            html_payloads = payloads.take(pa.array(html_idx)).to_pylist()
+            for i, payload in zip(html_idx, html_payloads):
+                extracted[i] = extract_main_text(
                     payload.decode("utf-8", errors="replace"), self.cfg.Html
                 )
-            elif route == "bitmap":
-                row["payload"] = payload
-            rows.append(row)
-        return rows_to_table(rows)
+
+        keep_payload = pa.array(routes == "bitmap")
+        null_bin = pa.nulls(n, type=pa.binary())
+        cols: dict[str, pa.Array] = {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "route": pa.array(routes, type=pa.string()),
+            "err": pa.array(errs, type=pa.string()),
+            "extracted_text": pa.array(extracted, type=pa.string()),
+            "n_regions": pa.array(np.zeros(n, dtype=np.int32)),
+            "is_region": pa.array(np.zeros(n, dtype=bool)),
+            "payload": pc.if_else(keep_payload, payloads, null_bin),
+        }
+        arrays = [
+            cols[f.name].cast(f.type) if f.name in cols else pa.nulls(n, type=f.type)
+            for f in UNIFIED_SCHEMA
+        ]
+        return pa.Table.from_arrays(arrays, schema=UNIFIED_SCHEMA)
 
 
 class DetStage:

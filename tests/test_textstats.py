@@ -61,3 +61,42 @@ def test_rolling_fingerprint_winnowing_property():
     # just assert determinism + the value is within the modulus
     assert 0 <= ts.rolling_fingerprint(t1) < (1 << 61) - 1
     assert 0 <= ts.rolling_fingerprint(t2) < (1 << 61) - 1
+
+
+def test_quality_stats_batch_matches_rowwise():
+    import pyarrow as pa
+
+    texts = [
+        "the cat sat on the mat",
+        "",
+        "a",
+        "the the the",
+        "word",
+        "a b  c",  # double space -> empty token
+        "von der die und le la el y de in the it is",
+        "café über straße",  # multibyte chars
+    ]
+    arr = pa.array(texts)
+    batch = ts.quality_stats_batch(arr)
+    for i, t in enumerate(texts):
+        row = ts.quality_stats(t)
+        for k, v in row.items():
+            got = batch[k][i].as_py()
+            assert got == v, (t, k, got, v)
+
+
+def test_lang_id_batch_matches_rowwise():
+    import pyarrow as pa
+
+    texts = [
+        "the cat and the dog is in it",
+        "der hund und die katze ist nicht zu",
+        "le chat et la maison est un",
+        "el perro y la casa es un",
+        "xyzzy plugh",
+        "",
+        "de la",  # cross-profile tie material
+    ]
+    got = ts.lang_id_batch(pa.array(texts))
+    for i, t in enumerate(texts):
+        assert got[i] == ts.lang_id(t), (t, got[i], ts.lang_id(t))
