@@ -118,20 +118,13 @@ def main() -> None:
         _consume(q.QUERIES[name](SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # exact all-pairs jaccard is inherently quadratic in shingle doc
-    # frequency; the synthetic corpus (tiny vocabulary) makes every
-    # shingle corpus-hot, so the exact op is benched on a 1k-doc sample
-    # (MinHash-LSH above is the full-corpus scale path)
-    import ray.data
-
-    from rapidocr_ray.stages.dedup import ngram_jaccard_pairs
-
+    # exact all-pairs jaccard over the FULL corpus — the ppjoin-style
+    # prefix+positional filtering keeps candidate cost ~ sum of
+    # prefix-df^2 (hot shingles are ordered out of prefixes), so the
+    # exact op no longer needs a sample cap
     t0 = time.perf_counter()
-    docs_ds = ray.data.read_parquet(
-        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
-    ).limit(1000)
-    _consume(ngram_jaccard_pairs(docs_ds, k=3, threshold=0.5))
-    timings["ngram_jaccard_pairs_1k"] = round(time.perf_counter() - t0, 3)
+    _consume(q.QUERIES["ngram_jaccard_pairs"](SF_DIR))
+    timings["ngram_jaccard_pairs"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -120,14 +120,17 @@ def minhash_lsh_pairs(
     with est_jaccard (signature agreement fraction) >= threshold.
 
     Scale shape: signatures are n_perm*8 bytes/doc regardless of doc
-    size; band rows shuffle by a bounded bucket key; candidate pairing
-    is a vectorized merge per bucket; the final per-pair reduction is a
-    C-level groupby max."""
+    size and are shipped through shuffles exactly TWICE (the two attach
+    passes) — band rows carry only (doc_id, band_hash, bucket), never
+    the signature, so the banding shuffle is n_bands narrow rows per
+    doc instead of n_bands full signature copies.  Candidate pairing is
+    a vectorized merge per bounded bucket; est_jaccard is computed once
+    per deduped candidate on the attached signature pair."""
     hasher = MinHasher(n_perm=n_perm, seed=seed)
-    sig_ds = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed)
+    sig_ds = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        rows_doc, rows_hash, rows_bucket, rows_sig = [], [], [], []
+        rows_doc, rows_hash, rows_bucket = [], [], []
         for i in range(batch.num_rows):
             doc = batch.column("doc_id")[i].as_py()
             sig = np.array(batch.column("sig")[i].as_py(), dtype=np.uint64)
@@ -135,49 +138,67 @@ def minhash_lsh_pairs(
                 rows_doc.append(doc)
                 rows_hash.append(bh)
                 rows_bucket.append(bh % N_BUCKETS)
-                rows_sig.append(sig.tolist())
         return pa.table(
-            {
-                "doc_id": rows_doc,
-                "band_hash": rows_hash,
-                "bucket": rows_bucket,
-                "sig": rows_sig,
-            },
+            {"doc_id": rows_doc, "band_hash": rows_hash, "bucket": rows_bucket},
             schema=pa.schema(
                 [
                     ("doc_id", pa.int64()),
                     ("band_hash", pa.uint64()),
                     ("bucket", pa.uint64()),
-                    ("sig", pa.list_(pa.uint64())),
                 ]
             ),
         )
 
     band_ds = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    cand_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("na", pa.int64()),
+            ("nb", pa.int64()),
+        ]
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
         g = group[["doc_id", "band_hash"]].drop_duplicates()
         m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
         m = m[m.doc_id_a < m.doc_id_b][["doc_id_a", "doc_id_b"]].drop_duplicates()
         if m.empty:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-        sig_map = {
-            r.doc_id: np.asarray(r.sig, dtype=np.uint64)
-            for r in group[["doc_id", "sig"]].drop_duplicates("doc_id").itertuples()
-        }
-        out = []
-        for a, b in zip(m.doc_id_a.to_numpy(), m.doc_id_b.to_numpy()):
-            est = float((sig_map[a] == sig_map[b]).mean())
-            if est >= threshold:
-                out.append({"doc_a": int(a), "doc_b": int(b), "est_jaccard": est})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
+            return cand_schema.empty_table()
+        n = len(m)
+        return pa.table(
+            {
+                "doc_a": pa.array(m.doc_id_a.to_numpy().astype(np.int64)),
+                "doc_b": pa.array(m.doc_id_b.to_numpy().astype(np.int64)),
+                "na": pa.array(np.zeros(n, dtype=np.int64)),
+                "nb": pa.array(np.zeros(n, dtype=np.int64)),
+            },
+            schema=cand_schema,
+        )
 
-    pair_ds = band_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    cand_ds = band_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
-    from ray.data.aggregate import Max
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+    )
 
-    return pair_ds.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+    def score(m: pd.DataFrame) -> pa.Table:
+        sig_a = np.stack([np.asarray(x, dtype=np.uint64) for x in m.sh_a.to_numpy()])
+        sig_b = np.stack([np.asarray(x, dtype=np.uint64) for x in m.sh.to_numpy()])
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(m.doc_a.to_numpy()[keep].astype(np.int64)),
+                "doc_b": pa.array(m.doc_b.to_numpy()[keep].astype(np.int64)),
+                "est_jaccard": pa.array(est[keep].astype(np.float64)),
+            },
+            schema=out_schema,
+        )
+
+    return _pair_attach_score(
+        cand_ds, sig_ds, "sig", pa.list_(pa.uint64()), score, out_schema
     )
 
 
@@ -216,72 +237,175 @@ def simhash_signatures(ds, prefix_bits: int = 16):
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None):
+def _hash64_i(s: str) -> int:
+    """_stable_hash64 wrapped to signed int64 (order-consistent within
+    the same wrap; used only as an opaque key / canonical-order
+    component)."""
+    h = _stable_hash64(s)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _doc_shingles(text: str, k: int) -> list[str]:
+    """Distinct word k-gram shingles, sorted; a <k-word doc contributes
+    its whole text as one shingle (mirrors the SQL oracle's UNION
+    branch)."""
+    words = text.split(" ")
+    if len(words) < k:
+        return [" ".join(words)]
+    return sorted({" ".join(words[i:i + k]) for i in range(len(words) - k + 1)})
+
+
+def ngram_jaccard_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.5,
+    hot_df: int = 64,
+    max_hot: int = 2_000_000,
+):
     """Exact all-pairs Jaccard >= threshold, mirroring the DuckDB
     oracle: same shingling (word k-grams as strings), same float64
     division.
 
-    Plan: per-doc distinct shingles explode (with per-doc set size
-    carried), bucket by shingle hash -> vectorized self-merge per
-    bucket -> per-pair co-occurrence Sum (C-level groupby) -> jaccard
-    filter.  Shuffled bytes ~ shingle rows, bounded fan-in.
+    PPJoin-shaped plan (prefix + size + positional filters are all
+    EXACT — no recall loss; see Xiao et al., "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW'08):
 
-    ``max_shingle_df``: candidate generation cost is sum over shingles
-    of df^2, which explodes on corpus-hot shingles (boilerplate
-    n-grams).  Setting a df cap drops hotter shingles from the
-    CANDIDATE merge only — pairs are still scored with exact set sizes,
-    but pairs whose every common shingle is hot can be missed, so this
-    is the documented approximate knob for web-scale corpora (the exact
-    default backs the DuckDB oracle)."""
+    1. signature pass (materialized, reused): per-doc sorted distinct
+       shingles + set size.
+    2. df pass: per-batch partial shingle-hash counts -> narrow global
+       Sum -> heavy hitters with df > ``hot_df`` broadcast via ray.put
+       (bounded by shingle_rows/hot_df entries; ``max_hot`` guards the
+       broadcast).
+    3. prefix pass: each doc sorts its shingles in the GLOBAL canonical
+       order (hot-df class ascending, hash, shingle) — corpus-hot
+       boilerplate shingles order LAST and thus almost never enter a
+       prefix — and emits only its first n - ceil(t*n) + 1 shingles.
+       Any pair with J >= t shares >= ceil(t*n) elements per side, so
+       both prefixes must contain a common shingle (pigeonhole): the
+       self-join over prefixes finds every qualifying pair.
+    4. candidate pass: bucketed self-merge over prefix rows with the
+       size filter (t*nb <= na) and the positional filter (overlap
+       upper bound from the first matched prefix position >= the
+       pair's minimum required overlap ceil(t(na+nb)/(1+t))).
+       Candidate cost is sum of prefix-df^2 — bounded even on
+       boilerplate-heavy corpora because hot shingles sit outside
+       prefixes.
+    5. verify: candidates are deduped and joined (two bucketed attach
+       passes, no broadcast of the signature table) with both docs'
+       exact shingle SETS; true intersection -> exact jaccard.
+
+    No Ray groupby runs on a high-cardinality key: every shuffle is
+    over the bounded ``bucket`` column and every per-group call is one
+    vectorized pandas operation per bucket."""
+    import ray
+    from ray.data.aggregate import Sum
+
     ensure_worker_importable()
 
-    def explode(batch: pa.Table) -> pa.Table:
+    sig_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("shingles", pa.list_(pa.string())),
+            ("n_sh", pa.int64()),
+        ]
+    )
+
+    def sigs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_id, out_sh, out_n, out_b = [], [], [], []
-        for doc, text in zip(ids, texts):
-            words = text.split(" ")
-            if len(words) < k:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i:i + k]) for i in range(len(words) - k + 1)
-                }
-            n = len(shingles)
-            for s in shingles:
-                out_id.append(doc)
-                out_sh.append(s)
-                out_n.append(n)
-                out_b.append(_stable_hash64(s) % N_BUCKETS)
+        sh = [_doc_shingles(t, k) for t in texts]
         return pa.table(
-            {"doc_id": out_id, "shingle": out_sh, "n_sh": out_n, "bucket": out_b},
-            schema=pa.schema(
-                [
-                    ("doc_id", pa.int64()),
-                    ("shingle", pa.string()),
-                    ("n_sh", pa.int64()),
-                    ("bucket", pa.uint64()),
-                ]
-            ),
+            {"doc_id": ids, "shingles": sh, "n_sh": [len(s) for s in sh]},
+            schema=sig_schema,
         )
 
-    sh_ds = ds.map_batches(explode, batch_format="pyarrow")
+    sig_ds = ds.map_batches(sigs, batch_format="pyarrow").materialize()
 
-    def bucket_cooccur(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[["doc_id", "shingle", "n_sh"]]
-        if max_shingle_df is not None:
-            df_counts = g.groupby("shingle")["doc_id"].transform("size")
-            g = g[df_counts <= max_shingle_df]
+    # --- pass 2: global shingle document frequencies (heavy hitters) ---
+    def partial_df(batch: pa.Table) -> pa.Table:
+        # keys as SIGNED int64 (uint64 wrap): Ray's sort/aggregate path
+        # round-trips through pandas, where >2^63 ints fall back to
+        # pickled-object columns
+        counts: dict[int, int] = {}
+        for sh in batch.column("shingles").to_pylist():
+            for s in sh:
+                h = _hash64_i(s)
+                counts[h] = counts.get(h, 0) + 1
+        return pa.table(
+            {"h": list(counts.keys()), "c": list(counts.values())},
+            schema=pa.schema([("h", pa.int64()), ("c", pa.int64())]),
+        )
+
+    df_ds = (
+        sig_ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="df"))
+        .filter(expr=f"df > {hot_df}")
+    )
+    n_hot = df_ds.count()
+    if n_hot > max_hot:
+        raise ValueError(
+            f"hot-shingle set ({n_hot}) exceeds max_hot={max_hot}; "
+            "raise hot_df (the broadcast is bounded by rows/hot_df)"
+        )
+    hot = {r["h"]: r["df"] for r in df_ds.take_all()}
+    ref_hot = ray.put(hot)
+
+    # --- pass 3: canonical-order prefixes ---
+    prefix_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("shingle", pa.string()),
+            ("pos", pa.int64()),
+            ("n_sh", pa.int64()),
+            ("bucket", pa.uint64()),
+        ]
+    )
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        hot_map = ray.get(ref_hot)
+        out = {name: [] for name in ("doc_id", "shingle", "pos", "n_sh", "bucket")}
+        ids = batch.column("doc_id").to_pylist()
+        shs = batch.column("shingles").to_pylist()
+        ns = batch.column("n_sh").to_pylist()
+        for doc, sh, n in zip(ids, shs, ns):
+            hashes = [_hash64_i(s) for s in sh]
+            order = sorted(
+                range(n), key=lambda i: (hot_map.get(hashes[i], 0), hashes[i], sh[i])
+            )
+            p = n - int(np.ceil(threshold * n - 1e-9)) + 1
+            for pos, i in enumerate(order[:p]):
+                out["doc_id"].append(doc)
+                out["shingle"].append(sh[i])
+                out["pos"].append(pos)
+                out["n_sh"].append(n)
+                out["bucket"].append((hashes[i] + (1 << 63)) % N_BUCKETS)
+        return pa.table(out, schema=prefix_schema)
+
+    pref_ds = sig_ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    # --- pass 4: bucketed prefix self-join with size + positional filters ---
+    def cand(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["doc_id", "shingle", "pos", "n_sh"]]
         m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
         m = m[m.doc_id_a < m.doc_id_b]
+        # size filter: J>=t forces t*max(na,nb) <= min(na,nb)
+        m = m[
+            (m.n_sh_a >= threshold * m.n_sh_b - 1e-9)
+            & (m.n_sh_b >= threshold * m.n_sh_a - 1e-9)
+        ]
         if m.empty:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "na", "nb", "c"])
-        agg = (
-            m.groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"])
-            .size()
-            .reset_index(name="c")
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("doc_a", "doc_b", "na", "nb")}
+            )
+        # positional filter at the pair's first matched prefix position
+        m = m.sort_values("pos_a", kind="mergesort").drop_duplicates(
+            ["doc_id_a", "doc_id_b"], keep="first"
         )
-        return agg.rename(
+        ub = 1 + np.minimum(m.n_sh_a - m.pos_a - 1, m.n_sh_b - m.pos_b - 1)
+        alpha = np.ceil(threshold * (m.n_sh_a + m.n_sh_b) / (1 + threshold) - 1e-9)
+        m = m[ub >= alpha]
+        out = m.rename(
             columns={
                 "doc_id_a": "doc_a",
                 "doc_id_b": "doc_b",
@@ -289,24 +413,150 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5, max_shingle_df: 
                 "n_sh_b": "nb",
             }
         )
+        return out[["doc_a", "doc_b", "na", "nb"]]
 
-    pair_ds = sh_ds.groupby("bucket").map_groups(bucket_cooccur, batch_format="pandas")
+    cand_ds = pref_ds.groupby("bucket").map_groups(cand, batch_format="pandas")
 
-    from ray.data.aggregate import Sum
+    verified = _verify_jaccard_pairs(cand_ds, sig_ds, threshold)
+    return verified
 
-    counts = pair_ds.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
-        Sum("c", alias_name="c")
+
+def _pair_attach_score(cand_ds, sig_ds, sig_col, payload_type, score_fn, out_schema):
+    """Join (doc_a, doc_b, na, nb) candidate pairs with BOTH docs'
+    per-doc payloads from ``sig_ds`` (doc_id + ``sig_col``) and score
+    them, without ever broadcasting the signature table: two bucketed
+    attach passes (union-with-tag + one vectorized merge per bucket),
+    then ``score_fn`` on the fully-attached frame.  Ships each payload
+    once per pass and each candidate once; candidate duplicates from
+    multi-bucket matches are dropped in the first attach (all copies
+    share doc_a, hence the same bucket).
+
+    ``score_fn(m: pd.DataFrame) -> pa.Table`` sees columns doc_a,
+    doc_b, na, nb, sh_a (payload of doc_a), sh (payload of doc_b)."""
+    schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("tag", pa.string()),
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("na", pa.int64()),
+            ("nb", pa.int64()),
+            ("sh", payload_type),
+            ("sh_a", payload_type),
+            ("bucket", pa.uint64()),
+        ]
+    )
+    nulls = {f.name: None for f in schema}
+
+    def cand_to_attach(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = dict(nulls)
+        cols.update(
+            key=a,
+            tag=np.full(n, "c", dtype=object),
+            doc_a=a,
+            doc_b=batch.column("doc_b"),
+            na=batch.column("na"),
+            nb=batch.column("nb"),
+            bucket=(a.astype(np.uint64) * _PHI) % N_BUCKETS,
+        )
+        return pa.table(
+            {f.name: cols[f.name] if cols[f.name] is not None else pa.nulls(n, f.type)
+             for f in schema},
+            schema=schema,
+        )
+
+    def sig_to_attach(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = dict(nulls)
+        cols.update(
+            key=d,
+            tag=np.full(n, "s", dtype=object),
+            sh=batch.column(sig_col),
+            bucket=(d.astype(np.uint64) * _PHI) % N_BUCKETS,
+        )
+        return pa.table(
+            {f.name: cols[f.name] if cols[f.name] is not None else pa.nulls(n, f.type)
+             for f in schema},
+            schema=schema,
+        )
+
+    stage1 = cand_ds.map_batches(cand_to_attach, batch_format="pyarrow").union(
+        sig_ds.map_batches(sig_to_attach, batch_format="pyarrow")
     )
 
-    def score(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        j = df.c / (df.na + df.nb - df.c)
-        keep = df[j >= threshold].copy()
-        keep["jaccard"] = j[j >= threshold].astype(np.float64)
-        out = keep[["doc_a", "doc_b", "jaccard"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def attach_a(group: pd.DataFrame) -> pa.Table:
+        sig = group[group.tag == "s"][["key", "sh"]]
+        cand = group[group.tag == "c"].drop_duplicates(["doc_a", "doc_b"])
+        if cand.empty:
+            return schema.empty_table()
+        m = cand.drop(columns=["sh"]).merge(sig, on="key")
+        n = len(m)
+        b = m.doc_b.to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(b, type=pa.int64()),
+                "tag": pa.array(["c"] * n),
+                "doc_a": pa.array(m.doc_a.to_numpy().astype(np.int64)),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "na": pa.array(m.na.to_numpy().astype(np.int64)),
+                "nb": pa.array(m.nb.to_numpy().astype(np.int64)),
+                "sh": pa.nulls(n, type=payload_type),
+                "sh_a": pa.array([list(x) for x in m.sh.to_numpy()], type=payload_type),
+                "bucket": pa.array(
+                    (b.astype(np.uint64) * _PHI) % N_BUCKETS, type=pa.uint64()
+                ),
+            },
+            schema=schema,
+        )
 
-    return counts.map_batches(score, batch_format="pyarrow")
+    stage1_out = stage1.groupby("bucket").map_groups(attach_a, batch_format="pandas")
+
+    stage2 = stage1_out.union(sig_ds.map_batches(sig_to_attach, batch_format="pyarrow"))
+
+    def attach_b_and_score(group: pd.DataFrame) -> pa.Table:
+        sig = group[group.tag == "s"][["key", "sh"]]
+        cand = group[group.tag == "c"]
+        if cand.empty:
+            return out_schema.empty_table()
+        m = cand.drop(columns=["sh"]).merge(sig, on="key")
+        if m.empty:
+            return out_schema.empty_table()
+        return score_fn(m)
+
+    return stage2.groupby("bucket").map_groups(attach_b_and_score, batch_format="pandas")
+
+
+def _verify_jaccard_pairs(cand_ds, sig_ds, threshold: float):
+    """Exact jaccard verification of candidates via set intersection of
+    the two attached shingle lists."""
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def score(m: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, na, nb, sa, sb in zip(
+            m.doc_a.to_numpy(), m.doc_b.to_numpy(), m.na.to_numpy(),
+            m.nb.to_numpy(), m.sh_a.to_numpy(), m.sh.to_numpy(),
+        ):
+            c = len(set(sa) & set(sb))
+            if c == 0:
+                continue
+            j = float(c) / float(int(na) + int(nb) - c)
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(j)
+        return pa.table(
+            {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=out_schema
+        )
+
+    return _pair_attach_score(
+        cand_ds, sig_ds, "shingles", pa.list_(pa.string()), score, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -314,82 +564,176 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5, max_shingle_df: 
 # ---------------------------------------------------------------------------
 
 
-def dup_groups(pairs_ds, max_iters: int = 10):
-    """(doc_a, doc_b) pair Dataset -> (doc_id, group_id) where group_id
-    is the MIN doc id reachable through the pair graph (connected
-    components by iterative min-label propagation — ray_guide LSH
-    pattern).
+_PHI = np.uint64(2654435761)
 
-    Each round is one groupby shuffle over (node, candidate_label)
-    rows; rounds needed = graph diameter (near-dup clusters are
-    shallow).  Runs a fixed max_iters bound; deterministic."""
-    import ray
+_LKP_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("req", pa.int64()),
+        ("label", pa.int64()),
+        ("kind", pa.string()),
+        ("bucket", pa.uint64()),
+    ]
+)
+_LAB_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("label", pa.int64()), ("bucket", pa.uint64())]
+)
 
-    ensure_worker_importable()
 
-    def seed_labels(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("doc_a").to_pylist(), dtype=np.int64)
-        b = np.asarray(batch.column("doc_b").to_pylist(), dtype=np.int64)
-        # emit (node, label) for both endpoints, label = min endpoint
-        lab = np.minimum(a, b)
+def _node_bucket(x: np.ndarray) -> np.ndarray:
+    return (x.astype(np.uint64) * _PHI) % N_BUCKETS
+
+
+def _labels_for_lookup(labels):
+    def f(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_id": np.concatenate([a, b]),
-                "label": np.concatenate([lab, lab]),
+                "key": pa.array(d),
+                "req": pa.nulls(len(d), pa.int64()),
+                "label": batch.column("label"),
+                "kind": pa.array(["l"] * len(d)),
+                "bucket": pa.array(_node_bucket(d), type=pa.uint64()),
             },
-            schema=pa.schema([("doc_id", pa.int64()), ("label", pa.int64())]),
+            schema=_LKP_SCHEMA,
         )
 
-    from ray.data.aggregate import Min
+    return labels.map_batches(f, batch_format="pyarrow")
 
-    edges = pairs_ds.map_batches(
-        lambda t: pa.table(
+
+def _lookup_labels(requests, labels):
+    """(key, req) request rows -> (doc_id=req, label=label(key)) via a
+    bucketed hash join: union-with-tag, shuffle on the bounded bucket
+    column, one vectorized merge per bucket.  No broadcast, no
+    driver-side map — the distributed-join primitive the whole
+    dup_groups loop rides on."""
+    u = requests.union(_labels_for_lookup(labels))
+
+    def res(g: pd.DataFrame) -> pa.Table:
+        lab = g[g.kind == "l"]
+        req = g[g.kind == "e"]
+        if req.empty or lab.empty:
+            return _LAB_SCHEMA.empty_table()
+        m = req[["key", "req"]].merge(lab[["key", "label"]], on="key")
+        if m.empty:
+            return _LAB_SCHEMA.empty_table()
+        r = m.req.to_numpy().astype(np.int64)
+        return pa.table(
             {
-                "doc_a": pc_cast_int64(t.column("doc_a")),
-                "doc_b": pc_cast_int64(t.column("doc_b")),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()  # small pair set; reused every round
+                "doc_id": pa.array(r),
+                "label": pa.array(m.label.to_numpy().astype(np.int64)),
+                "bucket": pa.array(_node_bucket(r), type=pa.uint64()),
+            },
+            schema=_LAB_SCHEMA,
+        )
 
-    labels = (
-        edges.map_batches(seed_labels, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Min("label", alias_name="label"))
+    return u.groupby("bucket").map_groups(res, batch_format="pandas")
+
+
+def _bucket_min_labels(ds):
+    def mn(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", sort=False)["label"].min().reset_index()
+        d = agg.doc_id.to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "label": pa.array(agg.label.to_numpy().astype(np.int64)),
+                "bucket": pa.array(_node_bucket(d), type=pa.uint64()),
+            },
+            schema=_LAB_SCHEMA,
+        )
+
+    return ds.groupby("bucket").map_groups(mn, batch_format="pandas")
+
+
+def dup_groups(pairs_ds, max_iters: int = 30):
+    """(doc_a, doc_b) pair Dataset -> (doc_id, group_id) where group_id
+    is the MIN doc id reachable through the pair graph (connected
+    components by min-label propagation WITH label shortcutting —
+    pointer-jumping, so chains converge in O(log diameter) rounds, not
+    O(diameter)).
+
+    Fully distributed: every round is (a) a bucketed join of edge
+    endpoints against the label table, (b) a bucketed join of labels
+    against themselves (label-of-label shortcut), (c) a bucketed
+    per-node min.  All shuffles key on the bounded 256-way bucket
+    column; the label table is never collected to the driver.
+    Convergence is detected by the label-sum fixpoint: labels are
+    positive and monotonically non-increasing under min-combine, so an
+    unchanged sum(label) means no label moved."""
+    ensure_worker_importable()
+
+    def edge_requests(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
+        req = np.concatenate([b, a])
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "req": pa.array(req),
+                "label": pa.nulls(n, pa.int64()),
+                "kind": pa.array(["e"] * n),
+                "bucket": pa.array(_node_bucket(key), type=pa.uint64()),
+            },
+            schema=_LKP_SCHEMA,
+        )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = np.minimum(a, b)
+        d = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "label": pa.array(np.concatenate([lab, lab])),
+                "bucket": pa.array(_node_bucket(d), type=pa.uint64()),
+            },
+            schema=_LAB_SCHEMA,
+        )
+
+    pairs_ds = pairs_ds.materialize()  # small pair set; consumed twice
+    edges_req = pairs_ds.map_batches(edge_requests, batch_format="pyarrow").materialize()
+    labels = _bucket_min_labels(
+        pairs_ds.map_batches(seed_rows, batch_format="pyarrow")
     ).materialize()
 
+    def shortcut_requests(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        return pa.table(
+            {
+                "key": pa.array(lab),
+                "req": pa.array(d),
+                "label": pa.nulls(n, pa.int64()),
+                "kind": pa.array(["e"] * n),
+                "bucket": pa.array(_node_bucket(lab), type=pa.uint64()),
+            },
+            schema=_LKP_SCHEMA,
+        )
+
+    prev_sum = None
     for _ in range(max_iters):
-        lmap = {
-            r["doc_id"]: r["label"] for r in labels.take_all()
-        }  # labels are one row per doc in the pair graph — small by
-        # construction (dup clusters), broadcastable; at larger scale
-        # swap for a bucketed join on doc_id
-        ref = ray.put(lmap)
-
-        def propagate(batch: pa.Table) -> pa.Table:
-            m = ray.get(ref)
-            a = batch.column("doc_a").to_pylist()
-            b = batch.column("doc_b").to_pylist()
-            out_doc, out_lab = [], []
-            for x, y in zip(a, b):
-                lx, ly = m[x], m[y]
-                low = min(lx, ly)
-                out_doc.extend((x, y))
-                out_lab.extend((low, low))
-            return pa.table(
-                {"doc_id": out_doc, "label": out_lab},
-                schema=pa.schema([("doc_id", pa.int64()), ("label", pa.int64())]),
-            )
-
-        new_labels = (
-            edges.map_batches(propagate, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Min("label", alias_name="label"))
-        ).materialize()
-        new_map = {r["doc_id"]: r["label"] for r in new_labels.take_all()}
-        if new_map == lmap:
+        prop = _lookup_labels(edges_req, labels)  # neighbours' labels
+        sc = _lookup_labels(  # label-of-label (pointer jumping)
+            labels.map_batches(shortcut_requests, batch_format="pyarrow"), labels
+        )
+        # repartition bounds the per-round block count: unions
+        # concatenate block lists and the sort inherits them, so without
+        # this the block count (and per-round scheduling overhead)
+        # compounds geometrically across rounds
+        labels = (
+            _bucket_min_labels(labels.union(prop).union(sc))
+            .repartition(16)
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
             break
-        labels = new_labels
+        prev_sum = s
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -400,52 +744,143 @@ def dup_groups(pairs_ds, max_iters: int = 10):
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def pc_cast_int64(arr):
-    import pyarrow.compute as pc
-
-    return pc.cast(arr, pa.int64())
-
-
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup (brute-force baseline)
 # ---------------------------------------------------------------------------
 
 
-def embedding_cosine_pairs(ds, threshold: float = 0.45):
-    """embeddings(vec_id, embedding) -> pairs with cosine >= threshold.
+_COS_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
-    Broadcast pattern: the normalized full matrix is put in the object
-    store ONCE; each batch computes a [batch, N] float64 matmul against
-    it.  At cluster scale swap the broadcast for the IVF bucketing in
-    stages/ann.py."""
+
+def _block_summary(tbl: pa.Table) -> tuple[np.ndarray, float, int]:
+    """(mean direction, max distance to it, rows) of one normalized
+    block — the ball bound used to prune block pairs."""
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1, norms)
+    c = mat.mean(axis=0)
+    n = np.linalg.norm(c)
+    c = c / n if n > 0 else c
+    r = float(np.sqrt(np.maximum(((mat - c) ** 2).sum(axis=1), 0)).max())
+    return c, r, len(mat)
+
+
+def _block_pair_cosine(ta: pa.Table, tb: pa.Table, same: bool, threshold: float) -> pa.Table:
+    """Exact cosine>=threshold pairs between two blocks (upper triangle
+    when the blocks are the same)."""
+    ids_a = np.asarray(ta.column("vec_id").to_pylist(), dtype=np.int64)
+    ma = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ta.column("embedding").to_pylist()]
+    )
+    na = np.linalg.norm(ma, axis=1, keepdims=True)
+    ma = ma / np.where(na == 0, 1, na)
+    if same:
+        ids_b, mb = ids_a, ma
+    else:
+        ids_b = np.asarray(tb.column("vec_id").to_pylist(), dtype=np.int64)
+        mb = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tb.column("embedding").to_pylist()]
+        )
+        nb = np.linalg.norm(mb, axis=1, keepdims=True)
+        mb = mb / np.where(nb == 0, 1, nb)
+    sims = ma @ mb.T
+    hit_r, hit_c = np.where(sims >= threshold)
+    ia, ib = ids_a[hit_r], ids_b[hit_c]
+    keep = ia != ib
+    lo = np.minimum(ia[keep], ib[keep])
+    hi = np.maximum(ia[keep], ib[keep])
+    if same:  # each unordered pair shows up twice in the full matrix
+        first = lo == ia[keep]
+        lo, hi = lo[first], hi[first]
+    return pa.table({"vec_a": lo, "vec_b": hi}, schema=_COS_PAIR_SCHEMA)
+
+
+def embedding_cosine_pairs(
+    ds,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    rows_per_block: int = 4096,
+    train_sample: int = 2048,
+    seed: int = 11,
+):
+    """embeddings(vec_id, embedding) -> EXACT pairs with cosine >=
+    threshold, fully distributed; the embedding table never lands on
+    the driver.
+
+    Plan:
+    1. a seeded kmeans-lite coarse quantizer (stages/ann.py) assigns
+       every vector a cluster id (map_batches; centroids broadcast).
+    2. sort by (cluster, vec_id), repartition to ~rows_per_block-row
+       blocks: blocks become spatially coherent.
+    3. per-block ball summaries (mean direction + radius) via tiny
+       metadata tasks.
+    4. one raw Ray task per unordered BLOCK pair whose balls could
+       hold a pair within D = sqrt(2-2t) (min distance bound
+       ||ci-cj|| - ri - rj > D prunes the pair); each surviving task
+       reads its two blocks zero-copy from the object store and runs a
+       dense float64 matmul.  Results re-enter Ray Data via
+       ray.data.from_arrow_refs.
+
+    Exact by construction: pruning uses a true lower bound on pairwise
+    distance, and an unpruned block pair is scored brute-force.  On
+    unclusterable corpora nothing prunes and this degrades to the
+    distributed exact O(N^2/2) block join — the inherent cost of an
+    exact threshold join; the approximate scale path is ann.ivf_topk.
+    Raw tasks are used because a pairwise self-join over blocks is not
+    expressible in the Dataset API (documented partitioning
+    assumption: block coherence comes from the cluster sort)."""
     import ray
+    import ray.data
+
+    from rapidocr_ray.stages.ann import _normalize, kmeans_lite
 
     ensure_worker_importable()
-    mat_tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = mat_tbl["vec_id"].to_numpy().astype(np.int64)
-    mat = np.stack(mat_tbl["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat_n = mat / np.where(norms == 0, 1, norms)
-    ref = ray.put((ids, mat_n))
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        b_mat = np.stack(
+    sample = ds.limit(train_sample).to_pandas()
+    train = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_lite(train, n_centroids, seed=seed)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
         )
-        bn = np.linalg.norm(b_mat, axis=1, keepdims=True)
-        b_n = b_mat / np.where(bn == 0, 1, bn)
-        sims = b_n @ all_mat.T
-        hit_r, hit_c = np.where(sims >= threshold)
-        out_a, out_b = [], []
-        for r, h in zip(hit_r, hit_c):
-            if all_ids[h] > b_ids[r]:  # each unordered pair once
-                out_a.append(int(b_ids[r]))
-                out_b.append(int(all_ids[h]))
-        return pa.table(
-            {"vec_a": out_a, "vec_b": out_b},
-            schema=pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
-        )
+        cl = np.argmax(_normalize(mat) @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(cl))
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    n_rows = ds.count()
+    n_blocks = max(1, -(-n_rows // rows_per_block))
+    sorted_ds = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .sort(["cluster", "vec_id"])
+        .repartition(n_blocks)
+        .materialize()
+    )
+    block_refs = sorted_ds.to_arrow_refs()
+
+    summarize = ray.remote(num_returns=1)(_block_summary)
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    pair_task = ray.remote(num_returns=1)(_block_pair_cosine)
+    d_max = float(np.sqrt(max(2.0 - 2.0 * threshold, 0.0)))
+    out_refs = []
+    for i in range(len(block_refs)):
+        ci, ri, ni = summaries[i]
+        if ni == 0:
+            continue
+        for j in range(i, len(block_refs)):
+            cj, rj, nj = summaries[j]
+            if nj == 0:
+                continue
+            min_dist = float(np.linalg.norm(ci - cj)) - ri - rj
+            if min_dist > d_max:
+                continue  # ball bound: no pair can reach the threshold
+            out_refs.append(
+                pair_task.remote(block_refs[i], block_refs[j], i == j, threshold)
+            )
+    if not out_refs:
+        return ray.data.from_arrow(_COS_PAIR_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(out_refs)

@@ -91,3 +91,47 @@ def test_embedding_cosine_pairs(ray_session):
     out = embedding_cosine_pairs(ds, threshold=0.95).to_pandas()
     pairs = {(int(r.vec_a), int(r.vec_b)) for r in out.itertuples()}
     assert pairs == {(0, 1)}
+
+
+def test_dup_groups_100k_pairs_distributed(ray_session):
+    """Connected components over 1e5 random pairs match a union-find
+    oracle — exercises the bucketed label-join path (the label table is
+    never collected to the driver) and pointer-jump convergence on a
+    graph with a giant component."""
+    import ray.data
+
+    from rapidocr_ray.stages.dedup import dup_groups
+
+    rng = np.random.default_rng(0)
+    n = 60000
+    a = rng.integers(0, n, 100000)
+    b = rng.integers(0, n, 100000)
+    mask = a != b
+    lo = np.minimum(a, b)[mask].astype(np.int64)
+    hi = np.maximum(a, b)[mask].astype(np.int64)
+
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(lo, hi):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    comp: dict[int, list[int]] = {}
+    for x in set(lo.tolist()) | set(hi.tolist()):
+        comp.setdefault(find(x), []).append(x)
+    truth = {}
+    for r, nodes in comp.items():
+        m = min(min(nodes), r)
+        for x in nodes:
+            truth[x] = m
+
+    pairs = ray.data.from_arrow(pa.table({"doc_a": lo, "doc_b": hi}))
+    out = dup_groups(pairs).to_pandas()
+    got = dict(zip(out.doc_id, out.group_id))
+    assert got == truth
