@@ -23,9 +23,10 @@ from rapidocr_ray.functions.imgproc import (
     filter_det_boxes,
     normalize_ch0,
     normalize_chw,
-    resize_nearest,
+    resize_bilinear,
     rotate180,
 )
+from rapidocr_ray.glyphs import GLYPH_H
 from rapidocr_ray.state.models import ModelRegistry
 
 
@@ -69,7 +70,7 @@ def cls_resize_norm(img: np.ndarray, shape: tuple = (3, 48, 192)) -> np.ndarray:
     h, w = img.shape[:2]
     ratio = w / float(h)
     resized_w = imgW if math.ceil(imgH * ratio) > imgW else int(math.ceil(imgH * ratio))
-    resized = resize_nearest(img, imgH, resized_w).astype(np.float32)
+    resized = resize_bilinear(img, imgH, resized_w).astype(np.float32)
     resized = resized / 255.0
     resized = (resized - 0.5) / 0.5
     out = np.full((3, imgH, imgW), 0.0, dtype=np.float32)
@@ -131,14 +132,15 @@ def rec_resize_norm_ch0(img: np.ndarray, max_wh_ratio: float, shape: tuple = (3,
 
     Rectification pre-step (our stand-in for DBNet's shrink/unclip text
     core, SURVEY.md §7.0): tight-crop to the ink bounding box before
-    resizing, so the glyph band upscales by an exact integer factor."""
+    resizing, so the glyph band upscales by an exact integer factor
+    (bilinear, matching the reference's cv2 INTER_LINEAR)."""
     _imgC, imgH, tgt_base = shape
-    band = tight_ink_crop(img)
+    band = deskew_band(tight_ink_crop(img))
     h, w = band.shape[:2]
     imgW = int(imgH * max_wh_ratio)
     ratio = w / float(h)
     resized_w = imgW if math.ceil(imgH * ratio) > imgW else int(math.ceil(imgH * ratio))
-    resized = resize_nearest(band, imgH, resized_w).astype(np.float32)
+    resized = resize_bilinear(band, imgH, resized_w).astype(np.float32)
     resized = resized / 255.0
     resized = (resized - 0.5) / 0.5
     out = np.zeros((imgH, imgW), dtype=np.float32)  # zero pad, as text_recognize.py:98
@@ -160,6 +162,42 @@ def tight_ink_crop(img: np.ndarray) -> np.ndarray:
     if rows.size == 0 or cols.size == 0:
         return np.zeros((1, 1), dtype=img.dtype)
     return img[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+
+
+def deskew_band(band: np.ndarray) -> np.ndarray:
+    """Residual-shear correction for rec input bands (the rectification
+    role a real CRNN's feature extractor absorbs): when the tight band
+    is taller than one glyph row — residual rotation survived the M9
+    perspective rectification (e.g. the det smear produced an
+    axis-aligned rect for a slightly rotated line) — fit the per-column
+    ink-centroid slope and shift each column by the rounded linear
+    trend, then re-tight-crop.  Bands already at glyph height return
+    unchanged, so the clean axis-aligned path is bit-identical."""
+    h, w = band.shape[:2]
+    if h <= GLYPH_H or w < 2:
+        return band
+    ink = band > 127
+    col_ink = ink.any(axis=0)
+    xs = np.flatnonzero(col_ink)
+    if xs.size < 2:
+        return band
+    ys = np.arange(h, dtype=np.float64)
+    cent = (ink[:, xs] * ys[:, None]).sum(axis=0) / ink[:, xs].sum(axis=0)
+    # least-squares slope of centroid vs column
+    x = xs.astype(np.float64)
+    xm, cm = x.mean(), cent.mean()
+    denom = ((x - xm) ** 2).sum()
+    if denom == 0:
+        return band
+    slope = float(((x - xm) * (cent - cm)).sum() / denom)
+    shifts = np.round(slope * (np.arange(w, dtype=np.float64) - x[0])).astype(np.int64)
+    pad = int(np.abs(shifts).max())
+    if pad == 0:
+        return band
+    out = np.zeros((h + 2 * pad, w), dtype=band.dtype)
+    for xcol in range(w):
+        out[pad - shifts[xcol]:pad - shifts[xcol] + h, xcol] = band[:, xcol]
+    return tight_ink_crop(out)
 
 
 def crop_wh_ratio(img: np.ndarray) -> float:
@@ -219,7 +257,7 @@ class TextRecognizer:
             for i in batch_idx:
                 max_wh_ratio = max(max_wh_ratio, ratios[i])
             if getattr(model, "infer_bands", None) is not None:
-                bands = [tight_ink_crop(img_list[i]) > 127 for i in batch_idx]
+                bands = [deskew_band(tight_ink_crop(img_list[i])) > 127 for i in batch_idx]
                 preds = model.infer_bands(bands)
             else:  # contract path: full M13 tensors
                 planes = np.stack([

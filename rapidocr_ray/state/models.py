@@ -128,16 +128,21 @@ class RecModel:
         inks = []
         for i in range(x.shape[0]):
             ink4 = x[i, 0] > 0.0          # M13 maps ink->+1, bg/pad->-1
-            inks.append(ink4[::4, ::4])    # exact inverse of the 4x nearest upscale
+            # exact inverse of the 4x BILINEAR upscale: at offsets
+            # (1+4k), the target pixel's weight is 0.875^2 = 0.77 > 0.5,
+            # so thresholding at gray 127.5 recovers the source bit
+            inks.append(ink4[1::4, 1::4])
         return self.infer_bands(inks)
 
     def infer_bands(self, inks: list[np.ndarray]) -> np.ndarray:
         """Fast entry: boolean glyph-resolution ink maps -> CTC logits.
 
         ``infer(rec_resize_norm(crop))`` and ``infer_bands([band])``
-        are bit-identical by construction: the M13 4x nearest upscale
-        is exactly inverted by [::4, ::4] (tests/test_imgproc.py::
-        test_resize_nearest_integer_upscale_exact and
+        are bit-identical by construction: the M13 4x bilinear upscale
+        of a binary band is exactly inverted by thresholded sampling at
+        [1::4, 1::4] (the target pixel's bilinear weight there is
+        0.875^2, which dominates the 127.5 gray threshold —
+        tests/test_imgproc.py::test_resize_bilinear_4x_inversion and
         tests/test_cascade.py fast-vs-contract equality), so the hot
         path skips the float32 48-high tensor round trip entirely."""
         per_item: list[np.ndarray] = []
@@ -154,9 +159,21 @@ class RecModel:
                 out[i, 2 * k + 1, :] = logits[k]
         return out
 
+    # windows whose best direct match falls below this retry at +/-1 px
+    # offsets — clean (unwarped) glyphs match exactly at 1.0, so the
+    # fallback never fires on the axis-aligned path and its output is
+    # bit-identical to the direct strided match
+    OFFSET_SEARCH_THRESH = 0.9
+
     @staticmethod
     def _line_logits(ink: np.ndarray) -> np.ndarray:
-        """boolean [H, W] -> per-char class scores [n_chars, C]."""
+        """boolean [H, W] -> per-char class scores [n_chars, C].
+
+        Direct strided matched filter at the glyph advance; windows
+        that score poorly (rotated/warped crops re-rasterized by the M9
+        perspective rectification introduce +/-1 px jitter) are re-tried
+        at the 8 neighbouring 1-px offsets and keep their best score —
+        the stand-in for a real CRNN's translation tolerance."""
         rows = np.flatnonzero(ink.any(axis=1))
         cols = np.flatnonzero(ink.any(axis=0))
         if rows.size == 0 or cols.size == 0:
@@ -168,18 +185,36 @@ class RecModel:
         # starts/ends on glyph boundaries; degenerate crops fall back to
         # a padded/cropped canvas (deterministic either way).
         n_chars = (bw - 1) // GLYPH_ADVANCE + 1
-        canvas = np.zeros((GLYPH_H, n_chars * GLYPH_ADVANCE), dtype=np.float32)
-        canvas[:min(GLYPH_H, bh), :bw] = band[:min(GLYPH_H, bh), :]
-        # all windows at the glyph stride in one strided view, matched
-        # against every template in one vectorized op
+        # 1-px halo so the offset fallback can sample neighbours
+        canvas = np.zeros((GLYPH_H + 2, n_chars * GLYPH_ADVANCE + 2), dtype=np.float32)
+        canvas[1:1 + min(GLYPH_H + 1, bh), 1:1 + bw] = band[:GLYPH_H + 1, :]
+        core = canvas[1:1 + GLYPH_H, 1:]
         isz = canvas.itemsize
         windows = np.lib.stride_tricks.as_strided(
-            canvas,
+            core,
             shape=(n_chars, GLYPH_H, GLYPH_W),
             strides=(GLYPH_ADVANCE * isz, canvas.shape[1] * isz, isz),
         )
         diff = np.abs(windows[:, None, :, :] - TEMPLATES[None, :, :, :])
         match = 1.0 - diff.sum(axis=(2, 3)) / float(GLYPH_H * GLYPH_W)  # [n, C-1]
+        weak = np.flatnonzero(match.max(axis=1) < RecModel.OFFSET_SEARCH_THRESH)
+        for k in weak:
+            best = match[k]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    y0 = 1 + dy
+                    x0 = 1 + k * GLYPH_ADVANCE + dx
+                    win = canvas[y0:y0 + GLYPH_H, x0:x0 + GLYPH_W]
+                    if win.shape != (GLYPH_H, GLYPH_W):
+                        continue
+                    m = 1.0 - np.abs(win[None] - TEMPLATES).sum(axis=(1, 2)) / float(
+                        GLYPH_H * GLYPH_W
+                    )
+                    if m.max() > best.max():
+                        best = m
+            match[k] = best
         logits = np.zeros((n_chars, N_CLASSES), dtype=np.float32)
         logits[:, 0] = 0.3                 # blank baseline at char timesteps
         logits[:, 1:] = match              # template j -> dict index j+1
