@@ -794,6 +794,130 @@ def q_simhash_signatures(sf_dir: str):
     return simhash_signatures(ds)
 
 
+def _dup_pair_count_by_signature(sf_dir: str, sig_of_batch) -> pa.Table:
+    """Shared shape for the LSH-recall invariant queries: the corpus is
+    UNIONed with a shifted-id copy of itself (so every doc has at least
+    one exact duplicate and the invariant has signal even on dup-free
+    testdata), then per doc (signature, md5(text)) is computed;
+    identical text MUST map to an identical signature, so the count of
+    same-(signature, md5) pairs equals the count of same-text pairs —
+    which a plain SQL COUNT can oracle.  A signature bug
+    (nondeterminism across actors/batches, band instability) breaks
+    the equality and fails the driver's hash check."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        ids = pc.add(pc.cast(batch.column("doc_id"), pa.int64()), 1_000_000_000)
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    ds = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    keyed = ds.map_batches(sig_of_batch, batch_format="pyarrow")
+
+    def bucket_counts(group: pd.DataFrame) -> pa.Table:
+        sizes = group.groupby(["sig_key", "md5"], sort=False).size().to_numpy()
+        n = int((sizes * (sizes - 1) // 2).sum())
+        return pa.table({"c": [n]}, schema=pa.schema([("c", pa.int64())]))
+
+    counts = keyed.groupby("bucket").map_groups(bucket_counts, batch_format="pandas")
+    total = counts.sum("c") or 0
+    return pa.table({"n_pairs": pa.array([int(total)], type=pa.int64())})
+
+
+SQL_DUP_PAIR_COUNT = """
+WITH d2 AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000000, text FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id AND a.text = b.text
+"""
+
+
+def q_simhash_dup_recall(sf_dir: str):
+    """Recall-1.0 invariant for SimHash on exact duplicates (shrinks the
+    rows-only set: the signature path is now hash-checked)."""
+    from rapidocr_ray.functions.hashing import SimHasher
+
+    hasher = SimHasher()
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sigs = [int(hasher.signature(t)) for t in texts]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "sig_key": [f"{s:016x}" for s in sigs],
+                "md5": [fingerprint_md5(t) for t in texts],
+                "bucket": [s % 256 for s in sigs],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("sig_key", pa.string()),
+                    ("md5", pa.string()),
+                    ("bucket", pa.uint64()),
+                ]
+            ),
+        )
+
+    return _dup_pair_count_by_signature(sf_dir, sig)
+
+
+SQL_SIMHASH_DUP_RECALL = SQL_DUP_PAIR_COUNT
+
+
+def q_minhash_dup_recall(sf_dir: str):
+    """Recall-1.0 invariant for the full MinHash signature on exact
+    duplicates (hash-checked coverage of the signature pipeline)."""
+    from rapidocr_ray.functions.hashing import MinHasher, shingle_set_hashes
+
+    hasher = MinHasher(n_perm=128, seed=7)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keys, buckets = [], []
+        for t in texts:
+            s = hasher.signature(shingle_set_hashes(t, 3))
+            digest = hashlib.md5(s.tobytes()).hexdigest()
+            keys.append(digest)
+            buckets.append(int(digest[:8], 16) % 256)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "sig_key": keys,
+                "md5": [fingerprint_md5(t) for t in texts],
+                "bucket": buckets,
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("sig_key", pa.string()),
+                    ("md5", pa.string()),
+                    ("bucket", pa.uint64()),
+                ]
+            ),
+        )
+
+    return _dup_pair_count_by_signature(sf_dir, sig)
+
+
+SQL_MINHASH_DUP_RECALL = SQL_DUP_PAIR_COUNT
+
+
+def q_ann_ivf_full_probe(sf_dir: str):
+    """IVF with n_probe == n_centroids scans every bucket, so the
+    IVF plumbing (quantizer, bucket routing, local scans, global
+    reduce) must reproduce the exact brute-force top-k — hash-checked
+    against the same SQL oracle as ann_topk."""
+    from rapidocr_ray.stages.ann import ivf_topk
+
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, ids, mat, k=5, n_centroids=16, n_probe=16)
+
+
 def q_embedding_cosine_pairs(sf_dir: str):
     from rapidocr_ray.stages.dedup import embedding_cosine_pairs
 
@@ -927,6 +1051,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_signatures": q_simhash_signatures,
+    "simhash_dup_recall": q_simhash_dup_recall,
+    "minhash_dup_recall": q_minhash_dup_recall,
+    "ann_ivf_full_probe": q_ann_ivf_full_probe,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -957,6 +1084,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dup_groups": SQL_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,
+    "minhash_dup_recall": SQL_MINHASH_DUP_RECALL,
+    "ann_ivf_full_probe": SQL_ANN_TOPK,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "image_metadata": SQL_IMAGE_METADATA,
