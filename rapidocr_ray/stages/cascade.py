@@ -44,12 +44,16 @@ class TextDetector:
             resized, shape_info = det_resize(img, c.limit_side_len, c.limit_type)
         except ValueError:
             return np.zeros((0, 4, 2), dtype=np.int32)
-        # NCHW batch of 1 (text_detect.py:72); channel dim broadcast —
-        # the kernel reads channel 0 only (normalize_ch0 docstring)
-        ch0 = normalize_ch0(resized)
-        tensor = np.broadcast_to(ch0[None, None], (1, 3) + ch0.shape)
         model = self.registry.for_lang("det", lang)
-        pred = model.infer(tensor)[0, 0]
+        if getattr(model, "infer_ink", None) is not None:
+            # fast entry: skip the normalize/invert float32 round trip
+            # (bit-identical — DetModel.infer_ink docstring)
+            pred = model.infer_ink(resized >= 128)
+        else:  # contract path: NCHW batch of 1 (text_detect.py:72);
+            # channel dim broadcast — the kernel reads channel 0 only
+            ch0 = normalize_ch0(resized)
+            tensor = np.broadcast_to(ch0[None, None], (1, 3) + ch0.shape)
+            pred = model.infer(tensor)[0, 0]
         boxes, _scores = db_postprocess(
             pred,
             shape_info,
