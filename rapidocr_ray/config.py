@@ -36,6 +36,8 @@ class GlobalConfig:
     max_payload_bytes: int = 64 * 1024 * 1024  # skew guard: larger payloads
                                      # become typed error rows instead of
                                      # monopolizing an actor (SURVEY.md §4 skew)
+    backend: str = "kernel"          # T2 session backend strategy
+                                     # ('kernel' | 'contract', state/models.py)
 
 
 @dataclass(frozen=True)

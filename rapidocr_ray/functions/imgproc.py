@@ -438,6 +438,29 @@ def box_score_fast(pred: np.ndarray, box: np.ndarray) -> float:
     return float(window[mask].mean())
 
 
+def box_score_slow(pred: np.ndarray, contour: np.ndarray) -> float:
+    """A3 'slow' score (box_score_slow, utils.py:363-380): mean prob
+    inside the CONTOUR polygon rather than the minAreaRect quad.  Our
+    contour analog is the component's convex hull (the union-find run
+    extremes play the role of CHAIN_APPROX_SIMPLE's corner chain)."""
+    poly = convex_hull(np.asarray(contour, dtype=np.float64))
+    if len(poly) < 3:
+        poly = np.asarray(contour, dtype=np.float64).reshape(-1, 2)
+    h, w = pred.shape[:2]
+    b = poly.copy()
+    xmin = int(np.clip(np.floor(b[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(b[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(b[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(b[:, 1].max()), 0, h - 1))
+    b[:, 0] -= xmin
+    b[:, 1] -= ymin
+    mask = fill_poly_mask((ymax - ymin + 1, xmax - xmin + 1), np.floor(b).astype(np.int64))
+    if not mask.any():
+        return 0.0
+    window = pred[ymin:ymax + 1, xmin:xmax + 1]
+    return float(window[mask].mean())
+
+
 def unclip_rect(box: np.ndarray, unclip_ratio: float) -> tuple[np.ndarray, float]:
     """The reference unclips the minAreaRect quad with a pyclipper
     JT_ROUND offset by d = area*ratio/perimeter, then takes
@@ -495,9 +518,14 @@ def db_postprocess(
     unclip_ratio: float = 1.6,
     use_dilation: bool = True,
     min_box_side: int = 3,
+    score_mode: str = "fast",
 ) -> tuple[np.ndarray, list[float]]:
     """pred: float32 [H, W] probability map in resized frame.
-    Returns (boxes int32 [N,4,2] rotated quads in SOURCE frame, scores)."""
+    Returns (boxes int32 [N,4,2] rotated quads in SOURCE frame, scores).
+
+    ``score_mode``: 'fast' scores the minAreaRect quad (box_score_fast,
+    utils.py:296-299), 'slow' scores the contour polygon itself
+    (box_score_slow, utils.py:300) — tighter on L-shaped components."""
     src_h, src_w, ratio_h, ratio_w = shape_info
     bitmap = pred > thresh
     if use_dilation:
@@ -509,7 +537,10 @@ def db_postprocess(
         points, sside = min_area_rect(pts)
         if sside < min_box_side:  # mini-box drop (utils.py:292-294)
             continue
-        score = box_score_fast(pred, points)  # A3 (utils.py:296-299)
+        if score_mode == "slow":
+            score = box_score_slow(pred, pts)  # A3 slow (utils.py:300)
+        else:
+            score = box_score_fast(pred, points)  # A3 (utils.py:296-299)
         if score < box_thresh:
             continue
         box, esside = unclip_rect(points, unclip_ratio)  # utils.py:302-306

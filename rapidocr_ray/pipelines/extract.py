@@ -73,25 +73,30 @@ def dedup_by_url(
             .drop_columns(["url_bucket"])
         )
     import ray as _ray
-    from ray.data.aggregate import Max
 
-    winners_ds = (
+    # winners pass WITHOUT a Ray groupby: the broadcast path already
+    # materializes the winner map on the driver, so an all-to-all sort
+    # to pre-group it only adds a ~2s barrier; instead stream the
+    # column-pruned (url, warc_ts) batches and max-accumulate in the
+    # driver dict directly.  Bounded by the same broadcast_limit guard
+    # (beyond it, shard the input by url or use strict=True — at that
+    # scale the strict bucketed-groupby plan is the right one anyway).
+    winners: dict = {}
+    for batch in (
         ds.select_columns(["url", "warc_ts"])
-        .groupby("url")
-        .aggregate(Max("warc_ts", alias_name="max_ts"))
-    )
-    winners = {}
-    n = 0
-    for batch in winners_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        n += batch.num_rows
-        if n > broadcast_limit:
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    ):
+        for u, t in zip(
+            batch.column("url").to_pylist(), batch.column("warc_ts").to_pylist()
+        ):
+            prev = winners.get(u)
+            if prev is None or t > prev:
+                winners[u] = t
+        if len(winners) > broadcast_limit:
             raise ValueError(
                 f"dedup_by_url broadcast path saw > {broadcast_limit} distinct "
                 "urls; shard the input by url or use strict=True"
             )
-        winners.update(
-            zip(batch.column("url").to_pylist(), batch.column("max_ts").to_pylist())
-        )
     ref = _ray.put(winners)
 
     def keep_winners(batch):
@@ -176,10 +181,12 @@ def build_extract_pipeline(
             cpus = int(_ray.cluster_resources().get("CPU", 8))
         except Exception:  # pragma: no cover
             cpus = 8
-        # leave a slice of the session for the read tasks (decode fuses
-        # into the pool; in-actor assembly removed the downstream
-        # stages) so the pipeline stays pipelined
-        pool = max(2, min(rc.cascade_concurrency, cpus - max(2, cpus // 8)))
+        # leave a small slice of the session for the read tasks (decode
+        # fuses into the pool; in-actor assembly removed the downstream
+        # stages): measured at 32 CPUs, pool=30 beats 28 (1106 vs 911
+        # docs/s) because reads are cheap parquet decodes that
+        # interleave fine with 30 busy cascade actors
+        pool = max(2, min(rc.cascade_concurrency, cpus - max(1, cpus // 16)))
         ds = ds.map_batches(
             CascadeStage,
             fn_constructor_kwargs={"cfg": cfg},
@@ -240,13 +247,13 @@ def extract_pages_table(table, cfg: PipelineConfig | None = None, dedup: bool = 
     return build_extract_pipeline(ds, cfg=cfg, dedup=dedup)
 
 
-def read_pages(files: list[str], rows_per_block: int = 256):
+def read_pages(files: list[str], rows_per_block: int = 128):
     """read_parquet with block granularity derived from file metadata:
     override_num_blocks = total_rows / rows_per_block, so the reader
     emits right-sized blocks natively (streaming, no barrier).
 
-    256 rows/block measured best on the det-path corpus at 32 CPUs
-    (64 -> 52.7s, 128 -> 41.3s, 256 -> 36.9s, 512 -> 43.0s): smaller
+    128 rows/block measured best on the det-path corpus at 32 CPUs
+    (64 -> 48.3s, 128 -> 28.9s, 256 -> 35.1s this round): smaller
     blocks pay per-task parquet open/decode overhead, larger ones
     straggle on the pool tail.  Blocks can only split at parquet
     row-group boundaries — write sources with small row groups

@@ -37,7 +37,7 @@ class OracleExtractor:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.registry = ModelRegistry()
+        self.registry = ModelRegistry(self.cfg.Global.backend)
         self.detector = TextDetector(self.cfg.Det, self.registry)
         self.classifier = TextClassifier(self.cfg.Cls, self.registry)
         self.recognizer = TextRecognizer(self.cfg.Rec, self.registry)

@@ -63,6 +63,7 @@ class TextDetector:
             unclip_ratio=c.unclip_ratio,
             use_dilation=c.use_dilation,
             min_box_side=c.min_box_side,
+            score_mode=c.score_mode,
         )
         return filter_det_boxes(boxes, img.shape[0], img.shape[1])
 

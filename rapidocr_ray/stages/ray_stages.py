@@ -242,7 +242,7 @@ class DetStage:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.registry = ModelRegistry()
+        self.registry = ModelRegistry(self.cfg.Global.backend)
         self.detector = TextDetector(self.cfg.Det, self.registry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -300,7 +300,7 @@ class ClsStage:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.registry = ModelRegistry()
+        self.registry = ModelRegistry(self.cfg.Global.backend)
         self.classifier = TextClassifier(self.cfg.Cls, self.registry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -328,7 +328,7 @@ class RecStage:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.registry = ModelRegistry()
+        self.registry = ModelRegistry(self.cfg.Global.backend)
         self.recognizer = TextRecognizer(self.cfg.Rec, self.registry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -368,7 +368,7 @@ class CascadeStage:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.registry = ModelRegistry()
+        self.registry = ModelRegistry(self.cfg.Global.backend)
         self.detector = TextDetector(self.cfg.Det, self.registry)
         self.classifier = TextClassifier(self.cfg.Cls, self.registry)
         self.recognizer = TextRecognizer(self.cfg.Rec, self.registry)

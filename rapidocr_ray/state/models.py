@@ -69,6 +69,14 @@ def _ink_from_normalized(chan0: np.ndarray) -> np.ndarray:
     return (chan0 * IMAGENET_STD[0] + IMAGENET_MEAN[0]) > 0.5
 
 
+def _ink_to_pred(ink: np.ndarray) -> np.ndarray:
+    """Shared det smear: boolean ink map -> prob map (uint8 passes, one
+    float32 write)."""
+    smear = _max_filter_1d(ink.astype(np.uint8), DET_H_REACH, axis=1)
+    smear = _max_filter_1d(smear, DET_V_REACH, axis=0)
+    return smear.astype(np.float32) * np.float32(DET_PEAK)
+
+
 class DetModel:
     """DBNet stand-in: NCHW float32 -> prob maps [N, 1, H, W]."""
 
@@ -76,7 +84,7 @@ class DetModel:
         n, _, h, w = x.shape
         out = np.zeros((n, 1, h, w), dtype=np.float32)
         for i in range(n):
-            out[i, 0] = self.infer_ink(_ink_from_normalized(x[i, 0]))
+            out[i, 0] = _ink_to_pred(_ink_from_normalized(x[i, 0]))
         return out
 
     def infer_ink(self, ink: np.ndarray) -> np.ndarray:
@@ -88,9 +96,7 @@ class DetModel:
         128-gray threshold — the hot path skips the two full-page
         float32 normalize/invert passes, and the smear runs on uint8
         (1/4 the memory traffic of float32)."""
-        smear = _max_filter_1d(ink.astype(np.uint8), DET_H_REACH, axis=1)
-        smear = _max_filter_1d(smear, DET_V_REACH, axis=0)
-        return smear.astype(np.float32) * np.float32(DET_PEAK)
+        return _ink_to_pred(ink)
 
 
 class ClsModel:
@@ -142,10 +148,14 @@ class RecModel:
             # (1+4k), the target pixel's weight is 0.875^2 = 0.77 > 0.5,
             # so thresholding at gray 127.5 recovers the source bit
             inks.append(ink4[1::4, 1::4])
-        return self.infer_bands(inks)
+        return RecModel._bands_to_logits(self, inks)
 
     def infer_bands(self, inks: list[np.ndarray]) -> np.ndarray:
-        """Fast entry: boolean glyph-resolution ink maps -> CTC logits.
+        return RecModel._bands_to_logits(self, inks)
+
+    def _bands_to_logits(self, inks: list[np.ndarray]) -> np.ndarray:
+        """Shared impl of the band path: boolean glyph-resolution ink
+        maps -> CTC logits.
 
         ``infer(rec_resize_norm(crop))`` and ``infer_bands([band])``
         are bit-identical by construction: the M13 4x bilinear upscale
@@ -231,15 +241,46 @@ class RecModel:
         return logits
 
 
+class DetModelContract(DetModel):
+    """'contract' backend det session: exposes ONLY the NCHW float32
+    tensor interface — no ``infer_ink`` fast entry.  The T2 backend
+    swap analog of the reference's API-duplicate runtime tree
+    (python/rapidocr_openvino/* re-implements the onnxruntime surface
+    over a second runtime): same math, different session API shape.
+    Outputs are bit-identical to the kernel backend by construction."""
+
+    infer_ink = None
+
+
+class RecModelContract(RecModel):
+    """'contract' backend rec session: full M13 tensor path only (no
+    ``infer_bands`` fast entry)."""
+
+    infer_bands = None
+
+
 # ---------------------------------------------------------------------------
-# Registry (T3/J3 analog)
+# Registry (T3/J3 analog) + backend strategy (T2)
 # ---------------------------------------------------------------------------
 
-_FACTORIES = {
-    ("det", "det_ch"): DetModel,
-    ("cls", "cls_ch"): ClsModel,
-    ("rec", "rec_ch"): RecModel,
+BACKENDS: dict[str, dict[tuple[str, str], type]] = {
+    # numpy kernels with fast entries (the default 'runtime')
+    "kernel": {
+        ("det", "det_ch"): DetModel,
+        ("cls", "cls_ch"): ClsModel,
+        ("rec", "rec_ch"): RecModel,
+    },
+    # tensor-contract-only sessions (the second 'runtime'): identical
+    # outputs through the full NCHW/M13 path — tests/test_cascade.py
+    # asserts cross-backend equality
+    "contract": {
+        ("det", "det_ch"): DetModelContract,
+        ("cls", "cls_ch"): ClsModel,
+        ("rec", "rec_ch"): RecModelContract,
+    },
 }
+
+_FACTORIES = BACKENDS["kernel"]
 
 # language -> model-name triple; distinct languages share sub-models,
 # exactly the sharing ocrweb_multi/config.yaml:43-47,72-104 exercises.
@@ -254,15 +295,20 @@ class ModelRegistry:
     """Per-actor model cache keyed (stage, name) — the lru_cache analog.
 
     Built once in each Ray actor's ``__init__``; ``for_lang`` resolves
-    the routing table and returns shared session objects."""
+    the routing table and returns shared session objects.  ``backend``
+    picks the session implementation family (T2 strategy; the config
+    surface is ``Global.backend``)."""
 
-    def __init__(self):
+    def __init__(self, backend: str = "kernel"):
+        if backend not in BACKENDS:
+            raise ValueError(f"unknown backend {backend!r}; have {sorted(BACKENDS)}")
+        self.backend = backend
         self._cache: dict[tuple[str, str], object] = {}
 
     def get(self, stage: str, name: str):
         key = (stage, name)
         if key not in self._cache:
-            self._cache[key] = _FACTORIES[key]()
+            self._cache[key] = BACKENDS[self.backend][key]()
         return self._cache[key]
 
     def for_lang(self, stage: str, lang: str):

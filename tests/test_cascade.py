@@ -230,3 +230,38 @@ class TestOracleE2E:
             payload = glyphs.encode_rbmp(page_of(lines))
             row = oracle.extract_one("u", None, payload, "en")
             assert row["extracted_text"] == "\n".join(lines), lines
+
+
+def test_backend_swap_identical_outputs():
+    """T2 backend strategy: the 'contract' backend (tensor-interface-only
+    sessions, state/models.py BACKENDS) must produce byte-identical
+    cascade results to the default 'kernel' backend on a full page."""
+    from rapidocr_ray.config import PipelineConfig
+    from rapidocr_ray.functions.imgproc import crop_box, sorted_boxes
+    from rapidocr_ray.glyphs import render_page
+    from rapidocr_ray.state.models import ModelRegistry
+    from rapidocr_ray.stages.cascade import TextClassifier, TextDetector, TextRecognizer
+
+    page = render_page(["backend parity line one", "and a second line"],
+                       margin=28, line_gap=32)
+    results = {}
+    for backend in ("kernel", "contract"):
+        cfg = PipelineConfig()
+        reg = ModelRegistry(backend)
+        det = TextDetector(cfg.Det, reg)
+        cls = TextClassifier(cfg.Cls, reg)
+        rec = TextRecognizer(cfg.Rec, reg)
+        boxes = sorted_boxes(det(page))
+        crops = [crop_box(page, np.asarray(b)) for b in boxes]
+        crops, _ = cls(crops)
+        results[backend] = ([b.tolist() for b in boxes], rec(crops))
+    assert results["kernel"] == results["contract"]
+
+
+def test_backend_unknown_rejected():
+    import pytest as _pytest
+
+    from rapidocr_ray.state.models import ModelRegistry
+
+    with _pytest.raises(ValueError):
+        ModelRegistry("onnx")

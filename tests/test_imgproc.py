@@ -165,3 +165,31 @@ def test_crop_box_slices_and_rot90():
     tall = np.array([[0, 0], [2, 0], [2, 9], [0, 9]])
     crop2 = ip.crop_box(img, tall)
     assert crop2.shape == (2, 9)  # rotated 90 (h/w >= 1.5)
+
+
+def test_box_score_slow_polygon_vs_fast():
+    from rapidocr_ray.functions.imgproc import box_score_fast, box_score_slow, min_area_rect
+
+    pred = np.zeros((20, 20), dtype=np.float32)
+    # L-shaped component: slow (hull) score < fast (rect) window differs
+    pred[2:6, 2:12] = 0.9
+    pred[6:12, 2:6] = 0.9
+    pts = np.array([(x, y) for y in range(2, 12) for x in (2, 5, 11) if (y < 6 or x <= 5)],
+                   dtype=np.float64)
+    rect, _ = min_area_rect(pts)
+    fast = box_score_fast(pred, rect)
+    slow = box_score_slow(pred, pts)
+    assert 0.0 < fast < 0.9
+    assert slow >= fast  # hull hugs the ink tighter than the rect AABB
+
+
+def test_db_postprocess_slow_mode_runs():
+    from rapidocr_ray.functions.imgproc import db_postprocess
+
+    pred = np.zeros((32, 64), dtype=np.float32)
+    pred[8:20, 10:50] = 0.9
+    boxes_f, scores_f = db_postprocess(pred, (32, 64, 1.0, 1.0), score_mode="fast")
+    boxes_s, scores_s = db_postprocess(pred, (32, 64, 1.0, 1.0), score_mode="slow")
+    # a solid rectangle scores identically in both modes
+    assert np.array_equal(boxes_f, boxes_s)
+    assert scores_f == scores_s
