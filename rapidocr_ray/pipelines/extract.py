@@ -238,7 +238,10 @@ def extract_pages_table(table, cfg: PipelineConfig | None = None, dedup: bool = 
     table list emits one block per slice) so the pipeline parallelizes
     without a repartition barrier."""
     cfg = cfg or PipelineConfig()
-    rows_per_block = max(1, 2 * cfg.Ray.batch_size_bitmap)
+    # 128 rows/block matches the parquet-path finding (read_pages
+    # docstring): enough blocks to fill the pool through the tail
+    # without per-task overhead dominating
+    rows_per_block = max(1, 8 * cfg.Ray.batch_size_bitmap)
     slices = [
         table.slice(off, rows_per_block)
         for off in range(0, table.num_rows, rows_per_block)

@@ -116,3 +116,76 @@ def test_oracle_page_roundtrip_property(lines):
     page = glyphs.render_page(lines, margin=28, line_gap=32)
     row = OracleExtractor().extract_one("u", None, glyphs.encode_rbmp(page), "en")
     assert row["extracted_text"] == "\n".join(lines)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=30),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_min_area_rect_properties(n_pts, seed):
+    """All points lie inside the rect (within epsilon); rect area never
+    exceeds the AABB area; rotating the point set leaves the rect area
+    invariant (rotation-equivariance of the calipers)."""
+    from rapidocr_ray.functions.imgproc import min_area_rect
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n_pts, 2)) * 100
+    box, sside = min_area_rect(pts)
+    u = box[1] - box[0]
+    v = box[3] - box[0]
+    w = np.linalg.norm(u)
+    h = np.linalg.norm(v)
+    aabb = (pts[:, 0].ptp()) * (pts[:, 1].ptp())
+    assert w * h <= aabb + 1e-6
+    assert abs(min(w, h) - sside) < 1e-9
+    # containment: project points on the rect axes
+    if w > 0 and h > 0:
+        rel = pts - box[0]
+        pu = rel @ (u / w)
+        pv = rel @ (v / h)
+        assert (pu > -1e-6).all() and (pu < w + 1e-6).all()
+        assert (pv > -1e-6).all() and (pv < h + 1e-6).all()
+    # rotation invariance of the minimal area
+    th = rng.random() * np.pi
+    r = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+    box2, _ = min_area_rect(pts @ r)
+    w2 = np.linalg.norm(box2[1] - box2[0])
+    h2 = np.linalg.norm(box2[3] - box2[0])
+    assert abs(w2 * h2 - w * h) < 1e-5 * max(1.0, w * h)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_bilinear_4x_inversion_property(h, w, seed):
+    """The M13 contract generalized: 4x bilinear upscale of ANY binary
+    image is exactly inverted by thresholded [1::4, 1::4] sampling."""
+    from rapidocr_ray.functions.imgproc import resize_bilinear
+
+    rng = np.random.default_rng(seed)
+    band = (rng.random((h, w)) < 0.5).astype(np.uint8) * 255
+    up = resize_bilinear(band, 4 * h, 4 * w)
+    assert np.array_equal(up[1::4, 1::4] > 127, band > 127)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_fill_poly_area_property(seed):
+    """Filled-quad pixel count tracks the shoelace area within a
+    perimeter-proportional rasterization band."""
+    from rapidocr_ray.functions.imgproc import fill_poly_mask, min_area_rect
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((8, 2)) * 40 + 5
+    quad, _ = min_area_rect(pts)
+    x, y = quad[:, 0], quad[:, 1]
+    area = 0.5 * abs(
+        sum(x[i] * y[(i + 1) % 4] - x[(i + 1) % 4] * y[i] for i in range(4))
+    )
+    per = sum(np.linalg.norm(quad[i] - quad[(i + 1) % 4]) for i in range(4))
+    mask = fill_poly_mask((60, 60), quad)
+    assert abs(int(mask.sum()) - area) <= per + 8
