@@ -42,10 +42,47 @@ from rapidocr_ray.stages.ray_stages import (
 )
 
 
+def _winners_from_files(files: list[str], broadcast_limit: int) -> dict:
+    """Remote-task winners computation: a projection read of (url,
+    warc_ts) straight from the parquet source + one vectorized groupby
+    max.  Runs AS A RAY TASK so the winner map materializes while the
+    driver builds the main pipeline and the actor pool spins up — the
+    first keep_winners call blocks on the ObjectRef, by which time it
+    is ready (the winners pass is fully overlapped instead of a serial
+    driver phase)."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    frames = []
+    for f in files:
+        t = _pq.read_table(f, columns=["url", "warc_ts"])
+        frames.append(
+            pd.DataFrame(
+                {
+                    "url": t.column("url").to_pandas(),
+                    # int64 epoch MICROseconds — must match keep_winners'
+                    # arrow cast (a pandas datetime64 round trip would
+                    # silently flip to nanoseconds)
+                    "ts": t.column("warc_ts").cast(_pa.int64()).to_pandas(),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    agg = df.groupby("url", sort=False)["ts"].max()
+    if len(agg) > broadcast_limit:
+        raise ValueError(
+            f"dedup_by_url broadcast path saw > {broadcast_limit} distinct "
+            "urls; shard the input by url or use strict=True"
+        )
+    return {u: int(t) for u, t in zip(agg.index.to_numpy(), agg.to_numpy())}
+
+
 def dedup_by_url(
     ds: "ray.data.Dataset",
     strict: bool = False,
     broadcast_limit: int = 20_000_000,
+    winners_files: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """North-rule exact dedup: latest warc_ts wins per url (groupby-url
     before extraction, SURVEY.md §2.6).
@@ -81,34 +118,53 @@ def dedup_by_url(
     # driver dict directly.  Bounded by the same broadcast_limit guard
     # (beyond it, shard the input by url or use strict=True — at that
     # scale the strict bucketed-groupby plan is the right one anyway).
-    winners: dict = {}
-    for batch in (
-        ds.select_columns(["url", "warc_ts"])
-        .iter_batches(batch_format="pyarrow", batch_size=65536)
-    ):
-        for u, t in zip(
-            batch.column("url").to_pylist(), batch.column("warc_ts").to_pylist()
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if winners_files is not None:
+        # source-projection fast path, overlapped with pipeline build
+        # (_winners_from_files docstring); ray.get happens lazily in
+        # the first keep_winners call on each worker
+        ref = (
+            _ray.remote(num_cpus=1)(_winners_from_files)
+            .remote(winners_files, broadcast_limit)
+        )
+    else:
+        # generic-Dataset path: stream the two pruned columns and
+        # max-accumulate on the driver.  Timestamps stay int64 (epoch
+        # us) on both passes — materializing python datetime objects
+        # per row was the accumulation hot spot.
+        winners: dict = {}
+        for batch in (
+            ds.select_columns(["url", "warc_ts"])
+            .iter_batches(batch_format="pyarrow", batch_size=65536)
         ):
-            prev = winners.get(u)
-            if prev is None or t > prev:
-                winners[u] = t
-        if len(winners) > broadcast_limit:
-            raise ValueError(
-                f"dedup_by_url broadcast path saw > {broadcast_limit} distinct "
-                "urls; shard the input by url or use strict=True"
-            )
-    ref = _ray.put(winners)
+            urls = np.asarray(batch.column("url"))
+            ts = np.asarray(_pc.cast(batch.column("warc_ts"), _pa.int64()))
+            for u, t in zip(urls, ts):
+                prev = winners.get(u)
+                if prev is None or t > prev:
+                    winners[u] = t
+            if len(winners) > broadcast_limit:
+                raise ValueError(
+                    f"dedup_by_url broadcast path saw > {broadcast_limit} distinct "
+                    "urls; shard the input by url or use strict=True"
+                )
+        winners = {u: int(t) for u, t in winners.items()}
+        ref = _ray.put(winners)
 
     def keep_winners(batch):
+        import numpy as _np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         m = _winners_cached(ref)
-        mask = [
-            m.get(u) == t
-            for u, t in zip(
-                batch.column("url").to_pylist(), batch.column("warc_ts").to_pylist()
-            )
-        ]
+        urls = _np.asarray(batch.column("url"))
+        ts = _np.asarray(pc.cast(batch.column("warc_ts"), pa.int64()))
+        mask = _np.fromiter(
+            (m.get(u) == t for u, t in zip(urls, ts)), dtype=bool, count=len(urls)
+        )
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep_winners, batch_format="pyarrow")
@@ -149,6 +205,7 @@ def build_extract_pipeline(
     ds: "ray.data.Dataset",
     cfg: PipelineConfig | None = None,
     dedup: bool = True,
+    winners_files: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """pages Dataset (url, warc_ts, html, text, lang) -> final Dataset
     (FINAL_SCHEMA: url, ..., extracted_text, n_spans, spans, elapses)."""
@@ -165,7 +222,7 @@ def build_extract_pipeline(
     # extract_pages_table.  ~2x the cascade batch size per block keeps
     # the pool busy through the tail.
     if dedup:
-        ds = dedup_by_url(ds)
+        ds = dedup_by_url(ds, winners_files=winners_files)
     ds = ds.map_batches(
         DecodeRouteExtract(cfg),
         batch_format="pyarrow",

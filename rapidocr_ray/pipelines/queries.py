@@ -939,8 +939,19 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def _load_queries(sf_dir: str, n: int = 10):
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(n)
+    """First n vec_ids + their embeddings, without reading the vector
+    payload of the whole table: scan the narrow vec_id column to find
+    the n smallest ids, then a filtered (row-group-pruned) read of just
+    those rows' embeddings."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ids_only = pq.read_table(path, columns=["vec_id"]).column("vec_id")
+    smallest = np.sort(np.asarray(ids_only))[:n]
+    t = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", smallest.tolist())],
+    )
+    df = t.to_pandas().sort_values("vec_id")
     ids = df.vec_id.to_numpy().astype(np.int64)
     mat = np.stack(df.embedding.to_numpy()).astype(np.float64)
     return ids, mat

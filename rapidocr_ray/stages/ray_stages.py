@@ -216,8 +216,13 @@ class DecodeRouteExtract:
                     payload.decode("utf-8", errors="replace"), self.cfg.Html
                 )
 
-        keep_payload = pa.array(routes == "bitmap")
-        null_bin = pa.nulls(n, type=pa.binary())
+        bitmap_mask = routes == "bitmap"
+        if bitmap_mask.all():
+            payload_col = payloads  # zero-copy pass-through (det corpora)
+        else:
+            payload_col = pc.if_else(
+                pa.array(bitmap_mask), payloads, pa.nulls(n, type=pa.binary())
+            )
         cols: dict[str, pa.Array] = {
             "url": batch.column("url"),
             "warc_ts": batch.column("warc_ts"),
@@ -227,7 +232,7 @@ class DecodeRouteExtract:
             "extracted_text": pa.array(extracted, type=pa.string()),
             "n_regions": pa.array(np.zeros(n, dtype=np.int32)),
             "is_region": pa.array(np.zeros(n, dtype=bool)),
-            "payload": pc.if_else(keep_payload, payloads, null_bin),
+            "payload": payload_col,
         }
         arrays = [
             cols[f.name].cast(f.type) if f.name in cols else pa.nulls(n, type=f.type)
@@ -379,7 +384,12 @@ class CascadeStage:
         # per-doc det + crop fan-out, crops held in actor memory
         pending: list[tuple[int, int, "np.ndarray", list[int], str]] = []
         # (doc_idx, region_idx, crop, box, lang)
-        for row in batch.to_pylist():
+        # columnar row access: the payload column is read as zero-copy
+        # arrow buffers (a to_pylist would memcpy every page into python
+        # bytes — measured hundreds of MB/s of pure copy at 30 actors)
+        meta = batch.drop_columns(["payload"]).to_pylist()
+        payload_col = batch.column("payload").combine_chunks()
+        for i, row in enumerate(meta):
             final = {
                 "url": row["url"],
                 "warc_ts": row["warc_ts"],
@@ -398,7 +408,9 @@ class CascadeStage:
                 continue
             t0 = time.perf_counter()
             try:
-                img = decode_rbmp(row["payload"])
+                pay = payload_col[i]
+                buf = pay.as_buffer() if pay.is_valid else b""
+                img = decode_rbmp(buf)
             except ValueError as exc:
                 final.update(route="error", err=str(exc))
                 docs.append(final)
