@@ -561,29 +561,26 @@ def q_user_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        agg = df.groupby("user_id")["event_type"].agg(lambda s: sorted(set(s)))
-        return pa.table(
-            {
-                "user_id": agg.index.to_numpy(),
-                "types": agg.to_list(),
-            },
-            schema=pa.schema(
-                [("user_id", pa.int64()), ("types", pa.list_(pa.string()))]
-            ),
-        )
+        # per-batch combiner: distinct (user, type) pairs (C-level),
+        # plus the bounded shuffle key — never a python call per user
+        df = batch.to_pandas().drop_duplicates(["user_id", "event_type"])
+        keys = df.user_id.to_numpy().astype(np.uint64)
+        df["bucket"] = (keys * np.uint64(2654435761)) % np.uint64(64)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        merged: set = set()
-        for lst in group["types"]:
-            merged.update(lst)
+        g = group.drop_duplicates(["user_id", "event_type"])
+        agg = g.groupby("user_id", sort=False)["event_type"].nunique()
         return pd.DataFrame(
-            [{"user_id": group.user_id.iloc[0], "n_types": np.int64(len(merged))}]
+            {
+                "user_id": agg.index.to_numpy().astype(np.int64),
+                "n_types": agg.to_numpy().astype(np.int64),
+            }
         )
 
-    return part.groupby("user_id").map_groups(merge, batch_format="pandas")
+    return part.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 SQL_USER_DISTINCT_TYPES = """

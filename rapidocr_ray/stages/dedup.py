@@ -355,6 +355,7 @@ def ngram_jaccard_pairs(
         .groupby("h")
         .aggregate(Sum("c", alias_name="df"))
         .filter(expr=f"df > {hot_df}")
+        .materialize()  # count() + take_all() would execute the chain twice
     )
     n_hot = df_ds.count()
     if n_hot > max_hot:
