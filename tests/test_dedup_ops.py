@@ -135,3 +135,77 @@ def test_dup_groups_100k_pairs_distributed(ray_session):
     out = dup_groups(pairs).to_pandas()
     got = dict(zip(out.doc_id, out.group_id))
     assert got == truth
+
+
+def test_ngram_jaccard_short_docs_branch(ray_session):
+    """Docs with <3 words contribute their whole text as one shingle
+    (both the Ray pipeline and the SQL oracle's UNION branch)."""
+    import duckdb
+    import ray.data
+
+    from rapidocr_ray.pipelines.queries import SQL_NGRAM_JACCARD_PAIRS
+    from rapidocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "hi",                     # 1 word
+        "hi",                     # exact short dup -> jaccard 1.0
+        "two words",              # 2 words
+        "two words",              # dup
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = (
+        ngram_jaccard_pairs(ray.data.from_arrow(tbl), k=3, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = (
+        con.execute(SQL_NGRAM_JACCARD_PAIRS)
+        .fetchdf()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) >= 2
+    assert (got.doc_a.values == exp.doc_a.values).all()
+    assert (got.doc_b.values == exp.doc_b.values).all()
+    assert (abs(got.jaccard.values - exp.jaccard.values) < 1e-12).all()
+
+
+def test_dedup_by_url_winners_files_matches_generic(ray_session, tmp_path):
+    """The source-projection winners fast path (remote task over the
+    parquet files) selects exactly the same rows as the generic
+    Dataset-stream path."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rapidocr_ray.pipelines.extract import dedup_by_url
+
+    ts = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    tbl = pa.table(
+        {
+            "url": ["a", "a", "b", "c", "c", "c"],
+            "warc_ts": pa.array([ts(1), ts(5), ts(2), ts(9), ts(3), ts(7)],
+                                type=pa.timestamp("us")),
+            "html": [f"p{i}".encode() for i in range(6)],
+            "lang": ["en"] * 6,
+        }
+    )
+    f = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, f)
+    generic = (
+        dedup_by_url(ray.data.read_parquet(f))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    fast = (
+        dedup_by_url(ray.data.read_parquet(f), winners_files=[f])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert generic.url.tolist() == fast.url.tolist() == ["a", "b", "c"]
+    assert (generic.warc_ts == fast.warc_ts).all()
+    assert generic.html.tolist() == fast.html.tolist()
