@@ -190,21 +190,27 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_orders(sf_dir: str):
-    """O-family sort + limit with deterministic tie-break."""
+    """O-family sort + limit with deterministic tie-break.
+
+    Top-k shape: per-batch local top-10 (vectorized) so the global sort
+    only sees ~10 rows per block — a full all-to-all sort of the table
+    for a LIMIT 10 would shuffle everything."""
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
             {
-                "o_orderkey": batch.column("o_orderkey"),
-                "total_cents": pa.array(
-                    _cents(np.asarray(batch.column("o_totalprice"))), type=pa.int64()
-                ),
+                "o_orderkey": np.asarray(batch.column("o_orderkey")),
+                "total_cents": _cents(np.asarray(batch.column("o_totalprice"))),
             }
         )
+        top = df.sort_values(
+            ["total_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return pa.Table.from_pandas(top, preserve_index=False)
 
     return (
-        ds.map_batches(cents, batch_format="pyarrow")
+        ds.map_batches(local_top, batch_format="pyarrow")
         .sort([("total_cents"), ("o_orderkey")], descending=[True, False])
         .limit(10)
     )
@@ -397,26 +403,36 @@ FROM events GROUP BY user_id
 
 def q_events_window(sf_dir: str):
     """Tumbling-window aggregate (streaming-shaped workload per
-    ray_guide): 1-hour windows per user over the ordered event log."""
-    from ray.data.aggregate import Count, Sum
+    ray_guide): 1-hour windows per user over the ordered event log.
 
+    Partial-aggregate inside map_batches (C-level pandas groupby sum
+    per batch), then ONE bounded-bucket shuffle and a vectorized final
+    merge — the (user, window) key space grows with users x time, so a
+    Ray groupby over it would shuffle-sort unbounded key cardinality."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def window(batch: pa.Table) -> pa.Table:
+    def window_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["window_start"] = df.ts.dt.floor("h")
         df["value_cents"] = _cents(df.value.to_numpy())
-        return pa.Table.from_pandas(
-            df[["user_id", "window_start", "value_cents"]], preserve_index=False
+        agg = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
         )
+        keys = agg.user_id.to_numpy().astype(np.uint64)
+        agg["bucket"] = (keys * np.uint64(2654435761)) % np.uint64(64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return (
-        ds.map_batches(window, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents")
-        )
-    )
+    part = ds.map_batches(window_partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["user_id", "window_start"], as_index=False)[
+            ["n_events", "value_cents"]
+        ].sum()
+        out["n_events"] = out.n_events.astype(np.int64)
+        out["value_cents"] = out.value_cents.astype(np.int64)
+        return out
+
+    return part.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 SQL_EVENTS_WINDOW = """
