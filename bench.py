@@ -140,6 +140,28 @@ def main() -> None:
     _consume(q.QUERIES["ngram_jaccard_pairs"](SF_DIR))
     timings["ngram_jaccard_pairs"] = round(time.perf_counter() - t0, 3)
 
+    # resumable partitioned-parquet sink: flagship output written via
+    # the per-partition manifest runner (the 100-TB restart story)
+    import tempfile
+
+    from rapidocr_ray.sources.pages import pages_from_documents, write_pages_parquet
+    from rapidocr_ray.state.manifest import run_resumable
+
+    with tempfile.TemporaryDirectory(prefix="bench_sink_") as tmp:
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+        pages_dir = os.path.join(tmp, "pages")
+        write_pages_parquet(pages_from_documents(docs), pages_dir, n_files=8)
+        files = sorted(
+            os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        )
+        t0 = time.perf_counter()
+        # 2 partitions: enough to exercise the per-partition manifest +
+        # skip layout; at production scale partitions are hours of work
+        # and the per-partition pipeline spin-up amortizes away
+        run_resumable(files, os.path.join(tmp, "out"), files_per_partition=4)
+        timings["extract_write_resumable"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
