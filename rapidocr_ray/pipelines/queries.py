@@ -700,8 +700,11 @@ SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
 
 
 def q_rolling_fingerprints(sf_dir: str):
-    """Winnowing-style rolling-hash fingerprint (rows-only: not
-    SQL-expressible)."""
+    """Winnowing-style rolling-hash fingerprint — hash-checked: the
+    min-over-windows polynomial hash is expressible in DuckDB HUGEINT
+    arithmetic (SQL_ROLLING_FINGERPRINTS), so the driver verifies the
+    exact values.  ASCII-text precondition shared with the other text
+    oracles (utf-8 multibyte would diverge from SQL ascii())."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
@@ -713,6 +716,35 @@ def q_rolling_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+_ROLL_M = (1 << 61) - 1
+_ROLL_P_SQL = "[" + ",".join(
+    f"{pow(1000003, 15 - j, _ROLL_M)}::HUGEINT" for j in range(16)
+) + "]"
+# identity: the rolling recurrence's final value per window equals the
+# direct polynomial sum mod M (mod arithmetic is associative), so the
+# SQL computes each window directly; short (<16 byte) docs take the
+# zero-padded single-window branch like the Python kernel
+SQL_ROLLING_FINGERPRINTS = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(16),
+             j -> ascii(substr(text, i + j, 1))::HUGEINT * ({_ROLL_P_SQL})[j + 1]))
+           % {_ROLL_M}::HUGEINT AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 14)) AS i)
+  WHERE length(text) >= 16
+  UNION ALL
+  SELECT doc_id,
+         list_sum(list_transform(range(16),
+             j -> (CASE WHEN j < length(text)
+                        THEN ascii(substr(text, j + 1, 1)) ELSE 0 END)::HUGEINT
+                  * ({_ROLL_P_SQL})[j + 1]))
+           % {_ROLL_M}::HUGEINT AS h
+  FROM documents WHERE length(text) < 16
+)
+SELECT doc_id, CAST(min(h) AS UBIGINT) AS fp_roll FROM w GROUP BY doc_id
+"""
 
 
 # ===========================================================================
@@ -1108,6 +1140,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dup_groups": SQL_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,
     "minhash_dup_recall": SQL_MINHASH_DUP_RECALL,
     "ann_ivf_full_probe": SQL_ANN_TOPK,
