@@ -10,16 +10,24 @@ pandas merge; cross-bucket combination is a C-level
 small, low-cardinality groups.
 
 Operators:
-- exact dedup: content-hash column (vectorized map_batches) ->
-  groupby(hash) keep-first.
-- MinHash-LSH near-dup: signatures (actor pool) -> band explode ->
-  bucket merge -> candidate pairs -> signature-estimated jaccard >= t.
+- exact dedup: content-hash column (vectorized map_batches) -> bounded
+  bucket shuffle -> per-bucket vectorized keep-min-id.
+- MinHash-LSH near-dup: signatures (actor pool) -> SLIM band rows
+  (doc_id, band_hash, bucket — never the signature) -> bucket merge ->
+  deduped candidates -> signatures attached via two bucketed joins ->
+  signature-agreement estimate >= t.
 - SimHash: 64-bit signature + bit-prefix bucket key.
-- n-gram Jaccard (exact): shingle explode -> bucketed co-occurrence
-  count -> exact jaccard.  SQL-expressible; backs the DuckDB oracle.
-- embedding cosine near-dup: blockwise float64 matmul against a
-  broadcast normalized matrix (brute-force baseline; bucketed scale
-  path in stages/ann.py).
+- n-gram Jaccard (exact): ppjoin-shaped — canonical-order prefix +
+  size + positional filters (all exact), df heavy-hitter broadcast,
+  set verification via bucketed attach joins.  SQL-expressible; backs
+  the DuckDB oracle.
+- dup_groups: connected components by min-label propagation with
+  pointer-jump shortcutting over bucketed label joins; label table
+  never collected to the driver.
+- embedding cosine near-dup: EXACT threshold join as a cluster-sorted
+  block-pair matmul over object-store refs with ball-bound pruning;
+  the table never lands on the driver (approximate scale path:
+  stages/ann.py IVF).
 """
 
 from __future__ import annotations
