@@ -161,6 +161,12 @@ def main() -> None:
         # and the per-partition pipeline spin-up amortizes away
         run_resumable(files, os.path.join(tmp, "out"), files_per_partition=4)
         timings["extract_write_resumable"] = round(time.perf_counter() - t0, 3)
+        # second invocation over the same out dir must SKIP all
+        # finished partitions (the mid-job restart story) — near-zero
+        t0 = time.perf_counter()
+        report = run_resumable(files, os.path.join(tmp, "out"), files_per_partition=4)
+        assert len(report["skipped"]) == report["n_partitions"], report
+        timings["extract_resume_skip"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
