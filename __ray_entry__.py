@@ -17,14 +17,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    import pyarrow.parquet as pq
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline
+    from rapidocr_ray.sources.pages import pages_ds_from_documents
 
-    from rapidocr_ray.pipelines.extract import extract_pages_table
-    from rapidocr_ray.sources.pages import pages_from_documents
-
-    docs = pq.read_table(f"{SF0001}/documents.parquet")
-    pages = pages_from_documents(docs)
-    return extract_pages_table(pages)
+    return build_extract_pipeline(pages_ds_from_documents(SF0001))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -52,20 +52,30 @@ def _init_ray():
 
 def bench_extract(sf_dir: str) -> tuple[float, int]:
     """Headline: full extraction pipeline (dedup -> route -> html fast
-    path + det/cls/rec cascade -> assembly) over pages synthesized from
-    documents.parquet."""
+    path + det/cls/rec cascade -> assembly) over a pages PARQUET
+    directory (synthesized once from documents.parquet, then read the
+    way production would read a crawl dump — streaming off storage with
+    the winners fast path)."""
+    import glob
     import pyarrow.parquet as pq
 
-    from rapidocr_ray.pipelines.extract import extract_pages_table
-    from rapidocr_ray.sources.pages import pages_from_documents
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline, read_pages
+    from rapidocr_ray.sources.pages import pages_from_documents, write_pages_parquet
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet")
-    pages = pages_from_documents(docs)
+    pages_dir = os.path.join(
+        "/tmp", f"rapidocr_ray_bench_pages_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    marker = os.path.join(pages_dir, "done")
+    if not os.path.isfile(marker):
+        docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        write_pages_parquet(pages_from_documents(docs), pages_dir, n_files=8)
+        open(marker, "w").close()
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     best = float("inf")
     n = 0
     for _ in range(2):  # best-of-2: shared-host load spikes
         t0 = time.perf_counter()
-        ds = extract_pages_table(pages, dedup=True)
+        ds = build_extract_pipeline(read_pages(files), dedup=True, winners_files=files)
         n = 0
         for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
             n += batch.num_rows

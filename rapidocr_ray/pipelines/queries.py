@@ -58,12 +58,10 @@ def _cents(x: np.ndarray) -> np.ndarray:
 
 
 def q_extract_pages(sf_dir: str):
-    from rapidocr_ray.pipelines.extract import extract_pages_table
-    from rapidocr_ray.sources.pages import pages_from_documents
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline
+    from rapidocr_ray.sources.pages import pages_ds_from_documents
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet")
-    pages = pages_from_documents(docs)
-    ds = extract_pages_table(pages, dedup=False)
+    ds = build_extract_pipeline(pages_ds_from_documents(sf_dir), dedup=False)
     return ds.select_columns(["url", "route", "extracted_text"])
 
 
@@ -81,11 +79,10 @@ def q_extract_metrics(sf_dir: str):
     """A6/A7 analog: per-route run metrics over the extraction output."""
     from ray.data.aggregate import Count, Sum
 
-    from rapidocr_ray.pipelines.extract import extract_pages_table
-    from rapidocr_ray.sources.pages import pages_from_documents
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline
+    from rapidocr_ray.sources.pages import pages_ds_from_documents
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet")
-    ds = extract_pages_table(pages_from_documents(docs), dedup=False)
+    ds = build_extract_pipeline(pages_ds_from_documents(sf_dir), dedup=False)
 
     def flags(batch: pa.Table) -> pa.Table:
         has_text = pc.cast(pc.is_valid(batch.column("extracted_text")), pa.int64())

@@ -60,6 +60,26 @@ def doc_url(doc_id: int) -> str:
     return f"https://docs.example/{doc_id}"
 
 
+def pages_ds_from_documents(sf_dir: str, rows_per_block: int = 128):
+    """Distributed pages synthesis: documents.parquet read as a Dataset
+    (pruned to the three consumed columns) with payload rendering inside
+    map_batches — the flagship input is never materialized driver-side,
+    matching how a real pages table would stream straight off storage."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rapidocr_ray.util import ensure_worker_importable
+
+    ensure_worker_importable()
+    path = f"{sf_dir}/documents.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    n_blocks = max(1, total // max(1, rows_per_block))
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text", "lang"], override_num_blocks=n_blocks
+    )
+    return ds.map_batches(pages_from_documents, batch_format="pyarrow")
+
+
 def pages_from_documents(doc_table: pa.Table) -> pa.Table:
     """documents(doc_id, text, lang, ...) -> pages table, 1 row per doc."""
     doc_ids = doc_table.column("doc_id").to_pylist()
