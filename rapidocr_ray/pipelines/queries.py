@@ -1039,14 +1039,10 @@ def q_ann_ivf_topk(sf_dir: str):
 def q_image_metadata(sf_dir: str):
     """Image decode actor-pool over the pages payload column: RBMP rows
     decode for real, html/empty rows surface typed decode errors."""
-    import ray.data
-
-    from rapidocr_ray.sources.pages import pages_from_documents
+    from rapidocr_ray.sources.pages import pages_ds_from_documents
     from rapidocr_ray.stages.multimodal import image_metadata_pipeline
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet")
-    pages = pages_from_documents(docs)
-    ds = ray.data.from_arrow(pages.select(["url", "html"]))
+    ds = pages_ds_from_documents(sf_dir).select_columns(["url", "html"])
     out = image_metadata_pipeline(ds)
     return out.select_columns(["url", "height", "width", "decode_ok"])
 
@@ -1063,14 +1059,10 @@ FROM documents
 
 def q_image_features(sf_dir: str):
     """Feature-extraction actor-pool (rows-only: float vectors)."""
-    import ray.data
-
-    from rapidocr_ray.sources.pages import pages_from_documents
+    from rapidocr_ray.sources.pages import pages_ds_from_documents
     from rapidocr_ray.stages.multimodal import image_feature_pipeline
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet")
-    pages = pages_from_documents(docs)
-    ds = ray.data.from_arrow(pages.select(["url", "html"]))
+    ds = pages_ds_from_documents(sf_dir).select_columns(["url", "html"])
     return image_feature_pipeline(ds)
 
 
