@@ -58,15 +58,37 @@ class MinHasher:
             vals = self.a[:, None] * shingles[None, :] + self.b[:, None]
         return vals.min(axis=1)
 
+    def band_hash_matrix(self, mat: np.ndarray, n_bands: int = 32) -> np.ndarray:
+        """Vectorized LSH banding for a whole batch: (n_docs, n_perm)
+        uint64 signatures -> (n_docs, n_bands) uint64 band hashes.
+
+        Equal band chunks hash equal (the LSH property); the mix is a
+        murmur-style xor-multiply fold over the r values of each band
+        plus a band-id term so identical chunks in different bands
+        don't collide.  One numpy pass over the batch — no per-row
+        python (the round-2 band explode hot spot)."""
+        n, n_perm = mat.shape
+        assert n_perm == self.n_perm
+        r = n_perm // n_bands
+        chunks = mat.reshape(n, n_bands, r)
+        m1 = np.uint64(0xFF51AFD7ED558CCD)
+        m2 = np.uint64(0xC4CEB9FE1A85EC53)
+        h = (np.arange(n_bands, dtype=np.uint64) * m2 + np.uint64(0x9E3779B97F4A7C15))[
+            None, :
+        ].repeat(n, axis=0)
+        with np.errstate(over="ignore"):
+            for j in range(r):  # r is small (4 at 128/32); docs axis vectorized
+                h = (h ^ chunks[:, :, j]) * m1
+                h ^= h >> np.uint64(33)
+                h *= m2
+            h ^= h >> np.uint64(29)
+        return h
+
     def band_keys(self, sig: np.ndarray, n_bands: int = 32) -> list[tuple[int, int]]:
-        """LSH banding: [(band_id, band_hash)] — equal keys = candidates."""
-        r = self.n_perm // n_bands
-        out = []
-        for band in range(n_bands):
-            chunk = sig[band * r:(band + 1) * r]
-            h = _stable_hash64("|".join(map(str, chunk.tolist())) + f"#{band}")
-            out.append((band, h))
-        return out
+        """LSH banding: [(band_id, band_hash)] — equal keys = candidates.
+        Single-row convenience over band_hash_matrix (same hashes)."""
+        h = self.band_hash_matrix(sig[None, :], n_bands)[0]
+        return [(band, int(h[band])) for band in range(n_bands)]
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -131,41 +131,71 @@ def dedup_by_url(
             .remote(winners_files, broadcast_limit)
         )
     else:
-        # generic-Dataset path: stream the two pruned columns and
-        # max-accumulate on the driver.  Timestamps stay int64 (epoch
-        # us) on both passes — materializing python datetime objects
-        # per row was the accumulation hot spot.
-        winners: dict = {}
+        # generic-Dataset path: materialize the input ONCE (the winners
+        # scan below would otherwise re-execute the full upstream
+        # lineage a second time when the main pass runs — for
+        # synthesized pages that meant rendering every glyph twice),
+        # then stream the two pruned columns and max-accumulate as
+        # per-batch vectorized groupby-max partials.  Timestamps stay
+        # int64 (epoch us) on both passes; the driver holds only the
+        # (url -> max ts) partials, combined C-level.
+        import pandas as _pd
+
+        ds = ds.materialize()
+        partials: list = []
+        n_pending = 0
         for batch in (
             ds.select_columns(["url", "warc_ts"])
             .iter_batches(batch_format="pyarrow", batch_size=65536)
         ):
-            urls = np.asarray(batch.column("url"))
-            ts = np.asarray(_pc.cast(batch.column("warc_ts"), _pa.int64()))
-            for u, t in zip(urls, ts):
-                prev = winners.get(u)
-                if prev is None or t > prev:
-                    winners[u] = t
-            if len(winners) > broadcast_limit:
-                raise ValueError(
-                    f"dedup_by_url broadcast path saw > {broadcast_limit} distinct "
-                    "urls; shard the input by url or use strict=True"
-                )
-        winners = {u: int(t) for u, t in winners.items()}
+            df = _pd.DataFrame(
+                {
+                    "u": batch.column("url").to_pandas(),
+                    "t": np.asarray(_pc.cast(batch.column("warc_ts"), _pa.int64())),
+                }
+            )
+            partials.append(df.groupby("u", sort=False)["t"].max())
+            n_pending += len(partials[-1])
+            if n_pending > max(65536, broadcast_limit // 8):
+                combined = _pd.concat(partials).groupby(level=0).max()
+                partials, n_pending = [combined], len(combined)
+                if len(combined) > broadcast_limit:
+                    raise ValueError(
+                        f"dedup_by_url broadcast path saw > {broadcast_limit} "
+                        "distinct urls; shard the input by url or use strict=True"
+                    )
+        agg = (
+            _pd.concat(partials).groupby(level=0).max()
+            if partials
+            else _pd.Series(dtype=np.int64)
+        )
+        if len(agg) > broadcast_limit:
+            raise ValueError(
+                f"dedup_by_url broadcast path saw > {broadcast_limit} distinct "
+                "urls; shard the input by url or use strict=True"
+            )
+        winners = {u: int(t) for u, t in zip(agg.index.to_numpy(), agg.to_numpy())}
         ref = _ray.put(winners)
 
     def keep_winners(batch):
         import numpy as _np
+        import pandas as _pd
         import pyarrow as pa
         import pyarrow.compute as pc
 
         m = _winners_cached(ref)
-        urls = _np.asarray(batch.column("url"))
         ts = _np.asarray(pc.cast(batch.column("warc_ts"), pa.int64()))
-        mask = _np.fromiter(
-            (m.get(u) == t for u, t in zip(urls, ts)), dtype=bool, count=len(urls)
+        # vectorized dict lookup (C-level .map); epoch-us values are
+        # well under 2^53 so the float64 NaN-for-missing round trip is
+        # exact, and -1 never matches a real capture timestamp
+        want = (
+            batch.column("url")
+            .to_pandas()
+            .map(m)
+            .fillna(-1)
+            .to_numpy(dtype=_np.int64)
         )
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(want == ts))
 
     return ds.map_batches(keep_winners, batch_format="pyarrow")
 

@@ -534,14 +534,15 @@ N_URL_BUCKETS = 256  # bounded shuffle fan-in for url-keyed groupbys
 def add_url_bucket(batch: pa.Table) -> pa.Table:
     """Stable url hash bucket — the explicit partition key for the
     dedup and assembly shuffles (ONE key reused across both,
-    SURVEY.md §7.3)."""
-    import hashlib
+    SURVEY.md §7.3).  pandas hash_array is a C-level siphash with a
+    fixed key: deterministic across processes/runs (unlike builtin
+    hash) and vectorized (the round-2 per-row blake2b loop is gone)."""
+    import pandas as pd
 
-    buckets = [
-        int.from_bytes(hashlib.blake2b(u.encode(), digest_size=4).digest(), "little")
-        % N_URL_BUCKETS
-        for u in batch.column("url").to_pylist()
-    ]
+    h = pd.util.hash_array(
+        batch.column("url").to_pandas().to_numpy(dtype=object)
+    )
+    buckets = (h % np.uint64(N_URL_BUCKETS)).astype(np.int32)
     return batch.append_column("url_bucket", pa.array(buckets, type=pa.int32()))
 
 

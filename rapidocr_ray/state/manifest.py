@@ -11,10 +11,17 @@ JSON manifest carrying lineage:
 
 On resume, ``run_resumable`` lists existing manifests, skips finished
 partitions, and processes only the remainder — a failed run at shard
-k restarts at shard k, never recomputing earlier shards.  At cluster
-scale each shard is itself a multi-block Dataset; the streaming
-executor parallelizes within a shard, and shards bound the blast
-radius of failures (SURVEY.md §4 checkpoint/resume row).
+k restarts at shard k, never recomputing earlier shards.
+
+Scale shape: the shard's output NEVER materializes on the driver.  The
+pipeline streams straight into ``Dataset.write_parquet`` (worker-side
+block writes into the ``.tmp`` dir), then manifest metrics and the
+content hash are computed by one narrow-column remote task per written
+file and merged on the driver as tiny dicts.  The content hash is a
+COMMUTATIVE digest (sum of per-row sha256(url || text) mod 2^256), so
+per-file partials merge associatively regardless of block order — the
+table-at-once ``write_partition`` path and the streamed path produce
+identical hashes by construction (covered by tests/test_manifest.py).
 """
 
 from __future__ import annotations
@@ -26,9 +33,24 @@ import shutil
 import time
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 MANIFEST_NAME = "manifest.json"
+
+_HASH_MOD = 1 << 256
+
+# narrow projection sufficient for metrics + content hash — the spans /
+# payload-adjacent columns are never re-read
+_METRIC_COLUMNS = [
+    "url",
+    "extracted_text",
+    "route",
+    "n_spans",
+    "det_elapse",
+    "cls_elapse",
+    "rec_elapse",
+]
 
 
 def partition_dir(out_dir: str, partition_id: int) -> str:
@@ -51,32 +73,86 @@ def completed_partitions(out_dir: str) -> set[int]:
     return done
 
 
-def _result_metrics(table: pa.Table) -> dict:
+def _partial_metrics(table: pa.Table, key: str = "url", value: str = "extracted_text") -> dict:
+    """Mergeable metrics + hash partial for one table/batch.
+
+    The hash term per row is sha256(key \\x00 value) read as a 256-bit
+    int; partials combine by modular addition, so any partitioning of
+    the rows yields the same final digest (duplicates accumulate — a
+    repeated row shifts the sum, unlike XOR which would cancel pairs).
+    """
     routes: dict[str, int] = {}
-    for v in table.column("route").to_pylist():
-        routes[v or "null"] = routes.get(v or "null", 0) + 1
-    spans = table.column("n_spans").to_pylist() if "n_spans" in table.schema.names else []
+    if "route" in table.schema.names:
+        vc = pc.value_counts(table.column("route"))
+        for item in vc:
+            k = item["values"].as_py()
+            routes[k or "null"] = routes.get(k or "null", 0) + item["counts"].as_py()
+    n_spans = 0
+    if "n_spans" in table.schema.names:
+        s = pc.sum(table.column("n_spans"))
+        n_spans = int(s.as_py() or 0)
     elapses = {}
     for col in ("det_elapse", "cls_elapse", "rec_elapse"):
         if col in table.schema.names:
-            vals = [v for v in table.column(col).to_pylist() if v is not None]
-            elapses[col] = round(sum(vals), 6)
+            s = pc.sum(table.column(col))
+            elapses[col] = float(s.as_py() or 0.0)
+    joined = pc.binary_join_element_wise(
+        pc.fill_null(pc.cast(table.column(key), pa.string()), "None"),
+        pc.fill_null(pc.cast(table.column(value), pa.string()), "None"),
+        "\x00",
+    )
+    h = 0
+    for v in joined.to_pylist():
+        h = (h + int.from_bytes(hashlib.sha256(v.encode("utf-8")).digest(), "big")) % _HASH_MOD
     return {
         "row_count": table.num_rows,
-        "n_spans": int(sum(s or 0 for s in spans)),
+        "n_spans": n_spans,
         "routes": routes,
         "elapses": elapses,
+        "hash_int": h,
     }
+
+
+def _merge_partials(partials: list[dict]) -> dict:
+    routes: dict[str, int] = {}
+    elapses: dict[str, float] = {}
+    rows = spans = h = 0
+    for p in partials:
+        rows += p["row_count"]
+        spans += p["n_spans"]
+        h = (h + p["hash_int"]) % _HASH_MOD
+        for k, v in p["routes"].items():
+            routes[k] = routes.get(k, 0) + v
+        for k, v in p["elapses"].items():
+            elapses[k] = elapses.get(k, 0.0) + v
+    return {
+        "row_count": rows,
+        "n_spans": spans,
+        "routes": routes,
+        "elapses": {k: round(v, 6) for k, v in elapses.items()},
+        "content_hash": format(h, "064x"),
+    }
+
+
+def _file_metrics(path: str) -> dict:
+    """Remote-task body: metrics partial for one written parquet file,
+    reading only the narrow metric columns."""
+    t = pq.read_table(path, columns=_METRIC_COLUMNS)
+    return _partial_metrics(t)
 
 
 def content_hash(table: pa.Table, key: str = "url", value: str = "extracted_text") -> str:
     """Order-insensitive digest of (key, value) pairs — the lineage
     field a verifier uses to compare reruns without re-reading rows."""
-    pairs = sorted(
-        f"{k}\x00{v}"
-        for k, v in zip(table.column(key).to_pylist(), table.column(value).to_pylist())
-    )
-    return hashlib.sha256("\x01".join(pairs).encode("utf-8")).hexdigest()
+    return _merge_partials([_partial_metrics(table, key=key, value=value)])["content_hash"]
+
+
+def _write_manifest(tmp: str, final: str, manifest: dict) -> None:
+    with open(os.path.join(tmp, MANIFEST_NAME), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
 
 
 def write_partition(
@@ -86,7 +162,9 @@ def write_partition(
     input_files: list[str],
     input_span: tuple[int, int] | None = None,
 ) -> dict:
-    """Atomic write: parquet + manifest into <part>.tmp, then rename."""
+    """Atomic table-at-once write: parquet + manifest into <part>.tmp,
+    then rename.  For small in-memory results; the streamed path in
+    ``run_resumable`` covers shards that must never fit on one node."""
     final = partition_dir(out_dir, partition_id)
     tmp = final + ".tmp"
     if os.path.isdir(tmp):
@@ -98,14 +176,59 @@ def write_partition(
         "input_files": input_files,
         "input_span": list(input_span) if input_span else None,
         "written_at": time.time(),
-        "content_hash": content_hash(table),
-        **_result_metrics(table),
+        **_merge_partials([_partial_metrics(table)]),
     }
-    with open(os.path.join(tmp, MANIFEST_NAME), "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1)
-    if os.path.isdir(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+    _write_manifest(tmp, final, manifest)
+    return manifest
+
+
+def write_partition_streamed(
+    out_dir: str,
+    partition_id: int,
+    result,
+    input_files: list[str],
+    input_span: tuple[int, int] | None = None,
+) -> dict:
+    """Atomic streamed write of a Dataset partition.
+
+    The Dataset streams worker-side into ``<part>.tmp`` via
+    ``write_parquet`` (one file per output block — resumable output,
+    never one giant file), then one remote task per written file
+    computes the metrics/hash partial over the narrow columns and the
+    driver merges the tiny partial dicts.  Driver memory is O(#files),
+    independent of partition row count."""
+    import ray
+
+    from rapidocr_ray.stages.ray_stages import FINAL_SCHEMA
+
+    final = partition_dir(out_dir, partition_id)
+    tmp = final + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    result.write_parquet(tmp)
+    files = sorted(
+        os.path.join(tmp, name)
+        for name in os.listdir(tmp)
+        if name.endswith(".parquet")
+    )
+    if not files:
+        # write_parquet emits nothing for an empty stream; keep the
+        # partition readable with an explicit empty file
+        empty = os.path.join(tmp, "data.parquet")
+        pq.write_table(FINAL_SCHEMA.empty_table(), empty)
+        files = [empty]
+    task = ray.remote(num_cpus=1)(_file_metrics)
+    partials = ray.get([task.remote(f) for f in files])
+    manifest = {
+        "partition_id": partition_id,
+        "input_files": input_files,
+        "input_span": list(input_span) if input_span else None,
+        "written_at": time.time(),
+        "output_files": [os.path.basename(f) for f in files],
+        **_merge_partials(partials),
+    }
+    _write_manifest(tmp, final, manifest)
     return manifest
 
 
@@ -123,9 +246,7 @@ def run_resumable(
     the partition key of the upstream sharding at production scale, so
     cross-shard duplicates do not occur when inputs are url-sharded;
     for unsharded inputs pass files_per_partition=len(input_files))."""
-    import ray.data
-
-    from rapidocr_ray.pipelines.extract import build_extract_pipeline
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline, read_pages
 
     os.makedirs(out_dir, exist_ok=True)
     groups = [
@@ -140,19 +261,9 @@ def run_resumable(
             with open(manifest_path(out_dir, pid), encoding="utf-8") as f:
                 manifests.append(json.load(f))
             continue
-        from rapidocr_ray.stages.ray_stages import FINAL_SCHEMA
-
-        from rapidocr_ray.pipelines.extract import read_pages
-
         ds = read_pages(group)
-        result = build_extract_pipeline(ds, cfg=cfg, dedup=dedup)
-        batches = list(result.iter_batches(batch_format="pyarrow", batch_size=4096))
-        table = (
-            pa.concat_tables(batches)
-            if batches
-            else FINAL_SCHEMA.empty_table()
-        )
-        manifests.append(write_partition(out_dir, pid, table, group))
+        result = build_extract_pipeline(ds, cfg=cfg, dedup=dedup, winners_files=group)
+        manifests.append(write_partition_streamed(out_dir, pid, result, group))
     return {
         "out_dir": out_dir,
         "n_partitions": len(groups),

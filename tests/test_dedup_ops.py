@@ -209,3 +209,35 @@ def test_dedup_by_url_winners_files_matches_generic(ray_session, tmp_path):
     assert generic.url.tolist() == fast.url.tolist() == ["a", "b", "c"]
     assert (generic.warc_ts == fast.warc_ts).all()
     assert generic.html.tolist() == fast.html.tolist()
+
+def test_embedding_cosine_many_blocks_pruning_exact(ray_session):
+    """B >= 64 blocks through the distributed block-pair scheduler:
+    the pruned plan must still return the EXACT threshold-join result
+    (oracle: dense numpy all-pairs on the same vectors)."""
+    import ray.data
+
+    from rapidocr_ray.stages.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(17)
+    n, d = 640, 16
+    # clustered corpus so pruning actually fires: 8 well-separated
+    # centers + per-point noise, plus planted near-dup pairs
+    centers = rng.normal(size=(8, d)) * 6
+    mat = centers[rng.integers(0, 8, n)] + rng.normal(scale=0.3, size=(n, d))
+    mat[n - 5:] = mat[:5] + rng.normal(scale=0.005, size=(5, d))
+    tbl = pa.table(
+        {
+            "vec_id": list(range(n)),
+            "embedding": [list(map(float, v)) for v in mat],
+        }
+    )
+    thr = 0.9
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ii, jj = np.where(np.triu(sims >= thr, k=1))
+    expected = set(zip(ii.tolist(), jj.tolist()))
+
+    ds = ray.data.from_arrow(tbl)
+    out = embedding_cosine_pairs(ds, threshold=thr, rows_per_block=10).to_pandas()
+    got = {(int(r.vec_a), int(r.vec_b)) for r in out.itertuples()}
+    assert got == expected

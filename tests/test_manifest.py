@@ -62,3 +62,61 @@ def test_incomplete_partition_without_manifest_not_counted(tmp_path):
     out = str(tmp_path / "out")
     os.makedirs(os.path.join(out, "part-00003"))
     assert mf.completed_partitions(out) == set()
+
+def test_streamed_hash_matches_table_path(ray_session, tmp_path):
+    """The commutative digest must be identical whether a partition is
+    written table-at-once or streamed block-by-block (the 100-TB path)."""
+    import pyarrow as pa
+
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline, read_pages
+
+    d = tmp_path / "pages"
+    table = synth_pages(60, seed=9)
+    paths = write_pages_parquet(table, str(d), n_files=2)
+
+    result = build_extract_pipeline(read_pages(paths), dedup=True, winners_files=paths)
+    collected = pa.concat_tables(
+        list(result.iter_batches(batch_format="pyarrow", batch_size=1024))
+    )
+    m_table = mf.write_partition(str(tmp_path / "out_t"), 0, collected, paths)
+
+    result2 = build_extract_pipeline(read_pages(paths), dedup=True, winners_files=paths)
+    m_stream = mf.write_partition_streamed(str(tmp_path / "out_s"), 0, result2, paths)
+
+    assert m_table["content_hash"] == m_stream["content_hash"]
+    assert m_table["row_count"] == m_stream["row_count"]
+    assert m_table["n_spans"] == m_stream["n_spans"]
+    assert m_table["routes"] == m_stream["routes"]
+
+
+def test_streamed_partition_larger_than_one_block(ray_session, tmp_path):
+    """A partition spanning many blocks streams into multiple parquet
+    files — no driver-side concat — and the manifest merges partials."""
+    d = tmp_path / "pages"
+    table = synth_pages(400, seed=13)
+    paths = write_pages_parquet(table, str(d), n_files=1)
+    report = mf.run_resumable(paths, str(tmp_path / "out"))
+    m = report["manifests"][0]
+    n_urls = len(set(table.column("url").to_pylist()))
+    assert m["row_count"] == n_urls  # latest-capture-wins dedup ran
+    assert len(m["output_files"]) > 1  # streamed: one file per output block
+    # resume: identical digest on recompute
+    import shutil
+
+    shutil.rmtree(mf.partition_dir(str(tmp_path / "out"), 0))
+    again = mf.run_resumable(paths, str(tmp_path / "out"))
+    assert again["manifests"][0]["content_hash"] == m["content_hash"]
+
+
+def test_content_hash_order_insensitive():
+    import pyarrow as pa
+
+    t1 = pa.table({"url": ["a", "b", "c"], "extracted_text": ["x", "y", "z"]})
+    t2 = pa.table({"url": ["c", "a", "b"], "extracted_text": ["z", "x", "y"]})
+    t3 = pa.table({"url": ["a", "b", "c"], "extracted_text": ["x", "y", "q"]})
+    assert mf.content_hash(t1) == mf.content_hash(t2)
+    assert mf.content_hash(t1) != mf.content_hash(t3)
+    # duplicates shift the digest (modular sum, not XOR)
+    t4 = pa.table({"url": ["a", "a"], "extracted_text": ["x", "x"]})
+    t5 = pa.table({"url": ["a"], "extracted_text": ["x"]})
+    assert mf.content_hash(t4) != mf.content_hash(t5)

@@ -81,7 +81,9 @@ def test_cli_end_to_end(ray_session, tmp_path):
     )
     assert rc == 0
     assert os.path.isfile(out_dir / "part-00000" / "manifest.json")
-    assert os.path.isfile(out_dir / "part-00001" / "data.parquet")
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(out_dir / "part-00001")
+    )  # streamed sink: one file per output block, Ray-named
     # resume run skips both
     rc2 = main(["--input", str(in_dir / "*.parquet"), "--output", str(out_dir)])
     assert rc2 == 0
