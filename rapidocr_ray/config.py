@@ -38,6 +38,10 @@ class GlobalConfig:
                                      # monopolizing an actor (SURVEY.md §4 skew)
     backend: str = "kernel"          # T2 session backend strategy
                                      # ('kernel' | 'contract', state/models.py)
+    use_most_angle: bool = False     # A4 per-document angle vote (C++-only
+                                     # feature, AngleNet.cpp:113-130): vote
+                                     # over a doc's UNROTATED crop labels,
+                                     # rotate all crops or none
 
 
 @dataclass(frozen=True)

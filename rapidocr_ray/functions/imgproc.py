@@ -65,7 +65,12 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
     The reference resizes with cv2 INTER_LINEAR at M1/M10/M13
     (ch_ppocr_v3_det/utils.py:184, ch_ppocr_v2_cls/text_cls.py:85,
-    ch_ppocr_v3_rec/text_recognize.py:87)."""
+    ch_ppocr_v3_rec/text_recognize.py:87).
+
+    Grayscale-only contract: 2-D (H, W) input (the engine's bitmaps are
+    single-channel end-to-end); the separable weight arrays broadcast
+    against 2-D only."""
+    assert img.ndim == 2, "resize_bilinear expects a 2-D grayscale image"
     src_h, src_w = img.shape[:2]
     if (out_h, out_w) == (src_h, src_w):
         return img
@@ -428,9 +433,12 @@ def box_score_fast(pred: np.ndarray, box: np.ndarray) -> float:
     b[:, 1] -= ymin
     bi = np.floor(b).astype(np.int64)
     window = pred[ymin:ymax + 1, xmin:xmax + 1]
-    if _axis_aligned(bi):
-        # the filled quad covers its own AABB window exactly — the
-        # common case (axis-aligned text): score = plain window mean
+    if _axis_aligned(bi) and np.all(b == bi):
+        # the filled INTEGRAL quad covers its own AABB window exactly —
+        # the common case (axis-aligned text): score = plain window
+        # mean.  Fractional corners that merely FLOOR to axis-aligned
+        # must take the mask path: the ceil-extended window includes an
+        # uncovered fractional margin the mask correctly excludes
         return float(window.mean())
     mask = fill_poly_mask(window.shape, bi)
     if not mask.any():

@@ -25,7 +25,12 @@ from rapidocr_ray.functions.imgproc import (
     whole_image_box,
 )
 from rapidocr_ray.glyphs import decode_rbmp
-from rapidocr_ray.stages.cascade import TextClassifier, TextDetector, TextRecognizer
+from rapidocr_ray.stages.cascade import (
+    TextClassifier,
+    TextDetector,
+    TextRecognizer,
+    apply_most_angle,
+)
 from rapidocr_ray.stages.ray_stages import FINAL_SCHEMA, sniff_route
 from rapidocr_ray.state.models import ModelRegistry
 
@@ -82,7 +87,13 @@ class OracleExtractor:
         crops = [crop_box(img, np.asarray(b)) for b in boxes]  # M9
         if g.use_cls:
             t1 = time.perf_counter()
-            crops, _cls_res = self.classifier(crops, lang)
+            if g.use_most_angle:
+                # A4 mostAngle (OcrLite.cpp:150-160): per-document vote
+                # over the unrotated crops, rotate all or none
+                cls_res = self.classifier.classify_only(crops, lang)
+                crops = apply_most_angle(crops, cls_res)
+            else:
+                crops, _cls_res = self.classifier(crops, lang)
             row["cls_elapse"] = time.perf_counter() - t1
         t2 = time.perf_counter()
         rec_res = self.recognizer(crops, lang)

@@ -219,11 +219,18 @@ FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
 """
 
 
-def q_revenue_by_mktsegment(sf_dir: str):
+def q_revenue_by_mktsegment(sf_dir: str, broadcast_limit: int = 20_000_000):
     """Broadcast join (J3 pattern): small customer side ray.put once,
-    looked up per batch — no shuffle join."""
+    looked up vectorized per batch — no shuffle join.  Guarded by
+    ``broadcast_limit`` (the dedup_by_url discipline): past the limit
+    the customer side no longer fits one node's heap and the query
+    falls back to the bucketed shuffle join."""
     import ray
     from ray.data.aggregate import Count, Sum
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust > broadcast_limit:
+        return _revenue_by_mktsegment_bucketed(sf_dir)
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -237,7 +244,7 @@ def q_revenue_by_mktsegment(sf_dir: str):
 
     def join(batch: pa.Table) -> pa.Table:
         lk = ray.get(ref)
-        segs = [lk.get(k) for k in batch.column("o_custkey").to_pylist()]
+        segs = batch.column("o_custkey").to_pandas().map(lk)
         return pa.table(
             {
                 "c_mktsegment": pa.array(segs, type=pa.string()),
@@ -252,6 +259,84 @@ def q_revenue_by_mktsegment(sf_dir: str):
         .groupby("c_mktsegment")
         .aggregate(
             Count(alias_name="n_orders"), Sum("total_cents", alias_name="revenue_cents")
+        )
+    )
+
+
+def _revenue_by_mktsegment_bucketed(sf_dir: str, n_buckets: int = 64):
+    """Large-customer fallback: both sides bucketed by hash(custkey),
+    per-bucket vectorized pandas merge + partial aggregate, then a
+    tiny final groupby over (segment) — custkey cardinality never
+    becomes a Ray groupby key."""
+    from ray.data.aggregate import Sum
+
+    phi = np.uint64(2654435761)
+    side_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("tag", pa.string()),
+            ("seg", pa.string()),
+            ("cents", pa.int64()),
+            ("bucket", pa.uint64()),
+        ]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        n = len(k)
+        return pa.table(
+            {
+                "key": k,
+                "tag": np.full(n, "c", dtype=object),
+                "seg": batch.column("c_mktsegment"),
+                "cents": np.zeros(n, dtype=np.int64),
+                "bucket": (k.astype(np.uint64) * phi) % np.uint64(n_buckets),
+            },
+            schema=side_schema,
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        n = len(k)
+        return pa.table(
+            {
+                "key": k,
+                "tag": np.full(n, "o", dtype=object),
+                "seg": pa.nulls(n, pa.string()),
+                "cents": _cents(np.asarray(batch.column("o_totalprice"))).astype(np.int64),
+                "bucket": (k.astype(np.uint64) * phi) % np.uint64(n_buckets),
+            },
+            schema=side_schema,
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        cust_side, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        order_side, batch_format="pyarrow"
+    )
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        segs = g[g.tag == "c"][["key", "seg"]]
+        ords = g[g.tag == "o"][["key", "cents"]]
+        m = ords.merge(segs, on="key")
+        part = m.groupby("seg", sort=False)["cents"].agg(["count", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                "c_mktsegment": part.seg,
+                "n_part": part["count"].astype(np.int64),
+                "cents_part": part["sum"].astype(np.int64),
+            }
+        )
+
+    return (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_part", alias_name="n_orders"),
+            Sum("cents_part", alias_name="revenue_cents"),
         )
     )
 
@@ -707,6 +792,15 @@ def q_rolling_fingerprints(sf_dir: str):
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        for i, t in enumerate(texts):
+            # enforce (don't assume) the ASCII precondition: the Python
+            # kernel hashes UTF-8 BYTES while the SQL oracle hashes code
+            # points (ascii()/substr) — identical only for ASCII text
+            if not t.isascii():
+                raise ValueError(
+                    f"rolling_fingerprints requires ASCII text; doc_id="
+                    f"{ids[i]} contains non-ASCII characters"
+                )
         return pa.table(
             {"doc_id": ids, "fp_roll": [rolling_fingerprint(t) for t in texts]},
             schema=pa.schema([("doc_id", pa.int64()), ("fp_roll", pa.uint64())]),
@@ -1031,6 +1125,83 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, ids, mat, k=5)
 
 
+def q_ann_ivf_invariant(sf_dir: str):
+    """Hash-checked invariant pinning the approximate IVF path: for
+    every query, the IVF list must return exactly k neighbors, each
+    returned pair's EXACT cosine (recomputed independently against the
+    streamed corpus, not read from the IVF output) must order the list
+    consistently with its ranks (ties broken by neighbor_id asc).  The
+    oracle is the constant truth table — any plumbing break (wrong
+    sims, bad ordering, short lists) flips a row and fails the hash."""
+    import ray
+
+    from rapidocr_ray.stages.ann import _normalize, _stack_embeddings, ivf_topk
+
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = ivf_topk(ds, ids, mat, k=5).to_pandas()  # n_queries*k rows (tiny)
+    qn = _normalize(np.asarray(mat, dtype=np.float64))
+    qidx = {int(q): i for i, q in enumerate(ids)}
+    pref = ray.put((pairs, qn, qidx))
+
+    sim_schema = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()), ("sim", pa.float64()),
+         ("neighbor_id", pa.int64())]
+    )
+
+    def attach_exact_sim(batch: pa.Table) -> pa.Table:
+        p, qn_, qidx_ = ray.get(pref)
+        c_ids, c_mat = _stack_embeddings(batch)
+        cn = _normalize(c_mat)
+        sel = p[p.neighbor_id.isin(c_ids)]
+        if sel.empty:
+            return sim_schema.empty_table()
+        pos = {int(v): i for i, v in enumerate(c_ids)}
+        sims = [
+            float(qn_[qidx_[int(q)]] @ cn[pos[int(n)]])
+            for q, n in zip(sel.query_id, sel.neighbor_id)
+        ]
+        return pa.table(
+            {
+                "query_id": sel.query_id.to_numpy().astype(np.int64),
+                "rank": sel["rank"].to_numpy().astype(np.int64),
+                "sim": np.asarray(sims, dtype=np.float64),
+                "neighbor_id": sel.neighbor_id.to_numpy().astype(np.int64),
+            },
+            schema=sim_schema,
+        )
+
+    sims_ds = ds.map_batches(attach_exact_sim, batch_format="pyarrow")
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank")
+        s = g.sim.to_numpy()
+        n = g.neighbor_id.to_numpy()
+        d = np.diff(s)
+        # non-increasing sims (1e-9 float slack for gemm-vs-dot
+        # accumulation order); equal sims must be id-ascending
+        order_ok = bool(
+            np.all(d <= 1e-9) and np.all((np.abs(d) > 1e-9) | (np.diff(n) > 0))
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [int(g.query_id.iloc[0])],
+                "k_returned": [int(len(g))],
+                "ordering_ok": [order_ok],
+            }
+        )
+
+    return sims_ds.groupby("query_id").map_groups(check, batch_format="pandas")
+
+
+SQL_ANN_IVF_INVARIANT = """
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST(5 AS BIGINT) AS k_returned,
+       TRUE AS ordering_ok
+FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
+"""
+
+
 # ===========================================================================
 # 6. Multimodal plumbing
 # ===========================================================================
@@ -1058,12 +1229,109 @@ FROM documents
 
 
 def q_image_features(sf_dir: str):
-    """Feature-extraction actor-pool (rows-only: float vectors)."""
+    """Feature-extraction actor-pool over decoded pixels, emitted as
+    EXACT integer-scaled profile bins (long format) so the DuckDB
+    oracle can re-derive them analytically from documents.text via the
+    embedded glyph-constant table (the SQL_IMAGE_METADATA pattern)."""
     from rapidocr_ray.sources.pages import pages_ds_from_documents
-    from rapidocr_ray.stages.multimodal import image_feature_pipeline
+    from rapidocr_ray.stages.multimodal import image_feature_bins_pipeline
 
     ds = pages_ds_from_documents(sf_dir).select_columns(["url", "html"])
-    return image_feature_pipeline(ds)
+    return image_feature_bins_pipeline(ds)
+
+
+def _image_features_sql() -> str:
+    """Build the image_features oracle: per-char glyph ink constants
+    (the same deterministic alphabet the renderer uses) embedded as a
+    VALUES table; the page model matches pages_from_documents — single
+    line at margin 8, height 28, width max(9*len-1, 64) + 16.  Row ink
+    lands in bins 4/5/6 (glyph rows 0-5 at image rows 8-13 under
+    array_split(28, 16)) plus bin 9 (row-11 anchors at image row 19);
+    column ink is mapped through the array_split inverse-bin formula.
+    All arithmetic integer — bit-exact vs ImageFeatureBinsStage."""
+    from rapidocr_ray.glyphs import CHARSET, GLYPHS
+
+    rows = []
+    for ch in CHARSET:
+        g = GLYPHS[ch].astype(int)
+        col_ink = g.sum(axis=0)
+        lit = ch.replace("'", "''")
+        rows.append(
+            "('%s',%d,%d,%d,%d,%d,%s)"
+            % (
+                lit,
+                g[0:2].sum(),
+                g[2:4].sum(),
+                g[4:6].sum(),
+                int(g[11].sum()),
+                int(g.sum()),
+                ",".join(str(int(x)) for x in col_ink),
+            )
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH gtab(ch, s01, s23, s45, anchor, tot, c0,c1,c2,c3,c4,c5,c6,c7) AS (VALUES
+  {values}),
+docs AS (
+  SELECT doc_id,
+         'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+         text,
+         GREATEST(9*LENGTH(text)-1, 64) + 16 AS w
+  FROM documents
+  WHERE doc_id % 20 BETWEEN 16 AND 18
+),
+chars AS (
+  SELECT doc_id, w, text, UNNEST(RANGE(LENGTH(text))) AS pos FROM docs
+),
+cg AS (
+  SELECT c.doc_id, c.w, c.pos, g.*
+  FROM (SELECT doc_id, w, pos, SUBSTR(text, CAST(pos AS INT) + 1, 1) AS ch
+        FROM chars) c
+  JOIN gtab g USING (ch)
+),
+tot AS (
+  SELECT d.doc_id, GREATEST(COALESCE(SUM(g.tot), 0), 1) AS total
+  FROM docs d LEFT JOIN cg g USING (doc_id) GROUP BY d.doc_id
+),
+rowink AS (
+  SELECT doc_id, b.bin,
+         SUM(CASE b.bin WHEN 4 THEN s01 WHEN 5 THEN s23 WHEN 6 THEN s45
+                        WHEN 9 THEN anchor ELSE 0 END) AS ink
+  FROM cg CROSS JOIN (SELECT UNNEST(RANGE(16)) AS bin) b
+  GROUP BY doc_id, b.bin
+),
+colcells AS (
+  SELECT doc_id, w, 8 + 9*pos + cc.c AS x,
+         CASE cc.c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                   WHEN 4 THEN c4 WHEN 5 THEN c5 WHEN 6 THEN c6 ELSE c7 END AS ink
+  FROM cg CROSS JOIN (SELECT UNNEST(RANGE(8)) AS c) cc
+),
+colink AS (
+  SELECT doc_id,
+         CASE WHEN x < (w % 16) * (w // 16 + 1)
+              THEN x // (w // 16 + 1)
+              ELSE (w % 16) + (x - (w % 16) * (w // 16 + 1)) // (w // 16)
+         END AS bin,
+         SUM(ink) AS ink
+  FROM colcells GROUP BY doc_id, bin
+),
+grid AS (
+  SELECT d.doc_id, d.url, k.kind, b.bin
+  FROM docs d
+  CROSS JOIN (SELECT UNNEST(['row','col']) AS kind) k
+  CROSS JOIN (SELECT UNNEST(RANGE(16)) AS bin) b
+)
+SELECT g.url, g.kind, CAST(g.bin AS BIGINT) AS bin,
+       CAST((2000000 * COALESCE(CASE WHEN g.kind = 'row' THEN r.ink ELSE c.ink END, 0)
+             + t.total) // (2 * t.total) AS BIGINT) AS ink_scaled
+FROM grid g
+JOIN tot t USING (doc_id)
+LEFT JOIN rowink r ON g.kind = 'row' AND r.doc_id = g.doc_id AND r.bin = g.bin
+LEFT JOIN colink c ON g.kind = 'col' AND c.doc_id = g.doc_id AND c.bin = g.bin
+"""
+
+
+SQL_IMAGE_FEATURES = _image_features_sql()
 
 
 # ===========================================================================
@@ -1102,6 +1370,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "image_features": q_image_features,
 }
@@ -1136,4 +1405,6 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "image_metadata": SQL_IMAGE_METADATA,
+    "image_features": SQL_IMAGE_FEATURES,
+    "ann_ivf_invariant": SQL_ANN_IVF_INVARIANT,
 }

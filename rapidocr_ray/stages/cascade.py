@@ -206,8 +206,15 @@ def deskew_band(band: np.ndarray) -> np.ndarray:
 
 
 def crop_wh_ratio(img: np.ndarray) -> float:
-    """w/h of the rectified (tight) band — the M16 sort key."""
-    band = tight_ink_crop(img)
+    """w/h of the rectified (tight, DESKEWED) band — the M16 sort key.
+
+    Deskew must be applied here too: rec_resize_norm_ch0 resizes the
+    deskewed band, and deskew can shrink the band height (raising its
+    aspect); deriving max_wh_ratio from the non-deskewed crop would cap
+    imgW below the band's true aspect and force a non-integer resize on
+    rotated crops.  Axis-aligned bands pass through deskew unchanged,
+    so the clean path is unaffected."""
+    band = deskew_band(tight_ink_crop(img))
     return band.shape[1] / float(band.shape[0])
 
 

@@ -130,6 +130,30 @@ def minhash_signatures(ds, n_perm: int = 128, k: int = 3, seed: int = 7):
     )
 
 
+_SIG_MATRIX_CACHE: dict = {}
+
+
+def _sig_matrix_cached(key: tuple, refs: list):
+    """Per-worker cache of the broadcast signature matrix: object-store
+    block refs -> (sorted doc_id vector, row-aligned uint64 matrix).
+    Built once per worker (ray.get reads the blocks zero-copy); lookups
+    downstream are vectorized searchsorted."""
+    if key not in _SIG_MATRIX_CACHE:
+        import ray as _ray
+
+        tables = _ray.get(list(refs))
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        n_perm = len(t.column("sig")[0])
+        mat = np.asarray(
+            t.column("sig").combine_chunks().flatten(), dtype=np.uint64
+        ).reshape(len(ids), n_perm)
+        order = np.argsort(ids)
+        _SIG_MATRIX_CACHE.clear()  # one broadcast matrix at a time per worker
+        _SIG_MATRIX_CACHE[key] = (ids[order], mat[order])
+    return _SIG_MATRIX_CACHE[key]
+
+
 def minhash_lsh_pairs(
     ds,
     n_perm: int = 128,
@@ -137,17 +161,26 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     seed: int = 7,
+    sig_broadcast_bytes: int = 1 << 30,
 ):
     """documents -> candidate near-dup pairs (doc_a, doc_b, est_jaccard)
     with est_jaccard (signature agreement fraction) >= threshold.
 
     Scale shape: signatures are n_perm*8 bytes/doc regardless of doc
-    size and are shipped through shuffles exactly TWICE (the two attach
-    passes) — band rows carry only (doc_id, band_hash, bucket), never
-    the signature, so the banding shuffle is n_bands narrow rows per
-    doc instead of n_bands full signature copies.  Candidate pairing is
-    a vectorized merge per bounded bucket; est_jaccard is computed once
-    per deduped candidate on the attached signature pair."""
+    size; band rows carry only (doc_id, band_hash, bucket), never the
+    signature, so the banding shuffle is n_bands narrow rows per doc
+    instead of n_bands full signature copies.  Candidate pairing is a
+    vectorized merge per bounded bucket.
+
+    Scoring is adaptive, mirroring dedup_by_url's broadcast_limit
+    discipline: while the signature table fits ``sig_broadcast_bytes``
+    (~1 GB default — n_perm*8 bytes/doc ≈ 1M docs/GB, i.e. a per-shard
+    corpus), its blocks are read once per worker from the object store
+    and est_jaccard is computed INSIDE the band-bucket groupby — the
+    only remaining shuffles are the narrow band rows and the tiny
+    scored-pair dedup.  Beyond the budget it falls back to the two
+    bucketed attach joins (each signature shipped exactly twice, no
+    broadcast) — the 100-TB path."""
     hasher = MinHasher(n_perm=n_perm, seed=seed)
     sig_ds = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed).materialize()
 
@@ -180,6 +213,55 @@ def minhash_lsh_pairs(
 
     band_ds = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+    )
+
+    if sig_ds.size_bytes() <= sig_broadcast_bytes:
+        refs = sig_ds.to_arrow_refs()
+        refs_key = tuple(r.hex() for r in refs)
+
+        def bucket_pairs_scored(group: pd.DataFrame) -> pa.Table:
+            g = group[["doc_id", "band_hash"]].drop_duplicates()
+            m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
+            m = m[m.doc_id_a < m.doc_id_b][["doc_id_a", "doc_id_b"]].drop_duplicates()
+            if m.empty:
+                return out_schema.empty_table()
+            ids, mat = _sig_matrix_cached(refs_key, refs)
+            ra = np.searchsorted(ids, m.doc_id_a.to_numpy())
+            rb = np.searchsorted(ids, m.doc_id_b.to_numpy())
+            est = (mat[ra] == mat[rb]).mean(axis=1)
+            keep = est >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(m.doc_id_a.to_numpy()[keep].astype(np.int64)),
+                    "doc_b": pa.array(m.doc_id_b.to_numpy()[keep].astype(np.int64)),
+                    "est_jaccard": pa.array(est[keep].astype(np.float64)),
+                },
+                schema=out_schema,
+            )
+
+        scored = band_ds.groupby("bucket").map_groups(
+            bucket_pairs_scored, batch_format="pandas"
+        )
+
+        # a pair found in several bands lands in several buckets: one
+        # bucketed pass over the (tiny) scored stream drops duplicates
+        def pair_bucket(b: pa.Table) -> pa.Table:
+            a = b.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return b.append_column(
+                "pbucket", pa.array((a * _PHI) % N_BUCKETS, type=pa.uint64())
+            )
+
+        def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
+
+        return (
+            scored.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket")
+            .map_groups(drop_dup, batch_format="pandas")
+        )
+
     cand_schema = pa.schema(
         [
             ("doc_a", pa.int64()),
@@ -207,10 +289,6 @@ def minhash_lsh_pairs(
         )
 
     cand_ds = band_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-
-    out_schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
-    )
 
     def score(m: pd.DataFrame) -> pa.Table:
         sig_a = np.stack([np.asarray(x, dtype=np.uint64) for x in m.sh_a.to_numpy()])

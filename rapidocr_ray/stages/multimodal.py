@@ -130,6 +130,79 @@ class ImageFeatureStage:
         return out
 
 
+_BINS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("bin", pa.int64()),
+        ("ink_scaled", pa.int64()),
+    ]
+)
+
+
+class ImageFeatureBinsStage:
+    """Actor-pool stage: image payload -> EXACT integer-scaled profile
+    bins in long format, one row per (kind in {row, col}, bin 0..15).
+
+    Same ink profiles as ImageFeatureStage but kept in integer
+    arithmetic end-to-end: ink_scaled = round_half_up(1e6 * bin_ink /
+    total_ink) computed as (2e6*bin + total) // (2*total) — bit-exact
+    reproducible by an integer-only SQL oracle (no float32 rounding in
+    the comparison surface).  Non-decodable payloads emit no rows."""
+
+    N_BINS = 16
+    SCALE = 1_000_000
+
+    def __init__(self, payload_col: str = "html", key_col: str = "url"):
+        self.payload_col = payload_col
+        self.key_col = key_col
+
+    def _bins(self, img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ink = img > 127
+        total = max(1, int(ink.sum()))
+        out = []
+        for v in (ink.sum(axis=1), ink.sum(axis=0)):
+            b = np.array(
+                [chunk.sum() for chunk in np.array_split(v, self.N_BINS)],
+                dtype=np.int64,
+            )
+            out.append((2 * self.SCALE * b + total) // (2 * total))
+        return out[0], out[1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, kinds, bins, vals = [], [], [], []
+        for key, payload in zip(
+            batch.column(self.key_col).to_pylist(),
+            batch.column(self.payload_col).to_pylist(),
+        ):
+            try:
+                img = decode_image(payload or b"")
+            except (ValueError, NotImplementedError):
+                continue
+            row_bins, col_bins = self._bins(img)
+            for kind, b in (("row", row_bins), ("col", col_bins)):
+                keys.extend([key] * self.N_BINS)
+                kinds.extend([kind] * self.N_BINS)
+                bins.extend(range(self.N_BINS))
+                vals.extend(int(x) for x in b)
+        return pa.table(
+            {"url": keys, "kind": kinds, "bin": bins, "ink_scaled": vals},
+            schema=_BINS_SCHEMA,
+        )
+
+
+def image_feature_bins_pipeline(ds, payload_col: str = "html", concurrency: int = 4):
+    ensure_worker_importable()
+    return ds.map_batches(
+        ImageFeatureBinsStage,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 def image_metadata_pipeline(ds, payload_col: str = "html", concurrency: int = 4):
     """pages-style Dataset -> per-row image metadata via the decode
     actor pool (small batches: multi-KB..MB binary rows)."""

@@ -31,12 +31,18 @@ from rapidocr_ray.config import PipelineConfig
 from rapidocr_ray.functions.html import extract_main_text
 from rapidocr_ray.functions.imgproc import (
     crop_box,
+    rotate180,
     sorted_boxes,
     use_det_bypass,
     whole_image_box,
 )
 from rapidocr_ray.glyphs import MAGIC, decode_rbmp, encode_rbmp, is_rbmp
-from rapidocr_ray.stages.cascade import TextClassifier, TextDetector, TextRecognizer
+from rapidocr_ray.stages.cascade import (
+    TextClassifier,
+    TextDetector,
+    TextRecognizer,
+    most_angle,
+)
 from rapidocr_ray.state.models import ModelRegistry
 
 UNIFIED_SCHEMA = pa.schema(
@@ -441,7 +447,20 @@ class CascadeStage:
             cls_elapse = 0.0
             if g.use_cls:
                 t1 = time.perf_counter()
-                crops, _cls_res = self.classifier(crops, lang)
+                if g.use_most_angle:
+                    # A4 mostAngle (OcrLite.cpp:150-160): classify the
+                    # UNROTATED crops, vote once per DOCUMENT, rotate a
+                    # doc's crops all-or-none
+                    cls_res = self.classifier.classify_only(crops, lang)
+                    doc_positions: dict[int, list[int]] = {}
+                    for pos, i in enumerate(idxs):
+                        doc_positions.setdefault(pending[i][0], []).append(pos)
+                    for dpos in doc_positions.values():
+                        if most_angle([cls_res[p] for p in dpos]) == "180":
+                            for p in dpos:
+                                crops[p] = rotate180(crops[p])
+                else:
+                    crops, _cls_res = self.classifier(crops, lang)
                 cls_elapse = (time.perf_counter() - t1) / max(1, len(idxs))
             t2 = time.perf_counter()
             decoded = self.recognizer(crops, lang)

@@ -18,6 +18,8 @@ languages with shared sub-models.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from rapidocr_ray.glyphs import (
@@ -69,12 +71,112 @@ def _ink_from_normalized(chan0: np.ndarray) -> np.ndarray:
     return (chan0 * IMAGENET_STD[0] + IMAGENET_MEAN[0]) > 0.5
 
 
+DET_SKEW_MAX_DEG = 20       # shear-estimate search range (+/- degrees)
+DET_SKEW_MARGIN = 1.15      # profile-sharpness hysteresis: a non-zero
+                            # shear must beat the 0-degree profile by
+                            # 15% or the bit-identical axis-aligned
+                            # path is kept (stability on clean pages)
+DET_SKEW_SAMPLE = 20_000    # deterministic ink-pixel stride cap for
+                            # the estimate (big pages stay O(sample))
+
+
+def _estimate_shear(ink: np.ndarray) -> float:
+    """Dominant text-line shear (tan theta) by projection-profile
+    maximization: for each candidate angle, flatten lines with a
+    per-column integer y-shift and score the row-profile sharpness
+    (sum of squared bin counts — maximal when ink concentrates into
+    few rows, i.e. when lines are horizontal after the shear).
+    Deterministic; returns 0.0 unless a non-zero angle clearly wins."""
+    ys, xs = np.nonzero(ink)
+    if ys.size < 2:
+        return 0.0
+    if ys.size > DET_SKEW_SAMPLE:
+        step = ys.size // DET_SKEW_SAMPLE + 1
+        ys, xs = ys[::step], xs[::step]
+    ys = ys.astype(np.int64)
+    xs = xs.astype(np.int64)
+    best_t, best_v, v0 = 0.0, -1.0, 0.0
+    for deg in range(-DET_SKEW_MAX_DEG, DET_SKEW_MAX_DEG + 1):
+        t = math.tan(math.radians(deg))
+        yp = ys - np.round(xs * t).astype(np.int64)
+        yp -= yp.min()
+        prof = np.bincount(yp).astype(np.float64)
+        v = float((prof * prof).sum())
+        if deg == 0:
+            v0 = v
+        # strict > plus |deg| asc iteration order => smallest winning
+        # |angle| is kept on exact ties
+        if v > best_v:
+            best_v, best_t = v, t
+    if best_t != 0.0 and best_v < v0 * DET_SKEW_MARGIN:
+        return 0.0
+    return best_t
+
+
+def _deskewed_line_bands(ink_u8: np.ndarray, t: float) -> int:
+    """Number of distinct text bands in deskewed space: runs of inky
+    rows (after the per-column y-shift that _ink_to_pred would apply)
+    separated by more than the V-smear reach.  One band means the
+    shear-space smear cannot improve line separation."""
+    ys, xs = np.nonzero(ink_u8)
+    if ys.size == 0:
+        return 0
+    yp = ys - np.round(xs * t).astype(np.int64)
+    yp -= yp.min()
+    has_ink = np.bincount(yp) > 0
+    rows = np.flatnonzero(has_ink)
+    # count gaps the V-smear would NOT bridge (> 2 * reach)
+    return 1 + int((np.diff(rows) > 2 * DET_V_REACH).sum())
+
+
+def _axis_smear(
+    ink_u8: np.ndarray,
+    h_reach: int = DET_H_REACH,
+    v_reach: int = DET_V_REACH,
+) -> np.ndarray:
+    smear = _max_filter_1d(ink_u8, h_reach, axis=1)
+    return _max_filter_1d(smear, v_reach, axis=0)
+
+
 def _ink_to_pred(ink: np.ndarray) -> np.ndarray:
     """Shared det smear: boolean ink map -> prob map (uint8 passes, one
-    float32 write)."""
-    smear = _max_filter_1d(ink.astype(np.uint8), DET_H_REACH, axis=1)
-    smear = _max_filter_1d(smear, DET_V_REACH, axis=0)
-    return smear.astype(np.float32) * np.float32(DET_PEAK)
+    float32 write).
+
+    Direction-aware: the axis-aligned H-smear on a sloped page turns
+    horizontal reach into vertical proximity (+/-reach * tan theta from
+    each side), merging neighbouring rotated lines.  When the shear
+    estimate finds a dominant non-zero angle, the smear runs in
+    deskewed space — per-column integer y-shift, axis-aligned smear,
+    inverse shift — so line separation is judged perpendicular to the
+    text direction.  Axis-aligned pages (estimate 0 under the
+    hysteresis margin) take the identical legacy path bit-for-bit."""
+    ink_u8 = ink.astype(np.uint8)
+    t = _estimate_shear(ink)
+    if t != 0.0 and _deskewed_line_bands(ink_u8, t) <= 1:
+        # single text band: the axis smear cannot merge anything, and
+        # its (proven) geometry feeds the rec warp unchanged — the
+        # shear path's integer-shift staircase would only perturb the
+        # box by a pixel or two for no separation benefit
+        t = 0.0
+    if t == 0.0:
+        smear = _axis_smear(ink_u8)
+        return smear.astype(np.float32) * np.float32(DET_PEAK)
+    h, w = ink_u8.shape
+    shifts = np.round(np.arange(w, dtype=np.float64) * t).astype(np.int64)
+    pad_top = int(max(0, shifts.max()))
+    pad_bot = int(max(0, -shifts.min()))
+    tall = np.zeros((h + pad_top + pad_bot, w), dtype=np.uint8)
+    for s in np.unique(shifts):
+        cols = shifts == s
+        tall[pad_top - s:pad_top - s + h, cols] = ink_u8[:, cols]
+    # +1 horizontal reach: the integer shift staircase costs up to one
+    # column of effective H continuity at each step boundary
+    tall = _axis_smear(tall, h_reach=DET_H_REACH + 1)
+    out = np.empty((h, w), dtype=np.uint8)
+    for s in np.unique(shifts):
+        cols = shifts == s
+        out[:, cols] = tall[pad_top - s:pad_top - s + h, cols]
+    return out.astype(np.float32) * np.float32(DET_PEAK)
 
 
 class DetModel:

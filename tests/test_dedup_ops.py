@@ -241,3 +241,26 @@ def test_embedding_cosine_many_blocks_pruning_exact(ray_session):
     out = embedding_cosine_pairs(ds, threshold=thr, rows_per_block=10).to_pandas()
     got = {(int(r.vec_a), int(r.vec_b)) for r in out.itertuples()}
     assert got == expected
+
+def test_minhash_broadcast_and_attach_paths_agree(docs_ds):
+    """The broadcast-score fast path and the bucketed attach-join
+    fallback (forced via sig_broadcast_bytes=0) must emit identical
+    (doc_a, doc_b, est_jaccard) rows."""
+    from rapidocr_ray.stages.dedup import minhash_lsh_pairs
+
+    fast = (
+        minhash_lsh_pairs(docs_ds, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        minhash_lsh_pairs(docs_ds, threshold=0.5, sig_broadcast_bytes=0)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert fast.doc_a.tolist() == slow.doc_a.tolist()
+    assert fast.doc_b.tolist() == slow.doc_b.tolist()
+    assert np.allclose(fast.est_jaccard.to_numpy(), slow.est_jaccard.to_numpy())
+    assert len(fast) > 0

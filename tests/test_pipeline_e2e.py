@@ -104,3 +104,49 @@ def test_entry_smoke(ray_session):
     import ray.data
 
     assert isinstance(result, (ray.data.Dataset, pa.Table)) or hasattr(result, "shape")
+
+def test_most_angle_flag_ray_vs_oracle(ray_session):
+    """A4 mostAngle as a wired config flag (Global.use_most_angle): on
+    a mixed-rotation page (2 of 3 lines upside down) the per-document
+    vote rotates all-or-none — Ray and the oracle must agree byte-for-
+    byte under the flag, and the voted result must differ from the
+    per-crop default (proving the flag actually routes)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from rapidocr_ray import glyphs
+    from rapidocr_ray.config import PipelineConfig
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+
+    lines = ["hello world", "upside down line", "also flipped here"]
+    imgs = [glyphs.render_line(t) for t in lines]
+    imgs[1] = imgs[1][::-1, ::-1].copy()  # rotate 180
+    imgs[2] = imgs[2][::-1, ::-1].copy()
+    margin, gap = 8, 32
+    width = max(64, max(im.shape[1] for im in imgs)) + 2 * margin
+    height = 2 * margin + sum(im.shape[0] for im in imgs) + gap * (len(imgs) - 1)
+    page = np.zeros((height, width), dtype=np.uint8)
+    y = margin
+    for im in imgs:
+        page[y:y + im.shape[0], margin:margin + im.shape[1]] = im
+        y += im.shape[0] + gap
+    pages = pa.table(
+        {
+            "url": ["https://mixed.example/1"],
+            "warc_ts": [dt.datetime(2026, 1, 1)],
+            "html": [glyphs.encode_rbmp(page)],
+            "text": ["mixed"],
+            "lang": ["en"],
+        }
+    )
+
+    cfg = PipelineConfig().with_overrides(use_most_angle=True)
+    got = _to_sorted_pandas(extract_pages_table(pages, cfg=cfg).to_pandas())
+    want = _to_sorted_pandas(OracleExtractor(cfg).run(pages))
+    for col in COMPARE_COLS:
+        assert got[col].fillna("<N>").tolist() == want[col].fillna("<N>").tolist(), col
+
+    # the vote (majority 180) must change the output vs per-crop cls
+    default = _to_sorted_pandas(extract_pages_table(pages).to_pandas())
+    assert got.extracted_text.tolist() != default.extracted_text.tolist()

@@ -25,7 +25,6 @@ def test_rows_only_queries_documented():
         "minhash_lsh_pairs",
         "simhash_signatures",
         "ann_ivf_topk",
-        "image_features",
     }
 
 
@@ -46,4 +45,43 @@ def test_cheap_query_matches_duckdb(ray_session, name):
     assert cols == sorted(odf.columns)
     a = df[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ["image_features", "ann_ivf_invariant"])
+def test_new_oracle_queries_match_duckdb(ray_session, name):
+    """Round-3 additions: the glyph-analytic image feature bins and the
+    IVF ordering invariant must hash-match their DuckDB oracles."""
+    out = QUERIES[name](SF)
+    df = out.to_pandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    odf = con.execute(ORACLE_SQL[name]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_revenue_bucketed_fallback_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the bucketed shuffle join; result must
+    equal the broadcast plan."""
+    from rapidocr_ray.pipelines.queries import q_revenue_by_mktsegment
+
+    a = (
+        q_revenue_by_mktsegment(SF)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_revenue_by_mktsegment(SF, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)

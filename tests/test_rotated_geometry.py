@@ -158,6 +158,67 @@ def test_rotated_page_text_recovery():
         assert [r[0] for r in res] == ["hello world test line"], deg
 
 
+def test_multiline_rotated_page_lines_stay_separate():
+    """Direction-aware det smear (round-2 known limitation): on a sloped
+    page the axis-aligned H-smear turned horizontal reach into vertical
+    proximity and merged neighbouring lines.  The shear-aware smear must
+    keep a 2-line page as 2 boxes across angles and recover both lines'
+    text exactly at 7 degrees (corpus-contract line_gap=32)."""
+    from rapidocr_ray.functions.imgproc import sorted_boxes
+    from rapidocr_ray.stages.cascade import TextDetector, TextRecognizer
+
+    cfg = PipelineConfig()
+    det, rec = TextDetector(cfg.Det), TextRecognizer(cfg.Rec)
+    lines = ["hello world test line", "second line of text"]
+    page = render_page(lines, line_gap=32)
+    h, w = page.shape
+    for deg in (0.0, 2.0, 7.0, 15.0):
+        th = np.deg2rad(deg)
+        c, s = np.cos(th), np.sin(th)
+        big_h, big_w = int(h * c + w * s) + 40, int(w * c + h * s) + 40
+        corners = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
+        rot = (corners - [w / 2, h / 2]) @ np.array([[c, s], [-s, c]]) + [big_w / 2, big_h / 2]
+        canvas = warp_perspective(page, perspective_matrix(corners, rot), big_w, big_h)
+        boxes = sorted_boxes(det(canvas))
+        assert len(boxes) == 2, deg
+        if deg <= 7.0:  # glyph warp distortion stays sub-threshold
+            res = rec([crop_box(canvas, b) for b in boxes])
+            assert [r[0] for r in res] == lines, deg
+
+
+def test_multiline_rotated_ray_matches_oracle(ray_session):
+    """Byte-identical Ray-vs-oracle on a MULTI-LINE 7-degree rotated
+    page (round-2 verdict worklist #8): both engines run the same
+    direction-aware smear, and the extracted text must carry both
+    lines in reading order."""
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+    from rapidocr_ray.pipelines.oracle import OracleExtractor
+
+    page = render_page(["hello world test line", "second line of text"], line_gap=32)
+    h, w = page.shape
+    th = np.deg2rad(7.0)
+    c, s = np.cos(th), np.sin(th)
+    big_h, big_w = int(h * c + w * s) + 40, int(w * c + h * s) + 40
+    corners = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
+    rot = (corners - [w / 2, h / 2]) @ np.array([[c, s], [-s, c]]) + [big_w / 2, big_h / 2]
+    canvas = warp_perspective(page, perspective_matrix(corners, rot), big_w, big_h)
+    ts = datetime.datetime(2024, 1, 1)
+    pages = pa.table(
+        {
+            "url": ["https://r.example/rot2"],
+            "warc_ts": pa.array([ts], type=pa.timestamp("us")),
+            "html": [encode_rbmp(canvas)],
+            "lang": ["en"],
+        }
+    )
+    got = extract_pages_table(pages).to_pandas()
+    want_tbl = OracleExtractor().run(pages)
+    want = want_tbl.to_pandas() if isinstance(want_tbl, pa.Table) else want_tbl
+    for col in ["url", "route", "err", "extracted_text", "n_spans", "spans"]:
+        assert got[col].fillna("<N>").tolist() == want[col].fillna("<N>").tolist(), col
+    assert got.extracted_text[0] == "hello world test line\nsecond line of text"
+
+
 def test_rotated_page_ray_matches_oracle(ray_session):
     """Byte-identical Ray-vs-oracle on a corpus containing a rotated
     RBMP payload (the north rule's per-url invariant, rotated case)."""
