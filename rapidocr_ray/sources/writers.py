@@ -67,6 +67,88 @@ def decode_data_url(data_url: str) -> bytes:
     return base64.b64decode(data_url)
 
 
+def render_page_with_text(
+    img: np.ndarray,
+    spans: list,
+    text_score: float = 0.5,
+) -> np.ndarray:
+    """``draw_ocr_box_txt`` analog (python/demo.py:16-87): a (h, 2w)
+    side-by-side debug canvas — left half is the page with each box
+    interior blended 50% toward a per-box deterministic gray (the
+    ``random.seed(0)`` color analog), right half is a white canvas with
+    the box outline and the recognized text re-rendered from the glyph
+    alphabet, scaled to ~0.8x the box height (the reference's font-size
+    rule) and stacked vertically when box_height > 2*box_width.
+
+    ``spans`` is a list of dicts with ``box`` (4x2), ``text``,
+    ``score`` — the final-span layout the cascade emits.  Spans under
+    ``text_score`` are skipped, matching demo.py:31-32.  Grayscale
+    throughout (the engine's pages are single-channel); no PIL/cv2.
+    """
+    from rapidocr_ray.glyphs import GLYPH_H, GLYPHS, render_line
+
+    h, w = img.shape
+    left = img.astype(np.uint16)
+    right = np.full((h, w), 255, dtype=np.uint8)
+    rng = np.random.default_rng(0)
+
+    def _paste(canvas, y0, x0, patch, invert=True):
+        ph, pw = patch.shape
+        y1, x1 = min(h, y0 + ph), min(w, x0 + pw)
+        if y1 <= y0 or x1 <= x0:
+            return
+        view = patch[: y1 - y0, : x1 - x0]
+        if invert:  # glyphs are ink=255 on 0; right canvas is white
+            canvas[y0:y1, x0:x1] = np.minimum(
+                canvas[y0:y1, x0:x1], 255 - view
+            )
+        else:
+            canvas[y0:y1, x0:x1] = view
+
+    for span in spans:
+        score = float(span.get("score", 1.0))
+        if score < text_score:
+            continue
+        b = np.asarray(span["box"], dtype=np.float64).reshape(4, 2)
+        gray = int(rng.integers(0, 256))
+        x0 = int(np.clip(b[:, 0].min(), 0, w - 1))
+        x1 = int(np.clip(b[:, 0].max(), 0, w - 1))
+        y0 = int(np.clip(b[:, 1].min(), 0, h - 1))
+        y1 = int(np.clip(b[:, 1].max(), 0, h - 1))
+        # left: 50% blend of the box interior toward the box color
+        # (Image.blend(image, img_left, 0.5) over the filled polygon)
+        left[y0:y1 + 1, x0:x1 + 1] = (left[y0:y1 + 1, x0:x1 + 1] + gray) // 2
+        # right: outline at the box color
+        right[y0, x0:x1 + 1] = gray
+        right[y1, x0:x1 + 1] = gray
+        right[y0:y1 + 1, x0] = gray
+        right[y0:y1 + 1, x1] = gray
+        text = span.get("text") or ""
+        text = "".join(c for c in text if c in GLYPHS)
+        if not text:
+            continue
+        box_h = float(np.hypot(*(b[0] - b[3])))
+        box_w = float(np.hypot(*(b[0] - b[1])))
+        if box_h > 2 * box_w:
+            # vertical text: one char per row, font ~0.9*box_width
+            s = max(1, int(round(box_w * 0.9 / GLYPH_H)))
+            cur_y = int(b[0][1])
+            for c in text:
+                patch = np.repeat(np.repeat(GLYPHS[c] * 255, s, 0), s, 1)
+                _paste(right, cur_y, int(b[0][0]) + 3, patch)
+                cur_y += patch.shape[0]
+        else:
+            s = max(1, int(round(box_h * 0.8 / GLYPH_H)))
+            line = render_line(text)
+            patch = np.repeat(np.repeat(line, s, 0), s, 1)
+            _paste(right, int(b[0][1]), int(b[0][0]), patch)
+
+    out = np.empty((h, 2 * w), dtype=np.uint8)
+    out[:, :w] = left.astype(np.uint8)
+    out[:, w:] = right
+    return out
+
+
 def write_results(ds, out_dir: str, min_rows_per_file: int = 100_000):
     """Primary sink: directory of parquet shards (never one giant
     file).  For resumable multi-shard runs use
