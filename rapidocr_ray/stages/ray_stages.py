@@ -258,16 +258,24 @@ class DetStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = self.cfg.Global
+        # payload bytes are read zero-copy from the arrow buffer; every
+        # other column is small, so to_pylist on the remainder is cheap.
+        # Upstream guarantees non-bitmap rows carry a null payload, so
+        # dropping the column loses nothing for the passthrough rows.
+        payload_col = batch.column("payload").combine_chunks()
+        rows = batch.drop_columns(["payload"]).to_pylist()
         out: list[dict] = []
-        for row in batch.to_pylist():
+        for i, row in enumerate(rows):
+            row["payload"] = None
             if row["route"] != "bitmap" or row["err"] is not None:
                 out.append(row)
                 continue
             t0 = time.perf_counter()
             try:
-                img = decode_rbmp(row["payload"])
+                pay = payload_col[i]
+                img = decode_rbmp(pay.as_buffer() if pay.is_valid else b"")
             except ValueError as exc:
-                row.update(route="error", err=str(exc), payload=None)
+                row.update(route="error", err=str(exc))
                 out.append(row)
                 continue
             h, w = img.shape
@@ -317,10 +325,13 @@ class ClsStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.cfg.Global.use_cls:
             return batch
-        rows = batch.to_pylist()
+        payload_col = batch.column("payload").combine_chunks()
+        rows = batch.drop_columns(["payload"]).to_pylist()
+        for row in rows:  # region rows get re-encoded crops below
+            row["payload"] = None
         for lang, idxs in _region_indices_by_lang(batch).items():
             t0 = time.perf_counter()
-            crops = [decode_rbmp(rows[i]["payload"]) for i in idxs]
+            crops = [decode_rbmp(payload_col[i].as_buffer()) for i in idxs]
             crops, cls_res = self.classifier(crops, lang)
             share = (time.perf_counter() - t0) / max(1, len(idxs))
             for i, crop, (label, score) in zip(idxs, crops, cls_res):
@@ -343,10 +354,13 @@ class RecStage:
         self.recognizer = TextRecognizer(self.cfg.Rec, self.registry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
+        payload_col = batch.column("payload").combine_chunks()
+        rows = batch.drop_columns(["payload"]).to_pylist()
+        for row in rows:  # rec drops crops; doc rows are already null
+            row["payload"] = None
         for lang, idxs in _region_indices_by_lang(batch).items():
             t0 = time.perf_counter()
-            crops = [decode_rbmp(rows[i]["payload"]) for i in idxs]
+            crops = [decode_rbmp(payload_col[i].as_buffer()) for i in idxs]
             rec_res = self.recognizer(crops, lang)
             share = (time.perf_counter() - t0) / max(1, len(idxs))
             for i, (text, score) in zip(idxs, rec_res):
