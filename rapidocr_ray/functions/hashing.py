@@ -17,7 +17,12 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable_hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+    """First 8 md5 bytes, little-endian.  md5 (rather than blake2b)
+    so SQL oracles can reproduce the exact value: this equals DuckDB's
+    ``md5_number_upper(s)`` for any UTF-8 string, which makes every
+    token/shingle-hash-derived signature (SimHash in particular)
+    independently checkable end-to-end from the documents table."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
@@ -107,18 +112,17 @@ class SimHasher:
         self.n_bits = n_bits
 
     def signature(self, text: str) -> int:
-        acc = np.zeros(self.n_bits, dtype=np.int64)
-        for tok in text.split(" "):
-            if not tok:
-                continue
-            h = _stable_hash64(tok)
-            bits = (h >> np.arange(self.n_bits, dtype=np.uint64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        sig = 0
-        for i in range(self.n_bits):
-            if acc[i] > 0:
-                sig |= 1 << i
-        return sig
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (_stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        shifts = np.arange(self.n_bits, dtype=np.uint64)[None, :]
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        weights = (np.uint64(1) << shifts[0])[acc > 0]
+        return int(np.bitwise_or.reduce(weights)) if len(weights) else 0
 
 
 def hamming64(a: int, b: int) -> int:

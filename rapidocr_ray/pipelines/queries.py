@@ -923,11 +923,41 @@ def q_minhash_lsh_pairs(sf_dir: str):
 
 
 def q_simhash_signatures(sf_dir: str):
-    """Deterministic but not SQL-expressible (rows-only)."""
+    """Full 64-bit SimHash per document, hash-checked: the engine's
+    token hash is the first 8 md5 bytes little-endian, which DuckDB
+    reproduces exactly as ``md5_number_upper(tok)`` — so the whole
+    signature (per-token bit votes, sign threshold, 16-bit LSH prefix
+    bucket) is re-derivable in SQL from documents.text."""
     from rapidocr_ray.stages.dedup import simhash_signatures
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_signatures(ds)
+
+
+SQL_SIMHASH_SIGNATURES = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, md5_number_upper(tok) AS h FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)::HUGEINT ELSE 0 END)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.simhash, 0)::UBIGINT AS simhash,
+       (COALESCE(s.simhash, 0)::UBIGINT >> 48)::UBIGINT AS bucket
+FROM documents d LEFT JOIN sig s USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 def _dup_pair_count_by_signature(sf_dir: str, sig_of_batch) -> pa.Table:
@@ -1399,6 +1429,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_groups": SQL_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
+    "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,
     "minhash_dup_recall": SQL_MINHASH_DUP_RECALL,
     "ann_ivf_full_probe": SQL_ANN_TOPK,

@@ -23,7 +23,6 @@ def test_rows_only_queries_documented():
     # every rows-only query must be approximate or non-SQL by nature
     assert rows_only == {
         "minhash_lsh_pairs",
-        "simhash_signatures",
         "ann_ivf_topk",
     }
 
