@@ -915,11 +915,94 @@ SELECT doc AS doc_id, MIN(r) AS group_id FROM reach GROUP BY doc
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
-    """Approximate near-dup candidates (rows-only: probabilistic)."""
+    """MinHash-LSH near-dup candidates, hash-checked end-to-end: the
+    oracle re-derives the full pipeline in SQL — distinct 3-word-shingle
+    md5 hashes (``md5_number_upper``), the 128 multiply-shift signature
+    mins with exact uint64 wraparound (hi/lo-split HUGEINT modular
+    arithmetic; the seed-7 (a, b) constants are embedded in the
+    generated SQL, the image_features generated-oracle pattern), LSH
+    candidacy as 4-value band-chunk equality (band hashes are injective
+    on chunks up to murmur collisions), and est_jaccard as the exact
+    signature agreement fraction."""
     from rapidocr_ray.stages.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def _build_minhash_lsh_sql(
+    n_perm: int = 128, n_bands: int = 32, seed: int = 7, threshold: float = 0.5
+) -> str:
+    """Generated DuckDB oracle for q_minhash_lsh_pairs (constants from
+    the same seeded MinHasher the engine uses).  uint64 wraparound is
+    emulated in HUGEINT: a*x mod 2^64 == ((a*(x>>32)) mod 2^32)*2^32
+    + a*(x & 0xFFFFFFFF), all intermediates < 2^97."""
+    from rapidocr_ray.functions.hashing import MinHasher
+
+    mh = MinHasher(n_perm=n_perm, seed=seed)
+    r = n_perm // n_bands
+    params = ",\n    ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    return f"""
+WITH params(perm_idx, pa, pb) AS (VALUES
+    {params}
+),
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingle_lists AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(w) < 3 THEN
+        CASE WHEN w = ['']::VARCHAR[] THEN []::VARCHAR[]
+             ELSE [array_to_string(w, ' ')] END
+      ELSE list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+    END AS shingles
+  FROM words
+),
+hs AS (
+  SELECT DISTINCT doc_id, md5_number_upper(s)::HUGEINT AS x
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM shingle_lists)
+),
+sigv AS (
+  SELECT doc_id, perm_idx,
+    MIN( (((pa * (x >> 32)) % 4294967296) * 4294967296
+          + pa * (x & 4294967295) + pb) % 18446744073709551616::HUGEINT ) AS v
+  FROM hs CROSS JOIN params
+  GROUP BY doc_id, perm_idx
+),
+sigs AS (
+  SELECT doc_id, list(v ORDER BY perm_idx) AS sig FROM sigv GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         array_to_string(sig[band * {r} + 1 : band * {r} + {r}], ',') AS chunk
+  FROM sigs, (SELECT unnest(range({n_bands})) AS band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+    list_sum(list_transform(range(1, {n_perm + 1}),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {n_perm}.0
+      AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM scored
+WHERE est_jaccard >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _build_minhash_lsh_sql()
 
 
 def q_simhash_signatures(sf_dir: str):
@@ -1429,6 +1512,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_groups": SQL_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,
     "minhash_dup_recall": SQL_MINHASH_DUP_RECALL,

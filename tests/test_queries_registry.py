@@ -22,7 +22,6 @@ def test_rows_only_queries_documented():
     rows_only = set(QUERIES) - set(ORACLE_SQL)
     # every rows-only query must be approximate or non-SQL by nature
     assert rows_only == {
-        "minhash_lsh_pairs",
         "ann_ivf_topk",
     }
 
