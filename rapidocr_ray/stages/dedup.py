@@ -405,7 +405,6 @@ def ngram_jaccard_pairs(
     over the bounded ``bucket`` column and every per-group call is one
     vectorized pandas operation per bucket."""
     import ray
-    from ray.data.aggregate import Sum
 
     ensure_worker_importable()
 
@@ -413,41 +412,75 @@ def ngram_jaccard_pairs(
         [
             ("doc_id", pa.int64()),
             ("shingles", pa.list_(pa.string())),
+            ("hashes", pa.list_(pa.int64())),
             ("n_sh", pa.int64()),
         ]
     )
 
     def sigs(batch: pa.Table) -> pa.Table:
+        """Shingles AND their 64-bit hashes are computed once here; the
+        df and prefix passes reuse the ``hashes`` column instead of
+        re-hashing every shingle (3x fewer md5 calls overall)."""
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         sh = [_doc_shingles(t, k) for t in texts]
+        hs = [[_hash64_i(s) for s in doc] for doc in sh]
         return pa.table(
-            {"doc_id": ids, "shingles": sh, "n_sh": [len(s) for s in sh]},
+            {
+                "doc_id": ids,
+                "shingles": sh,
+                "hashes": hs,
+                "n_sh": [len(s) for s in sh],
+            },
             schema=sig_schema,
         )
 
     sig_ds = ds.map_batches(sigs, batch_format="pyarrow").materialize()
 
     # --- pass 2: global shingle document frequencies (heavy hitters) ---
+    df_part_schema = pa.schema(
+        [("h", pa.int64()), ("c", pa.int64()), ("bucket", pa.uint64())]
+    )
+
     def partial_df(batch: pa.Table) -> pa.Table:
         # keys as SIGNED int64 (uint64 wrap): Ray's sort/aggregate path
         # round-trips through pandas, where >2^63 ints fall back to
-        # pickled-object columns
-        counts: dict[int, int] = {}
-        for sh in batch.column("shingles").to_pylist():
-            for s in sh:
-                h = _hash64_i(s)
-                counts[h] = counts.get(h, 0) + 1
+        # pickled-object columns.  One np.unique over the flattened
+        # hash column per batch — no python loop, no re-hashing.
+        flat = np.asarray(
+            batch.column("hashes").combine_chunks().flatten(), dtype=np.int64
+        )
+        if flat.size == 0:
+            return df_part_schema.empty_table()
+        uniq, counts = np.unique(flat, return_counts=True)
         return pa.table(
-            {"h": list(counts.keys()), "c": list(counts.values())},
-            schema=pa.schema([("h", pa.int64()), ("c", pa.int64())]),
+            {
+                "h": uniq,
+                "c": counts.astype(np.int64),
+                "bucket": (uniq.astype(np.uint64) + np.uint64(1 << 63)) % N_BUCKETS,
+            },
+            schema=df_part_schema,
+        )
+
+    def bucket_df(group: pd.DataFrame) -> pa.Table:
+        # bounded-key groupby discipline: the global sum runs as one
+        # vectorized pandas op per hash bucket (a Ray aggregate over
+        # the raw multi-million-key h column is pathological locally
+        # and an unbounded-key shuffle at scale)
+        s = group.groupby("h", sort=False)["c"].sum()
+        s = s[s > hot_df]
+        return pa.table(
+            {
+                "h": s.index.to_numpy(dtype=np.int64),
+                "df": s.to_numpy(dtype=np.int64),
+            },
+            schema=pa.schema([("h", pa.int64()), ("df", pa.int64())]),
         )
 
     df_ds = (
         sig_ds.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("c", alias_name="df"))
-        .filter(expr=f"df > {hot_df}")
+        .groupby("bucket")
+        .map_groups(bucket_df, batch_format="pandas")
         .materialize()  # count() + take_all() would execute the chain twice
     )
     n_hot = df_ds.count()
@@ -471,24 +504,53 @@ def ngram_jaccard_pairs(
     )
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
+        """Vectorized over the whole batch: one stable lexsort on
+        (doc, hot-class, hash) replaces the per-doc python sorted();
+        hash ties (astronomically rare) fall back to the docs' own
+        alphabetical shingle order via sort stability — the same
+        (hot, hash, shingle) canonical order as the scalar spec."""
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return prefix_schema.empty_table()
         hot_map = ray.get(ref_hot)
-        out = {name: [] for name in ("doc_id", "shingle", "pos", "n_sh", "bucket")}
-        ids = batch.column("doc_id").to_pylist()
-        shs = batch.column("shingles").to_pylist()
-        ns = batch.column("n_sh").to_pylist()
-        for doc, sh, n in zip(ids, shs, ns):
-            hashes = [_hash64_i(s) for s in sh]
-            order = sorted(
-                range(n), key=lambda i: (hot_map.get(hashes[i], 0), hashes[i], sh[i])
-            )
-            p = n - int(np.ceil(threshold * n - 1e-9)) + 1
-            for pos, i in enumerate(order[:p]):
-                out["doc_id"].append(doc)
-                out["shingle"].append(sh[i])
-                out["pos"].append(pos)
-                out["n_sh"].append(n)
-                out["bucket"].append((hashes[i] + (1 << 63)) % N_BUCKETS)
-        return pa.table(out, schema=prefix_schema)
+        ns = np.asarray(batch.column("n_sh"), dtype=np.int64)
+        sh_col = batch.column("shingles").combine_chunks()
+        flat_sh = sh_col.flatten()
+        flat_h = np.asarray(
+            batch.column("hashes").combine_chunks().flatten(), dtype=np.int64
+        )
+        if hot_map:
+            hk = np.fromiter(hot_map.keys(), dtype=np.int64, count=len(hot_map))
+            hv = np.fromiter(hot_map.values(), dtype=np.int64, count=len(hot_map))
+            o = np.argsort(hk)
+            hk, hv = hk[o], hv[o]
+            idx = np.clip(np.searchsorted(hk, flat_h), 0, len(hk) - 1)
+            hotc = np.where(hk[idx] == flat_h, hv[idx], 0)
+        else:
+            hotc = np.zeros(flat_h.shape[0], dtype=np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), ns)
+        order = np.lexsort((flat_h, hotc, doc_of))  # doc-major, stable
+        offs = np.concatenate(([0], np.cumsum(ns)))
+        rank = np.arange(flat_h.shape[0], dtype=np.int64) - offs[doc_of]
+        p = ns - np.ceil(threshold * ns - 1e-9).astype(np.int64) + 1
+        keep = rank < p[doc_of]
+        sel = order[keep]
+        doc_sel = doc_of[keep]  # == doc_of[sel]: segments stay contiguous
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(batch.column("doc_id"), dtype=np.int64)[doc_sel]
+                ),
+                "shingle": flat_sh.take(pa.array(sel)),
+                "pos": pa.array(rank[keep]),
+                "n_sh": pa.array(ns[doc_sel]),
+                "bucket": pa.array(
+                    (flat_h[sel].astype(np.uint64) + np.uint64(1 << 63)) % N_BUCKETS,
+                    type=pa.uint64(),
+                ),
+            },
+            schema=prefix_schema,
+        )
 
     pref_ds = sig_ds.map_batches(prefix_rows, batch_format="pyarrow")
 
