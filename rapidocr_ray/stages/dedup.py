@@ -154,6 +154,27 @@ def _sig_matrix_cached(key: tuple, refs: list):
     return _SIG_MATRIX_CACHE[key]
 
 
+_SHINGLE_TABLE_CACHE: dict = {}
+
+
+def _shingle_table_cached(key: tuple, refs: list):
+    """Per-worker cache of the broadcast shingle table: object-store
+    block refs -> (doc_id -> row dict, shingle ListArray).  The arrow
+    buffers stay in shared plasma memory (zero-copy across the workers
+    of a node); only candidate docs' lists are ever materialized."""
+    if key not in _SHINGLE_TABLE_CACHE:
+        import ray as _ray
+
+        tables = _ray.get(list(refs))
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        lists = t.column("shingles").combine_chunks()
+        id2row = {int(d): i for i, d in enumerate(ids)}
+        _SHINGLE_TABLE_CACHE.clear()  # one broadcast table at a time
+        _SHINGLE_TABLE_CACHE[key] = (id2row, lists)
+    return _SHINGLE_TABLE_CACHE[key]
+
+
 def minhash_lsh_pairs(
     ds,
     n_perm: int = 128,
@@ -368,6 +389,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     hot_df: int = 64,
     max_hot: int = 2_000_000,
+    sig_broadcast_bytes: int = 1 << 30,
 ):
     """Exact all-pairs Jaccard >= threshold, mirroring the DuckDB
     oracle: same shingling (word k-grams as strings), same float64
@@ -587,6 +609,61 @@ def ngram_jaccard_pairs(
 
     cand_ds = pref_ds.groupby("bucket").map_groups(cand, batch_format="pandas")
 
+    # --- pass 5: verify (adaptive, mirroring minhash_lsh_pairs) ---
+    # While the shingle table fits the broadcast budget its blocks are
+    # read zero-copy from the object store once per worker and each
+    # candidate pair is verified by direct set intersection — the tiny
+    # pair stream is the ONLY thing shuffled (one bucketed dedup).
+    # Past the budget, the bucketed attach join (each shingle list
+    # ships at most twice, semi-join-pruned to candidate docs) is the
+    # 100-TB path.
+    if sig_ds.size_bytes() <= sig_broadcast_bytes:
+        out_schema = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+        )
+
+        def pair_bucket(b: pa.Table) -> pa.Table:
+            a = b.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return b.append_column(
+                "pbucket", pa.array((a * _PHI) % N_BUCKETS, type=pa.uint64())
+            )
+
+        def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
+
+        uniq_pairs = (
+            cand_ds.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket")
+            .map_groups(drop_dup, batch_format="pandas")
+        )
+
+        refs = sig_ds.select_columns(["doc_id", "shingles"]).to_arrow_refs()
+        refs_key = tuple(r.hex() for r in refs)
+
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            id2row, lists = _shingle_table_cached(refs_key, refs)
+            out_a, out_b, out_j = [], [], []
+            for da, db in zip(
+                batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+            ):
+                sa = set(lists[id2row[da]].as_py())
+                sb = set(lists[id2row[db]].as_py())
+                c = len(sa & sb)
+                if c == 0:
+                    continue
+                j = float(c) / float(len(sa) + len(sb) - c)
+                if j >= threshold:
+                    out_a.append(da)
+                    out_b.append(db)
+                    out_j.append(j)
+            return pa.table(
+                {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=out_schema
+            )
+
+        return uniq_pairs.map_batches(score_broadcast, batch_format="pyarrow")
+
     verified = _verify_jaccard_pairs(cand_ds, sig_ds, threshold)
     return verified
 
@@ -602,7 +679,31 @@ def _pair_attach_score(cand_ds, sig_ds, sig_col, payload_type, score_fn, out_sch
     share doc_a, hence the same bucket).
 
     ``score_fn(m: pd.DataFrame) -> pa.Table`` sees columns doc_a,
-    doc_b, na, nb, sh_a (payload of doc_a), sh (payload of doc_b)."""
+    doc_b, na, nb, sh_a (payload of doc_a), sh (payload of doc_b).
+
+    Semi-join pruning: only docs that appear in some candidate pair
+    need their payload shipped, and the candidate id column is narrow —
+    so the distinct ids are accumulated per-batch on the driver (ints
+    only, never payloads) and broadcast as a filter over the signature
+    stream, bounded by ``id_filter_limit``; past the bound the filter
+    is skipped and every payload ships (the original exact plan)."""
+    import ray
+
+    cand_ds = cand_ds.materialize()  # id scan below must not re-run lineage
+    ids: set = set()
+    id_filter_limit = 4_000_000  # 32 MB of int64 keys broadcast, tops
+    for b in cand_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids.update(np.asarray(b.column("doc_a"), dtype=np.int64).tolist())
+        ids.update(np.asarray(b.column("doc_b"), dtype=np.int64).tolist())
+        if len(ids) > id_filter_limit:
+            break
+    if len(ids) <= id_filter_limit:
+        ref_ids = ray.put(np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids))))
+    else:
+        ref_ids = None
+
     schema = pa.schema(
         [
             ("key", pa.int64()),
@@ -638,8 +739,15 @@ def _pair_attach_score(cand_ds, sig_ds, sig_col, payload_type, score_fn, out_sch
         )
 
     def sig_to_attach(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if ref_ids is not None:
+            wanted = ray.get(ref_ids)
+            idx = np.clip(np.searchsorted(wanted, d), 0, max(0, len(wanted) - 1))
+            mask = (wanted[idx] == d) if len(wanted) else np.zeros(len(d), bool)
+            if not mask.all():
+                batch = batch.filter(pa.array(mask))
+                d = d[mask]
+        n = batch.num_rows
         cols = dict(nulls)
         cols.update(
             key=d,

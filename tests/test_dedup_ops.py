@@ -264,3 +264,26 @@ def test_minhash_broadcast_and_attach_paths_agree(docs_ds):
     assert fast.doc_b.tolist() == slow.doc_b.tolist()
     assert np.allclose(fast.est_jaccard.to_numpy(), slow.est_jaccard.to_numpy())
     assert len(fast) > 0
+
+
+def test_ngram_broadcast_and_attach_paths_agree(docs_ds):
+    """The broadcast-verify fast path and the semi-join-pruned attach
+    fallback (forced via sig_broadcast_bytes=0) must emit identical
+    exact (doc_a, doc_b, jaccard) rows."""
+    from rapidocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    fast = (
+        ngram_jaccard_pairs(docs_ds, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        ngram_jaccard_pairs(docs_ds, threshold=0.5, sig_broadcast_bytes=0)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert fast.doc_a.tolist() == slow.doc_a.tolist()
+    assert fast.doc_b.tolist() == slow.doc_b.tolist()
+    assert np.allclose(fast.jaccard.to_numpy(), slow.jaccard.to_numpy())
