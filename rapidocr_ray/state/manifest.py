@@ -246,6 +246,7 @@ def run_resumable(
     the partition key of the upstream sharding at production scale, so
     cross-shard duplicates do not occur when inputs are url-sharded;
     for unsharded inputs pass files_per_partition=len(input_files))."""
+    from rapidocr_ray.config import PipelineConfig
     from rapidocr_ray.pipelines.extract import build_extract_pipeline, read_pages
 
     os.makedirs(out_dir, exist_ok=True)
@@ -262,7 +263,20 @@ def run_resumable(
                 manifests.append(json.load(f))
             continue
         ds = read_pages(group)
-        result = build_extract_pipeline(ds, cfg=cfg, dedup=dedup, winners_files=group)
+        # cap the cascade pool at the partition's block count: a pool
+        # larger than the number of dispatchable blocks only adds
+        # actor spin-up latency (Ray itself warns), and at production
+        # partition sizes the cap is a no-op
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
+        n_blocks = max(len(group), total // 128)
+        part_cfg = (cfg or PipelineConfig()).with_overrides(
+            ray_cascade_concurrency=min(
+                (cfg or PipelineConfig()).Ray.cascade_concurrency, n_blocks
+            )
+        )
+        result = build_extract_pipeline(
+            ds, cfg=part_cfg, dedup=dedup, winners_files=group
+        )
         manifests.append(write_partition_streamed(out_dir, pid, result, group))
     return {
         "out_dir": out_dir,
