@@ -1,0 +1,457 @@
+"""Pure-numpy image codecs: PNG, GIF, BMP decode (+ tiny encoders for
+tests) — no cv2/PIL in this environment, so the container formats are
+implemented from their public specs (PNG RFC 2083, GIF89a spec,
+BITMAPINFOHEADER) on stdlib ``zlib`` + numpy.
+
+Parity notes vs the reference loader (S1,
+python/rapidocr_onnxruntime/utils.py:93-152):
+- the reference goes ``PIL → RGB → cv2 BGR`` and keeps 3 channels; this
+  engine is single-channel by design (SURVEY.md §7.0), so decoded RGB
+  collapses to gray with cv2's exact fixed-point luma
+  ``(R*4899 + G*9617 + B*1868 + 8192) >> 14`` (BGR2GRAY coefficients).
+- alpha channels are flattened exactly like ``cvt_four_to_three``
+  (utils.py:133-145): color kept where a != 0, zeroed elsewhere, then a
+  saturated add of the inverted alpha (white background).
+- JPEG stays a typed stub (huffman+DCT out of scope here); the sniff
+  layer keeps routing it to a typed error row.
+
+Unsupported container features raise ``NotImplementedError`` with the
+feature named, which the stages surface as typed error columns — the
+same failure mode as the reference's ``LoadImageError``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB uint8 -> (h, w) uint8, cv2 BGR2GRAY fixed-point."""
+    r = rgb[:, :, 0].astype(np.uint32)
+    g = rgb[:, :, 1].astype(np.uint32)
+    b = rgb[:, :, 2].astype(np.uint32)
+    return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
+
+
+def flatten_alpha(rgba: np.ndarray) -> np.ndarray:
+    """(h, w, 4) RGBA -> (h, w, 3) RGB on white, the reference's
+    cvt_four_to_three semantics (utils.py:133-145): bitwise_and keeps
+    color where alpha != 0, then a SATURATED add of (255 - alpha)."""
+    a = rgba[:, :, 3]
+    keep = (a != 0)[:, :, None]
+    masked = np.where(keep, rgba[:, :, :3], 0).astype(np.uint16)
+    out = masked + (255 - a).astype(np.uint16)[:, :, None]
+    return np.minimum(out, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    stride = w * channels
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if arr.size != h * (stride + 1):
+        raise ValueError("png: decompressed size mismatch")
+    rows = arr.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        raw_row = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            r = raw_row
+        elif f == 1:  # Sub: prefix sum per byte-offset class
+            r = raw_row.copy()
+            for c in range(bpp):
+                r[c::bpp] = np.cumsum(r[c::bpp]) & 0xFF
+        elif f == 2:  # Up
+            r = (raw_row + prev) & 0xFF
+        elif f == 3:  # Average (sequential in x via the left term)
+            r = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = r[x - bpp] if x >= bpp else 0
+                r[x] = (raw_row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            r = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = r[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                r[x] = (raw_row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {f}")
+        recon[y] = r.astype(np.uint8)
+        prev = r
+    return recon.reshape(h, w, channels) if channels > 1 else recon.reshape(h, w)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) grayscale uint8.  Supports bit depth 8,
+    color types 0/2/3/4/6, non-interlaced (Adam7 raises a typed
+    NotImplementedError)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("png: bad signature")
+    pos = 8
+    ihdr = None
+    plte = trns = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"png: bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("png: Adam7 interlacing unsupported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"png: unknown color type {color}")
+    channels = _PNG_CHANNELS[color]
+    img = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, channels)
+    if color == 0:
+        return img
+    if color == 2:
+        return rgb_to_gray(img)
+    if color == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        rgb = plte[img]
+        if trns is not None:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            rgba = np.dstack([rgb, alpha[img]])
+            return rgb_to_gray(flatten_alpha(rgba))
+        return rgb_to_gray(rgb)
+    if color == 4:
+        rgba = np.dstack([img[:, :, 0]] * 3 + [img[:, :, 1]])
+        return rgb_to_gray(flatten_alpha(rgba))
+    return rgb_to_gray(flatten_alpha(img))  # color == 6
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 -> PNG bytes
+    (bit depth 8, filter 0 rows — a minimal spec-conformant writer for
+    tests and debug output)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, channels = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, channels = 6, 4
+    else:
+        raise ValueError("encode_png: expected (h,w), (h,w,3) or (h,w,4)")
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * channels)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW -> pixel index array."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = table[: clear + 2]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_out]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("gif: corrupt LZW stream")
+            out[n_out:n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+            n_out += len(entry)
+            prev = entry
+            # the decoder's table lags the encoder's by one entry, so
+            # the width bump comes one entry early (standard LZW sync)
+            if len(table) + 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out[:n_out]
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> (h, w) grayscale uint8 of the FIRST frame (the
+    reference's GIF special-case takes the first frame too,
+    ocrweb_multi/rapidocr/main.py:29-40).  Handles global/local color
+    tables, interlacing, and a GCE transparent index (rendered onto
+    white, matching the alpha-flatten rule)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # GCE
+                flags = data[pos + 1]
+                if flags & 1:
+                    transparent = data[pos + 4]
+            while data[pos] != 0:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor: first frame wins
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    data[pos:pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("gif: no color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                size = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + size])
+                pos += 1 + size
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+            if idx.size < w * h:
+                raise ValueError("gif: truncated pixel data")
+            idx = idx[: w * h].reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                deinter = np.empty_like(idx)
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinter[order] = idx
+                idx = deinter
+            rgb = table[np.minimum(idx, len(table) - 1)]
+            if transparent is not None:
+                a = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                return rgb_to_gray(flatten_alpha(np.dstack([rgb, a])))
+            return rgb_to_gray(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+    raise ValueError("gif: no image data")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w) grayscale uint8 -> GIF89a bytes with a 256-gray global
+    palette and a standard growing-table LZW stream (table reset on
+    4096)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)]
+    palette = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out.append(palette.tobytes())
+    out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    min_code = 8
+    out.append(bytes([min_code]))
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    acc = bits = 0
+    stream = bytearray()
+    code_size = min_code + 1
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    pixels = img.reshape(-1).tobytes()
+    buf = b""
+    for i in range(len(pixels)):
+        cand = buf + pixels[i:i + 1]
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        buf = pixels[i:i + 1]
+        if next_code < 4096:
+            # assign cand; width bumps once the table holds 2^width
+            # codes (mirrors the decoder's len(table) == 1<<size rule)
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:  # table full: clear and restart (decoder mirrors)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code + 1
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if bits:
+        stream.append(acc & 0xFF)
+    for i in range(0, len(stream), 255):
+        chunk = bytes(stream[i:i + 255])
+        out.append(bytes([len(chunk)]) + chunk)
+    out.append(b"\x00\x3b")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w) grayscale uint8.  Uncompressed (BI_RGB)
+    8-bit palette / 24-bit / 32-bit DIBs, bottom-up or top-down rows,
+    4-byte row padding.  32-bit alpha is ignored (cv2.imread default
+    drops it)."""
+    if data[:2] != b"BM":
+        raise ValueError("bmp: bad signature")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("bmp: BITMAPCOREHEADER unsupported")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp, comp = struct.unpack_from("<HI", data, 28)[0], struct.unpack_from("<I", data, 30)[0]
+    if comp != 0:
+        raise NotImplementedError(f"bmp: compression {comp} unsupported (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"bmp: {bpp}-bit unsupported (8/24/32)")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = ((w * bpp // 8) + 3) & ~3
+    px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=data_off)
+    rows = px.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_size
+        ).reshape(-1, 4)  # BGRA entries
+        idx = rows[:, :w]
+        rgb = pal[idx][:, :, [2, 1, 0]]
+        return rgb_to_gray(rgb)
+    n_ch = bpp // 8
+    bgr = rows[:, : w * n_ch].reshape(h, w, n_ch)
+    return rgb_to_gray(bgr[:, :, [2, 1, 0]])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w) grayscale uint8 -> 8-bit palette bottom-up BMP bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = img[::-1]
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+    data_off = 14 + 40 + 1024
+    size = data_off + rows.size
+    head = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, rows.size, 2835, 2835, 256, 0)
+    return head + dib + pal.tobytes() + rows.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def decode_page_image(payload) -> np.ndarray:
+    """Any supported page payload -> (h, w) grayscale uint8: RBMP (the
+    engine's native format, zero-copy), PNG, GIF, BMP.  JPEG raises the
+    typed stub error (no DCT codec in this environment); unknown bytes
+    raise ValueError (LoadImageError analog, utils.py:154)."""
+    if is_rbmp(payload):
+        return decode_rbmp(payload)
+    head = bytes(payload[:8])
+    if head[:8] == PNG_MAGIC or head[:4] == b"\x89PNG":
+        return decode_png(bytes(payload))
+    if head[:4] == b"GIF8":
+        return decode_gif(bytes(payload))
+    if head[:2] == b"BM":
+        return decode_bmp(bytes(payload))
+    if head[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("image codec unavailable (jpeg stub)")
+    raise ValueError("unrecognized image payload")

@@ -24,7 +24,7 @@ from rapidocr_ray.functions.imgproc import (
     use_det_bypass,
     whole_image_box,
 )
-from rapidocr_ray.glyphs import decode_rbmp
+from rapidocr_ray.functions.codecs import decode_page_image
 from rapidocr_ray.stages.cascade import (
     TextClassifier,
     TextDetector,
@@ -69,8 +69,8 @@ class OracleExtractor:
             return row
         t0 = time.perf_counter()
         try:
-            img = decode_rbmp(payload)
-        except ValueError as exc:
+            img = decode_page_image(payload)
+        except (ValueError, NotImplementedError) as exc:
             row.update(route="error", err=str(exc))
             return row
         h, w = img.shape

@@ -1,12 +1,12 @@
 """Multimodal column stages: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The container ships no image/audio codecs (no cv2/PIL/ffmpeg), so —
-exactly as the driver instructions require — the codec call itself is
-STUBBED behind ``NotImplementedError`` for real formats, while all the
-Ray-side plumbing (schema, batch size, actor signature, output layout)
-is real and tested: RBMP payloads (our deterministic in-repo format)
-decode for real, so the stages run end-to-end on synthetic corpora.
+The container ships no cv2/PIL/ffmpeg, so PNG, GIF and BMP are decoded
+by the from-scratch pure-numpy codecs in ``functions.codecs`` (public
+format specs over stdlib zlib); RBMP (our deterministic in-repo format)
+decodes zero-copy.  JPEG and audio/video containers remain STUBBED
+behind ``NotImplementedError`` — the typed error column marks exactly
+where a DCT/ffmpeg codec goes in production.
 
 Stages:
 - ``ImageDecodeStage``: binary -> (height, width, n_ink_pixels, ok, err)
@@ -23,13 +23,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from rapidocr_ray.functions.codecs import decode_page_image
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
 
-KNOWN_REAL_FORMATS = {
+KNOWN_REAL_FORMATS = {  # formats still STUBBED (no DCT / audio codec)
     b"\xff\xd8\xff": "jpeg",
-    b"\x89PNG": "png",
-    b"GIF8": "gif",
     b"RIFF": "riff/wav",
 }
 
@@ -42,10 +41,10 @@ def _sniff(payload: bytes) -> str | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload.  RBMP decodes for real; real-world
-    formats are stubbed: NotImplementedError marks exactly where a
-    cv2.imdecode/PIL call goes in production (S1 analog,
-    python/rapidocr_onnxruntime/utils.py:94-152)."""
+    """Decode an image payload (S1 analog,
+    python/rapidocr_onnxruntime/utils.py:94-152).  RBMP zero-copy;
+    PNG/GIF/BMP via the pure-numpy codecs; JPEG/audio stubbed with a
+    typed NotImplementedError."""
     if is_rbmp(payload):
         return decode_rbmp(payload)
     fmt = _sniff(payload)
@@ -53,7 +52,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"codec for {fmt} not available in this environment (stub)"
         )
-    raise ValueError("unrecognized image payload")
+    return decode_page_image(payload)
 
 
 class ImageDecodeStage:

@@ -21,6 +21,7 @@ adds blank timesteps, which the CTC decode drops.
 from __future__ import annotations
 
 import json
+import struct
 import time
 
 import numpy as np
@@ -36,7 +37,14 @@ from rapidocr_ray.functions.imgproc import (
     use_det_bypass,
     whole_image_box,
 )
+from rapidocr_ray.functions.codecs import decode_page_image
 from rapidocr_ray.glyphs import MAGIC, decode_rbmp, encode_rbmp, is_rbmp
+
+# known BITMAPINFOHEADER-family sizes at offset 14 — the extra check
+# that keeps the weak 2-byte "BM" magic from swallowing text payloads
+_DIB_SIZES = tuple(
+    struct.pack("<I", s) for s in (12, 40, 52, 56, 64, 108, 124)
+)
 from rapidocr_ray.stages.cascade import (
     TextClassifier,
     TextDetector,
@@ -106,16 +114,16 @@ def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
         return "empty", "empty payload"
     if is_rbmp(payload):
         return "bitmap", None
-    # real-world image containers (incl. the GIF path the reference
-    # special-cases, ocrweb_multi/rapidocr/main.py:29-40) are stubbed:
-    # codecs are unavailable in this environment (SURVEY.md §7.0)
-    for magic, name in (
-        (b"GIF8", "gif"),
-        (b"\xff\xd8\xff", "jpeg"),
-        (b"\x89PNG", "png"),
-    ):
-        if payload[: len(magic)] == magic:
-            return "error", f"image codec unavailable ({name} stub)"
+    # real image containers: PNG/GIF/BMP decode via the pure-numpy
+    # codecs (functions/codecs.py — incl. the GIF first-frame path the
+    # reference special-cases, ocrweb_multi/rapidocr/main.py:29-40);
+    # JPEG remains a typed stub (no DCT codec in this environment)
+    if payload[:4] in (b"\x89PNG", b"GIF8"):
+        return "bitmap", None
+    if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in _DIB_SIZES:
+        return "bitmap", None
+    if payload[:3] == b"\xff\xd8\xff":
+        return "error", "image codec unavailable (jpeg stub)"
     head = payload[:4096]
     try:
         snippet = head.decode("utf-8")
@@ -149,14 +157,24 @@ def sniff_routes_batch(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         )
         return pc.fill_null(eq, False).to_numpy(zero_copy_only=False) & ~empty
 
-    bitmap = _magic(MAGIC)
+    bitmap = _magic(MAGIC) | _magic(b"\x89PNG") | _magic(b"GIF8")
+    # BMP: "BM" alone is too weak a magic (plain text can start with
+    # it); require a known DIB header size at offset 14 like the
+    # row-wise sniff does
+    bm = _magic(b"BM") & (lengths >= 54)
+    if bm.any():
+        dib = pc.binary_slice(payloads, 14, 18)
+        dib_ok = np.zeros(n, dtype=bool)
+        for s in _DIB_SIZES:
+            eq = pc.fill_null(pc.equal(dib, pa.scalar(s, type=pa.binary())), False)
+            dib_ok |= eq.to_numpy(zero_copy_only=False)
+        bitmap |= bm & dib_ok
     routes[bitmap] = "bitmap"
     errs[bitmap] = None
     stubbed = np.zeros(n, dtype=bool)
-    for magic, name in ((b"GIF8", "gif"), (b"\xff\xd8\xff", "jpeg"), (b"\x89PNG", "png")):
-        m = _magic(magic) & ~bitmap & ~stubbed
-        errs[m] = f"image codec unavailable ({name} stub)"
-        stubbed |= m
+    m = _magic(b"\xff\xd8\xff") & ~bitmap
+    errs[m] = "image codec unavailable (jpeg stub)"
+    stubbed |= m
 
     rest = ~(empty | bitmap | stubbed)
     rest_idx = np.flatnonzero(rest)
@@ -273,8 +291,8 @@ class DetStage:
             t0 = time.perf_counter()
             try:
                 pay = payload_col[i]
-                img = decode_rbmp(pay.as_buffer() if pay.is_valid else b"")
-            except ValueError as exc:
+                img = decode_page_image(pay.as_buffer() if pay.is_valid else b"")
+            except (ValueError, NotImplementedError) as exc:
                 row.update(route="error", err=str(exc))
                 out.append(row)
                 continue
@@ -430,8 +448,8 @@ class CascadeStage:
             try:
                 pay = payload_col[i]
                 buf = pay.as_buffer() if pay.is_valid else b""
-                img = decode_rbmp(buf)
-            except ValueError as exc:
+                img = decode_page_image(buf)
+            except (ValueError, NotImplementedError) as exc:
                 final.update(route="error", err=str(exc))
                 docs.append(final)
                 continue

@@ -1,0 +1,232 @@
+"""Pure-numpy PNG/GIF/BMP codecs: round-trips, per-filter PNG decode,
+alpha/palette semantics, and parity with the reference's gray/alpha
+rules (utils.py:93-152)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from rapidocr_ray.functions import codecs as C
+
+
+def _rand_img(h=23, w=31, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def test_png_gray_roundtrip():
+    img = _rand_img()
+    assert np.array_equal(C.decode_png(C.encode_png(img)), img)
+
+
+def test_png_rgb_roundtrip_gray_formula():
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    out = C.decode_png(C.encode_png(rgb))
+    assert np.array_equal(out, C.rgb_to_gray(rgb))
+
+
+def test_png_rgba_flattens_like_reference():
+    """cvt_four_to_three (utils.py:133-145): keep color where a != 0,
+    zero elsewhere, saturated add of (255 - a)."""
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[0, 0] = (200, 100, 50, 255)   # opaque: color kept, +0
+    rgba[0, 1] = (200, 100, 50, 0)     # transparent: white
+    rgba[1, 0] = (200, 100, 50, 128)   # partial: color + 127, saturated
+    rgba[1, 1] = (10, 20, 30, 1)       # a!=0: kept, +254 saturates
+    out = C.decode_png(C.encode_png(rgba))
+    expect_rgb = np.array(
+        [
+            [[200, 100, 50], [255, 255, 255]],
+            [[255, 227, 177], [255, 255, 255]],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, C.rgb_to_gray(expect_rgb))
+
+
+def _encode_png_filtered(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-filterer: encode each row with the given filter type so the
+    decoder's Sub/Up/Average/Paeth paths are all exercised."""
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = img[y].astype(np.int32)
+        raw.append(f)
+        for x in range(w):
+            left = int(row[x - 1]) if x >= 1 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 1]) if x >= 1 else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                v = row[x] - pred
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        C.PNG_MAGIC
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + C._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filter_types(filters):
+    img = _rand_img(17, 13, seed=sum(filters) + 7)
+    assert np.array_equal(C.decode_png(_encode_png_filtered(img, filters)), img)
+
+
+def test_png_palette():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    data = (
+        C.PNG_MAGIC
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"PLTE", pal.tobytes())
+        + C._png_chunk(b"IDAT", zlib.compress(raw))
+        + C._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(data), C.rgb_to_gray(pal[idx]))
+
+
+def test_png_interlaced_raises_typed():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    data = (
+        C.PNG_MAGIC
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + C._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        C.decode_png(data)
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip():
+    img = _rand_img(11, 19, seed=3)
+    assert np.array_equal(C.decode_gif(C.encode_gif(img)), img)
+
+
+def test_gif_lzw_width_growth_and_reset():
+    """Round-trips that force the LZW code width through 9→10→11→12
+    bits and a full-table clear/reset: random 8-bit pixels add ~one
+    table entry per pixel, so 80x80 crosses every width boundary and
+    the 4096-entry reset."""
+    for shape, seed in (((30, 20), 11), ((80, 80), 12)):
+        img = _rand_img(*shape, seed=seed)
+        assert np.array_equal(C.decode_gif(C.encode_gif(img)), img)
+
+
+def test_gif_repetitive_content_compresses():
+    """Highly repetitive rows make long table entries (real LZW gain)
+    and still round-trip."""
+    img = np.tile(np.arange(16, dtype=np.uint8).repeat(4), (32, 2))
+    data = C.encode_gif(img)
+    assert len(data) < img.size  # actually compresses
+    assert np.array_equal(C.decode_gif(data), img)
+
+
+def test_gif_transparent_index_renders_white():
+    img = np.array([[0, 7], [7, 0]], dtype=np.uint8)
+    data = bytearray(C.encode_gif(img))
+    # splice in a GCE marking index 7 transparent, before the image
+    # descriptor (0x2C)
+    i = data.index(0x2C, 13 + 768)
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x07, 0x00])
+    data[i:i] = gce
+    out = C.decode_gif(bytes(data))
+    assert out[0, 0] == 0 and out[1, 1] == 0
+    assert out[0, 1] == 255 and out[1, 0] == 255
+
+
+def test_gif_interlaced():
+    img = _rand_img(13, 5, seed=9)
+    data = bytearray(C.encode_gif(img))
+    i = data.index(0x2C, 13 + 768)
+    # set the interlace flag and reorder rows into pass order
+    data[i + 9] |= 0x40
+    order = np.concatenate(
+        [np.arange(0, 13, 8), np.arange(4, 13, 8), np.arange(2, 13, 4), np.arange(1, 13, 2)]
+    )
+    reordered = img[order]
+    rebuilt = bytearray(C.encode_gif(reordered))
+    j = rebuilt.index(0x2C, 13 + 768)
+    rebuilt[j + 9] |= 0x40
+    assert np.array_equal(C.decode_gif(bytes(rebuilt)), img)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_8bit():
+    img = _rand_img(10, 6, seed=4)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+
+def test_bmp_24bit_bottom_up_and_top_down():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    h, w = 4, 3
+    stride = (w * 3 + 3) & ~3
+    for top_down in (False, True):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        src = rgb if top_down else rgb[::-1]
+        rows[:, : w * 3] = src[:, :, [2, 1, 0]].reshape(h, w * 3)  # BGR on disk
+        data_off = 14 + 40
+        head = b"BM" + struct.pack("<IHHI", data_off + rows.size, 0, 0, data_off)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, rows.size, 0, 0, 0, 0
+        )
+        out = C.decode_bmp(head + dib + rows.tobytes())
+        assert np.array_equal(out, C.rgb_to_gray(rgb))
+
+
+def test_bmp_compressed_raises_typed():
+    head = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="compression"):
+        C.decode_bmp(head + dib)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_decode_page_image_dispatch():
+    from rapidocr_ray.glyphs import encode_rbmp
+
+    img = _rand_img(8, 8, seed=6)
+    for payload in (encode_rbmp(img), C.encode_png(img), C.encode_gif(img), C.encode_bmp(img)):
+        assert np.array_equal(C.decode_page_image(payload), img)
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        C.decode_page_image(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError):
+        C.decode_page_image(b"not an image")

@@ -15,13 +15,18 @@ def test_decode_rbmp_real():
     assert (out == img).all()
 
 
-def test_real_codecs_stubbed():
+def test_jpeg_still_stubbed_and_real_codecs_decode():
     with pytest.raises(NotImplementedError, match="jpeg"):
         decode_image(b"\xff\xd8\xff\xe0rest")
-    with pytest.raises(NotImplementedError, match="png"):
-        decode_image(b"\x89PNGrest")
+    with pytest.raises(ValueError, match="png"):
+        decode_image(b"\x89PNGrest")  # corrupt signature -> typed error
     with pytest.raises(ValueError):
         decode_image(b"garbage")
+    from rapidocr_ray.functions.codecs import encode_bmp, encode_gif, encode_png
+
+    img = glyphs.render_page(["abc"], margin=8)
+    for enc in (encode_png, encode_gif, encode_bmp):
+        assert (decode_image(enc(img)) == img).all()
 
 
 @pytest.fixture()

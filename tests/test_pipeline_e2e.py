@@ -150,3 +150,45 @@ def test_most_angle_flag_ray_vs_oracle(ray_session):
     # the vote (majority 180) must change the output vs per-crop cls
     default = _to_sorted_pandas(extract_pages_table(pages).to_pandas())
     assert got.extracted_text.tolist() != default.extracted_text.tolist()
+
+
+def test_real_container_pages_match_rbmp(ray_session):
+    """PNG/GIF/BMP pages (the pure-numpy codecs) must extract byte-
+    identical text to the same page encoded as RBMP, through both the
+    Ray pipeline and the oracle; JPEG stays a typed error row."""
+    import numpy as np
+
+    from rapidocr_ray.functions.codecs import encode_bmp, encode_gif, encode_png
+    from rapidocr_ray.glyphs import encode_rbmp, render_page
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+
+    img = render_page(["container codec line"], margin=12)
+    now = 1_700_000_000_000_000
+    payloads = {
+        "rbmp": encode_rbmp(img),
+        "png": encode_png(img),
+        "gif": encode_gif(img),
+        "bmp": encode_bmp(img),
+        "jpeg": b"\xff\xd8\xff\xe0fake-jpeg",
+    }
+    pages = pa.table(
+        {
+            "url": [f"https://t/{k}" for k in payloads],
+            "warc_ts": pa.array([now] * len(payloads), type=pa.timestamp("us")),
+            "html": list(payloads.values()),
+            "text": [None] * len(payloads),
+            "lang": ["en"] * len(payloads),
+        }
+    )
+    got = _to_sorted_pandas(extract_pages_table(pages, dedup=False).to_pandas())
+    want = _to_sorted_pandas(OracleExtractor().run(pages))
+    for col in COMPARE_COLS:
+        assert got[col].fillna("x").tolist() == want[col].fillna("x").tolist(), col
+    by_url = got.set_index("url")
+    expected = by_url.loc["https://t/rbmp", "extracted_text"]
+    assert expected == "container codec line"
+    for k in ("png", "gif", "bmp"):
+        assert by_url.loc[f"https://t/{k}", "extracted_text"] == expected, k
+        assert by_url.loc[f"https://t/{k}", "route"] == "bitmap"
+    assert by_url.loc["https://t/jpeg", "route"] == "error"
+    assert "jpeg" in by_url.loc["https://t/jpeg", "err"]
