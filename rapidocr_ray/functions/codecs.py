@@ -12,8 +12,8 @@ python/rapidocr_onnxruntime/utils.py:93-152):
 - alpha channels are flattened exactly like ``cvt_four_to_three``
   (utils.py:133-145): color kept where a != 0, zeroed elsewhere, then a
   saturated add of the inverted alpha (white background).
-- JPEG stays a typed stub (huffman+DCT out of scope here); the sniff
-  layer keeps routing it to a typed error row.
+- baseline JPEG decodes via the from-scratch huffman+IDCT codec in
+  ``functions.jpeg`` (progressive/arithmetic raise typed errors).
 
 Unsupported container features raise ``NotImplementedError`` with the
 feature named, which the stages surface as typed error columns — the
@@ -27,6 +27,7 @@ import zlib
 
 import numpy as np
 
+from rapidocr_ray.functions.jpeg import decode_jpeg
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -440,9 +441,9 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 def decode_page_image(payload) -> np.ndarray:
     """Any supported page payload -> (h, w) grayscale uint8: RBMP (the
-    engine's native format, zero-copy), PNG, GIF, BMP.  JPEG raises the
-    typed stub error (no DCT codec in this environment); unknown bytes
-    raise ValueError (LoadImageError analog, utils.py:154)."""
+    engine's native format, zero-copy), PNG, GIF, BMP, baseline JPEG.
+    Unknown bytes raise ValueError (LoadImageError analog,
+    utils.py:154)."""
     if is_rbmp(payload):
         return decode_rbmp(payload)
     head = bytes(payload[:8])
@@ -453,5 +454,5 @@ def decode_page_image(payload) -> np.ndarray:
     if head[:2] == b"BM":
         return decode_bmp(bytes(payload))
     if head[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("image codec unavailable (jpeg stub)")
+        return decode_jpeg(bytes(payload))
     raise ValueError("unrecognized image payload")

@@ -62,10 +62,17 @@ def _web_return(ocr, payload: bytes, lang: str) -> dict:
         (i, text, score) for i, (_box, text, score) in enumerate(result)
     ]
     boxes = [box for box, _t, _s in result if box is not None]
-    from rapidocr_ray.glyphs import decode_rbmp, encode_rbmp, is_rbmp
+    from rapidocr_ray.functions.codecs import decode_page_image, encode_png
+    from rapidocr_ray.glyphs import encode_rbmp, is_rbmp
 
-    if is_rbmp(payload) and boxes:
-        rendered = encode_rbmp(render_boxes(decode_rbmp(payload), boxes))
+    if boxes:
+        try:
+            img = render_boxes(decode_page_image(payload), boxes)
+            # RBMP in -> RBMP out; real containers come back as PNG
+            # (the reference server returns an encoded raster too)
+            rendered = encode_rbmp(img) if is_rbmp(payload) else encode_png(img)
+        except (ValueError, NotImplementedError):
+            rendered = payload
     else:
         rendered = payload
     total = sum(float(x or 0.0) for x in elapses)

@@ -1,12 +1,13 @@
 """Multimodal column stages: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The container ships no cv2/PIL/ffmpeg, so PNG, GIF and BMP are decoded
-by the from-scratch pure-numpy codecs in ``functions.codecs`` (public
-format specs over stdlib zlib); RBMP (our deterministic in-repo format)
-decodes zero-copy.  JPEG and audio/video containers remain STUBBED
-behind ``NotImplementedError`` — the typed error column marks exactly
-where a DCT/ffmpeg codec goes in production.
+The container ships no cv2/PIL/ffmpeg, so PNG, GIF, BMP and baseline
+JPEG are decoded by the from-scratch pure-numpy codecs in
+``functions.codecs`` / ``functions.jpeg`` (public format specs over
+stdlib zlib); RBMP (our deterministic in-repo format) decodes
+zero-copy.  Audio/video containers remain STUBBED behind
+``NotImplementedError`` — the typed error column marks exactly where an
+ffmpeg codec goes in production.
 
 Stages:
 - ``ImageDecodeStage``: binary -> (height, width, n_ink_pixels, ok, err)
@@ -27,8 +28,7 @@ from rapidocr_ray.functions.codecs import decode_page_image
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
 
-KNOWN_REAL_FORMATS = {  # formats still STUBBED (no DCT / audio codec)
-    b"\xff\xd8\xff": "jpeg",
+KNOWN_REAL_FORMATS = {  # formats still STUBBED (audio/video containers)
     b"RIFF": "riff/wav",
 }
 
@@ -43,8 +43,8 @@ def _sniff(payload: bytes) -> str | None:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload (S1 analog,
     python/rapidocr_onnxruntime/utils.py:94-152).  RBMP zero-copy;
-    PNG/GIF/BMP via the pure-numpy codecs; JPEG/audio stubbed with a
-    typed NotImplementedError."""
+    PNG/GIF/BMP/baseline-JPEG via the pure-numpy codecs; audio/video
+    stubbed with a typed NotImplementedError."""
     if is_rbmp(payload):
         return decode_rbmp(payload)
     fmt = _sniff(payload)

@@ -114,16 +114,15 @@ def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
         return "empty", "empty payload"
     if is_rbmp(payload):
         return "bitmap", None
-    # real image containers: PNG/GIF/BMP decode via the pure-numpy
-    # codecs (functions/codecs.py — incl. the GIF first-frame path the
-    # reference special-cases, ocrweb_multi/rapidocr/main.py:29-40);
-    # JPEG remains a typed stub (no DCT codec in this environment)
-    if payload[:4] in (b"\x89PNG", b"GIF8"):
+    # real image containers decode via the pure-numpy codecs
+    # (functions/codecs.py + functions/jpeg.py — incl. the GIF
+    # first-frame path the reference special-cases,
+    # ocrweb_multi/rapidocr/main.py:29-40); unsupported container
+    # features surface as typed error rows from the decode itself
+    if payload[:4] in (b"\x89PNG", b"GIF8") or payload[:3] == b"\xff\xd8\xff":
         return "bitmap", None
     if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in _DIB_SIZES:
         return "bitmap", None
-    if payload[:3] == b"\xff\xd8\xff":
-        return "error", "image codec unavailable (jpeg stub)"
     head = payload[:4096]
     try:
         snippet = head.decode("utf-8")
@@ -157,7 +156,12 @@ def sniff_routes_batch(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         )
         return pc.fill_null(eq, False).to_numpy(zero_copy_only=False) & ~empty
 
-    bitmap = _magic(MAGIC) | _magic(b"\x89PNG") | _magic(b"GIF8")
+    bitmap = (
+        _magic(MAGIC)
+        | _magic(b"\x89PNG")
+        | _magic(b"GIF8")
+        | _magic(b"\xff\xd8\xff")
+    )
     # BMP: "BM" alone is too weak a magic (plain text can start with
     # it); require a known DIB header size at offset 14 like the
     # row-wise sniff does
@@ -171,12 +175,7 @@ def sniff_routes_batch(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         bitmap |= bm & dib_ok
     routes[bitmap] = "bitmap"
     errs[bitmap] = None
-    stubbed = np.zeros(n, dtype=bool)
-    m = _magic(b"\xff\xd8\xff") & ~bitmap
-    errs[m] = "image codec unavailable (jpeg stub)"
-    stubbed |= m
-
-    rest = ~(empty | bitmap | stubbed)
+    rest = ~(empty | bitmap)
     rest_idx = np.flatnonzero(rest)
     if len(rest_idx):
         heads = pc.binary_slice(payloads.take(pa.array(rest_idx)), 0, 4096)

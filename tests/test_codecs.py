@@ -226,7 +226,134 @@ def test_decode_page_image_dispatch():
     img = _rand_img(8, 8, seed=6)
     for payload in (encode_rbmp(img), C.encode_png(img), C.encode_gif(img), C.encode_bmp(img)):
         assert np.array_equal(C.decode_page_image(payload), img)
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        C.decode_page_image(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError, match="jpeg"):
+        C.decode_page_image(b"\xff\xd8\xff\xe0junk")  # truncated stream
     with pytest.raises(ValueError):
         C.decode_page_image(b"not an image")
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_quality100_near_lossless():
+    from rapidocr_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _rand_img(40, 56, seed=21)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_constant_block_exact():
+    from rapidocr_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 64, 130, 255):
+        img = np.full((24, 17), v, dtype=np.uint8)  # non-multiple-of-8 dims
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=90)), img)
+
+
+def test_jpeg_glyph_page_binarizes_identically():
+    """Ink/background separation survives q95 quantization — the
+    property the det/rec cascade depends on."""
+    from rapidocr_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from rapidocr_ray.glyphs import render_page
+
+    page = render_page(["the quick brown fox"], margin=12)
+    out = decode_jpeg(encode_jpeg(page, quality=95))
+    assert ((out > 127) == (page > 127)).all()
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn handling: splice a restart interval into the encoded
+    stream by re-encoding with the encoder forced through the interval
+    path is not available (encoder emits none), so instead decode must
+    reject garbage after SOS cleanly."""
+    from rapidocr_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _rand_img(16, 16, seed=3)
+    data = bytearray(encode_jpeg(img, quality=80))
+    data[-10] ^= 0xFF  # corrupt entropy data
+    try:
+        out = decode_jpeg(bytes(data))
+        assert out.shape == img.shape  # decoded with visible corruption
+    except ValueError:
+        pass  # typed rejection is equally acceptable
+
+
+def test_jpeg_progressive_rejected_typed():
+    from rapidocr_ray.functions.jpeg import decode_jpeg
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(sof2)
+
+
+def _build_color_jpeg(v_y, v_cb, v_cr, w, h, subsample=False):
+    """Hand-assemble a 3-component constant-color baseline JPEG with
+    all-ones quant (DC-only blocks), optionally 4:2:0 subsampled."""
+    from rapidocr_ray.functions import jpeg as J
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    q = bytes([1] * 64)
+    dc_codes = J._canonical_codes(J._DC_COUNTS, J._DC_VALUES)
+    ac_codes = J._canonical_codes(J._AC_COUNTS, J._AC_VALUES)
+    bw = J._BitWriter()
+
+    def write_block(dc_diff):
+        size = J._category(dc_diff)
+        length, code = dc_codes[size]
+        bw.write(length, code)
+        if size:
+            bw.write(size, dc_diff if dc_diff >= 0 else dc_diff + (1 << size) - 1)
+        length, code = ac_codes[0x00]  # EOB
+        bw.write(length, code)
+
+    hv_y = 0x22 if subsample else 0x11
+    mcus_x = -(-w // (16 if subsample else 8))
+    mcus_y = -(-h // (16 if subsample else 8))
+    preds = {1: 0, 2: 0, 3: 0}
+    vals = {1: v_y, 2: v_cb, 3: v_cr}
+    for _ in range(mcus_x * mcus_y):
+        for cid, nblocks in ((1, 4 if subsample else 1), (2, 1), (3, 1)):
+            dc = int(round(8 * (vals[cid] - 128)))
+            for _b in range(nblocks):
+                write_block(dc - preds[cid])
+                preds[cid] = dc
+    bw.flush()
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + q)
+        + seg(0xC0, sof)
+        + seg(0xC4, bytes([0x00] + J._DC_COUNTS) + J._DC_VALUES)
+        + seg(0xC4, bytes([0x10] + J._AC_COUNTS) + J._AC_VALUES)
+        + seg(0xDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_ycbcr_color_decode():
+    from rapidocr_ray.functions.jpeg import decode_jpeg
+
+    out = decode_jpeg(_build_color_jpeg(90, 128, 128, w=8, h=8))
+    assert out.shape == (8, 8)
+    assert np.array_equal(out, np.full((8, 8), 90, dtype=np.uint8))
+    # a chroma-shifted constant: YCbCr(128, 100, 160) -> some gray value
+    out2 = decode_jpeg(_build_color_jpeg(128, 100, 160, w=8, h=8))
+    assert (out2 == out2[0, 0]).all()
+
+
+def test_jpeg_420_subsampling():
+    from rapidocr_ray.functions.jpeg import decode_jpeg
+
+    out = decode_jpeg(_build_color_jpeg(200, 128, 128, w=16, h=16, subsample=True))
+    assert out.shape == (16, 16)
+    assert np.array_equal(out, np.full((16, 16), 200, dtype=np.uint8))

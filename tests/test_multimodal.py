@@ -15,9 +15,11 @@ def test_decode_rbmp_real():
     assert (out == img).all()
 
 
-def test_jpeg_still_stubbed_and_real_codecs_decode():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_image(b"\xff\xd8\xff\xe0rest")
+def test_real_codecs_decode_and_audio_stubbed():
+    with pytest.raises(NotImplementedError, match="riff"):
+        decode_image(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="jpeg"):
+        decode_image(b"\xff\xd8\xff\xe0rest")  # truncated -> typed error
     with pytest.raises(ValueError, match="png"):
         decode_image(b"\x89PNGrest")  # corrupt signature -> typed error
     with pytest.raises(ValueError):

@@ -162,6 +162,8 @@ def test_real_container_pages_match_rbmp(ray_session):
     from rapidocr_ray.glyphs import encode_rbmp, render_page
     from rapidocr_ray.pipelines.extract import extract_pages_table
 
+    from rapidocr_ray.functions.jpeg import encode_jpeg
+
     img = render_page(["container codec line"], margin=12)
     now = 1_700_000_000_000_000
     payloads = {
@@ -169,7 +171,8 @@ def test_real_container_pages_match_rbmp(ray_session):
         "png": encode_png(img),
         "gif": encode_gif(img),
         "bmp": encode_bmp(img),
-        "jpeg": b"\xff\xd8\xff\xe0fake-jpeg",
+        "jpg": encode_jpeg(img, quality=95),
+        "jpeg": b"\xff\xd8\xff\xe0fake-jpeg",  # truncated -> error row
     }
     pages = pa.table(
         {
@@ -187,7 +190,7 @@ def test_real_container_pages_match_rbmp(ray_session):
     by_url = got.set_index("url")
     expected = by_url.loc["https://t/rbmp", "extracted_text"]
     assert expected == "container codec line"
-    for k in ("png", "gif", "bmp"):
+    for k in ("png", "gif", "bmp", "jpg"):
         assert by_url.loc[f"https://t/{k}", "extracted_text"] == expected, k
         assert by_url.loc[f"https://t/{k}", "route"] == "bitmap"
     assert by_url.loc["https://t/jpeg", "route"] == "error"
