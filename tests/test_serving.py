@@ -148,3 +148,21 @@ class TestRenderPageWithText:
         spans = [{"box": [[2, 2], [28, 2], [28, 16], [2, 16]], "text": "éé", "score": 1.0}]
         out = render_page_with_text(img, spans)  # must not raise
         assert out.shape == (30, 60)
+
+
+def test_ocr_png_data_url_renders_png(client):
+    """A real-container request: PNG in, recognized text out, rendered
+    raster returned as PNG with burned-in outlines."""
+    from rapidocr_ray.functions.codecs import decode_png, encode_png
+    from rapidocr_ray.glyphs import decode_rbmp
+
+    page = decode_rbmp(_page_payload())
+    url = "data:image/png;base64," + base64.b64encode(encode_png(page)).decode()
+    r = client.post("/ocr", json={"file": url})
+    assert r.status_code == 200
+    data = r.get_json()
+    rec = json.loads(data["rec_res"])
+    assert [t for _i, t, _s in rec] == ["hello", "world"]
+    img = decode_png(base64.b64decode(data["image"]))
+    assert img.shape == page.shape
+    assert (img == 128).any()  # outlines burned in
