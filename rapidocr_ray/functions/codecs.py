@@ -59,15 +59,14 @@ def flatten_alpha(rgba: np.ndarray) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
-    stride = w * channels
-    arr = np.frombuffer(raw, dtype=np.uint8)
+def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """(h*(stride+1),) filtered bytes -> (h, stride) reconstructed byte
+    rows; ``bpp`` is the filter distance in BYTES (>=1 per spec)."""
     if arr.size != h * (stride + 1):
         raise ValueError("png: decompressed size mismatch")
     rows = arr.reshape(h, stride + 1)
     filters = rows[:, 0]
     recon = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
         f = int(filters[y])
@@ -104,13 +103,36 @@ def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
             raise ValueError(f"png: unknown filter type {f}")
         recon[y] = r.astype(np.uint8)
         prev = r
-    return recon.reshape(h, w, channels) if channels > 1 else recon.reshape(h, w)
+    return recon
+
+
+def _png_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed byte rows -> (h, w, channels) uint8
+    samples.  16-bit takes the high byte (the PIL 16->8 rule); 1/2/4-bit
+    unpacks MSB-first (raw sample values — callers scale gray)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return rows[:, : w * channels * 2].reshape(h, w, channels, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * channels * depth]
+    groups = bits.reshape(h, w * channels, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, channels)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w) grayscale uint8.  Supports bit depth 8,
-    color types 0/2/3/4/6, non-interlaced (Adam7 raises a typed
-    NotImplementedError)."""
+    """PNG bytes -> (h, w) grayscale uint8.  Supports bit depths
+    1/2/4/8/16, color types 0/2/3/4/6, tRNS palette transparency, and
+    Adam7 interlacing."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("png: bad signature")
     pos = 8
@@ -135,26 +157,50 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("png: missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"png: bit depth {depth} unsupported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("png: Adam7 interlacing unsupported")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"png: unknown color type {color}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color not in (0, 3)):
+        raise ValueError(f"png: bit depth {depth} invalid for color type {color}")
     channels = _PNG_CHANNELS[color]
-    img = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, channels)
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    bpp = max(1, channels * depth // 8)
+
+    def pass_samples(arr, pw, ph):
+        stride = (pw * channels * depth + 7) // 8
+        rows = _png_unfilter(arr, ph, stride, bpp)
+        return _png_samples(rows, pw, channels, depth)
+
+    if interlace == 0:
+        img = pass_samples(raw, w, h)
+    elif interlace == 1:  # Adam7
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            size = ph * (stride + 1)
+            img[y0::dy, x0::dx] = pass_samples(raw[off:off + size], pw, ph)
+            off += size
+    else:
+        raise ValueError(f"png: unknown interlace method {interlace}")
+    if color in (0, 4) and depth < 8:
+        img = (img.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 0:
-        return img
+        return img.reshape(h, w)
     if color == 2:
         return rgb_to_gray(img)
     if color == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")
-        rgb = plte[img]
+        idx = img.reshape(h, w)
+        rgb = plte[idx]
         if trns is not None:
             alpha = np.full(256, 255, dtype=np.uint8)
             alpha[: len(trns)] = trns
-            rgba = np.dstack([rgb, alpha[img]])
+            rgba = np.dstack([rgb, alpha[idx]])
             return rgb_to_gray(flatten_alpha(rgba))
         return rgb_to_gray(rgb)
     if color == 4:

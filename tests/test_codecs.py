@@ -110,16 +110,76 @@ def test_png_palette():
     assert np.array_equal(C.decode_png(data), C.rgb_to_gray(pal[idx]))
 
 
-def test_png_interlaced_raises_typed():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+def _encode_png_adam7_gray(img: np.ndarray) -> bytes:
+    """Interlaced grayscale-8 writer (filter 0 rows per pass)."""
+    h, w = img.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in C._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw.extend(row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    return (
+        C.PNG_MAGIC
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + C._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced():
+    for shape in ((13, 11), (8, 8), (3, 17)):
+        img = _rand_img(*shape, seed=shape[0] * 31 + shape[1])
+        assert np.array_equal(C.decode_png(_encode_png_adam7_gray(img)), img)
+
+
+def _encode_png_lowdepth_gray(vals: np.ndarray, depth: int) -> bytes:
+    """Gray 1/2/4-bit writer (filter 0): vals holds RAW sample codes."""
+    h, w = vals.shape
+    raw = bytearray()
+    for y in range(h):
+        bits = np.zeros(w * depth, dtype=np.uint8)
+        for i, v in enumerate(vals[y]):
+            for b in range(depth):
+                bits[i * depth + b] = (int(v) >> (depth - 1 - b)) & 1
+        raw.append(0)
+        raw.extend(np.packbits(bits).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (
+        C.PNG_MAGIC
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + C._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_low_bit_depth_gray(depth):
+    rng = np.random.default_rng(depth)
+    vals = rng.integers(0, 1 << depth, (7, 11), dtype=np.uint8)
+    out = C.decode_png(_encode_png_lowdepth_gray(vals, depth))
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(out, (vals * scale).astype(np.uint8))
+
+
+def test_png_16bit_gray_high_byte():
+    rng = np.random.default_rng(16)
+    img16 = rng.integers(0, 1 << 16, (5, 9), dtype=np.uint16)
+    raw = bytearray()
+    for y in range(5):
+        raw.append(0)
+        raw.extend(img16[y].astype(">u2").tobytes())
+    ihdr = struct.pack(">IIBBBBB", 9, 5, 16, 0, 0, 0, 0)
     data = (
         C.PNG_MAGIC
         + C._png_chunk(b"IHDR", ihdr)
-        + C._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + C._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + C._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        C.decode_png(data)
+    assert np.array_equal(C.decode_png(data), (img16 >> 8).astype(np.uint8))
 
 
 # ---------------------------------------------------------------------------
