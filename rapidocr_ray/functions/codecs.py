@@ -502,3 +502,68 @@ def decode_page_image(payload) -> np.ndarray:
     if head[:3] == b"\xff\xd8\xff":
         return decode_jpeg(bytes(payload))
     raise ValueError("unrecognized image payload")
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM / IEEE float audio)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE bytes -> (mono float32 samples in [-1, 1], sample_rate,
+    n_channels).  PCM 8/16/32-bit integer and 32-bit IEEE float;
+    multi-channel downmixes by mean.  Compressed codecs (ADPCM, mp3
+    inside RIFF, ...) raise typed NotImplementedError."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    tag, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"wav: {bits}-bit PCM unsupported (8/16/32)")
+    elif tag == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(f"wav: format tag {tag}/{bits}-bit unsupported")
+    n_ch = max(1, n_ch)
+    x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch)
+    return x.mean(axis=1).astype(np.float32), rate, n_ch
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """float samples in [-1, 1] (flat mono or (n, ch)) -> 16-bit PCM
+    RIFF/WAVE bytes (test/debug writer)."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+        n_channels = 1
+    pcm = np.clip(np.rint(arr * 32767.0), -32768, 32767).astype("<i2")
+    raw = pcm.tobytes()
+    block = 2 * n_channels
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block, block, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1,11 +1,11 @@
 """Multimodal column stages: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The container ships no cv2/PIL/ffmpeg, so PNG, GIF, BMP and baseline
-JPEG are decoded by the from-scratch pure-numpy codecs in
+The container ships no cv2/PIL/ffmpeg, so PNG, GIF, BMP, baseline JPEG
+and RIFF/WAV audio are decoded by the from-scratch pure-numpy codecs in
 ``functions.codecs`` / ``functions.jpeg`` (public format specs over
 stdlib zlib); RBMP (our deterministic in-repo format) decodes
-zero-copy.  Audio/video containers remain STUBBED behind
+zero-copy.  Only real VIDEO containers remain STUBBED behind
 ``NotImplementedError`` — the typed error column marks exactly where an
 ffmpeg codec goes in production.
 
@@ -14,9 +14,13 @@ Stages:
 - ``ImageFeatureStage``: binary -> fixed-size feature vector
   (row/col ink-profile histogram — a deterministic stand-in for a CNN
   embedding; same actor-pool shape a real model stage would have)
-- ``frame_sample``: video-payload stub — real containers raise
-  NotImplementedError inside a typed error column, RBMP "videos"
-  (concatenated frames) sample every k-th frame.
+- ``AudioFeatureStage``: RIFF/WAV payloads (real pure-numpy PCM/float
+  decode) -> (sample_rate, n_channels, duration_us, rms_scaled);
+  compressed audio codecs surface as typed error columns.
+- ``frame_sample``: RBMP "videos" (concatenated RBMP frames) sample
+  every k-th frame; real video containers (mp4/mkv/...) raise
+  NotImplementedError inside the typed error column — the one
+  remaining stubbed decode in the engine.
 """
 
 from __future__ import annotations
@@ -28,7 +32,9 @@ from rapidocr_ray.functions.codecs import decode_page_image
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
 
-KNOWN_REAL_FORMATS = {  # formats still STUBBED (audio/video containers)
+# RIFF is audio, not an image: the IMAGE decode path stubs it with a
+# typed error (AudioFeatureStage decodes it for real via decode_wav)
+KNOWN_REAL_FORMATS = {
     b"RIFF": "riff/wav",
 }
 
@@ -226,3 +232,90 @@ def image_feature_pipeline(ds, payload_col: str = "html", concurrency: int = 4):
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: RIFF/WAV binary payload -> deterministic audio
+    metadata/features (duration_us, sample_rate, n_channels,
+    rms_scaled = round(1e6 * RMS of the mono downmix)).  The same
+    actor shape a batched audio-embedding model stage would have;
+    non-audio / compressed payloads emit typed error columns."""
+
+    def __init__(self, payload_col: str = "html"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rapidocr_ray.functions.codecs import decode_wav
+
+        rates, chans, durs, rms, oks, errs = [], [], [], [], [], []
+        for payload in batch.column(self.payload_col).to_pylist():
+            try:
+                mono, rate, n_ch = decode_wav(payload or b"")
+                rates.append(rate)
+                chans.append(n_ch)
+                durs.append(int(round(1e6 * len(mono) / max(1, rate))))
+                rms.append(
+                    int(round(1e6 * float(np.sqrt(np.mean(mono**2)))))
+                    if len(mono)
+                    else 0
+                )
+                oks.append(True)
+                errs.append(None)
+            except (ValueError, NotImplementedError) as exc:
+                rates.append(None)
+                chans.append(None)
+                durs.append(None)
+                rms.append(None)
+                oks.append(False)
+                errs.append(str(exc))
+        out = batch.drop_columns([self.payload_col])
+        for name, vals, typ in (
+            ("sample_rate", rates, pa.int32()),
+            ("n_channels", chans, pa.int32()),
+            ("duration_us", durs, pa.int64()),
+            ("rms_scaled", rms, pa.int64()),
+            ("decode_ok", oks, pa.bool_()),
+            ("decode_err", errs, pa.string()),
+        ):
+            out = out.append_column(name, pa.array(vals, type=typ))
+        return out
+
+
+def audio_feature_pipeline(ds, payload_col: str = "html", concurrency: int = 4):
+    ensure_worker_importable()
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def frame_sample(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
+    """Video frame sampling: an RBMP "video" (concatenated RBMP frames,
+    the engine's codec-free container) yields every k-th frame; real
+    video containers raise the typed stub error (no ffmpeg in this
+    environment — this is the engine's one remaining stubbed decode)."""
+    import struct
+
+    from rapidocr_ray import glyphs
+
+    if not is_rbmp(payload):
+        raise NotImplementedError(
+            "video codec unavailable (only RBMP frame streams decode)"
+        )
+    frames = []
+    pos = 0
+    idx = 0
+    hsize = glyphs._HEADER_SIZE
+    while pos < len(payload):
+        _magic, h, w = struct.unpack_from(glyphs._HEADER_FMT, payload, pos)
+        end = pos + hsize + h * w
+        frame = decode_rbmp(payload[pos:end])
+        if idx % every_k == 0:
+            frames.append(frame)
+        pos = end
+        idx += 1
+    return frames

@@ -68,3 +68,71 @@ def test_feature_pipeline(mixed_ds):
     assert np.isfinite(feats).all()
     assert feats.sum() == pytest.approx(2.0, abs=1e-5)  # two normalized profiles
     assert rows["b"]["features"] is None
+
+
+def test_wav_decode_roundtrip():
+    from rapidocr_ray.functions.codecs import decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    mono, rate, n_ch = decode_wav(encode_wav(sig, 8000))
+    assert rate == 8000 and n_ch == 1
+    assert mono.shape == sig.shape
+    assert np.abs(mono - sig).max() < 1e-3  # 16-bit quantization
+
+    # stereo downmix by mean
+    stereo = np.stack([sig, -sig], axis=1)
+    mono2, rate2, n_ch2 = decode_wav(encode_wav(stereo, 8000, n_channels=2))
+    assert n_ch2 == 2 and np.abs(mono2).max() < 1e-3
+
+
+def test_wav_typed_errors():
+    from rapidocr_ray.functions.codecs import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio")
+    # valid RIFF/WAVE but ADPCM (tag 2): typed stub
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    body = (
+        b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    data = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(data)
+
+
+def test_audio_feature_pipeline(ray_session):
+    import ray.data
+
+    from rapidocr_ray.functions.codecs import encode_wav
+    from rapidocr_ray.stages.multimodal import audio_feature_pipeline
+
+    sig = np.full(16000, 0.5, dtype=np.float32)  # 2 s of DC at 8 kHz
+    tbl = pa.table(
+        {
+            "url": ["a", "b"],
+            "html": [encode_wav(sig, 8000), b"\x89PNG not audio"],
+        }
+    )
+    out = audio_feature_pipeline(ray.data.from_arrow(tbl)).to_pandas().set_index("url")
+    assert out.loc["a", "decode_ok"]
+    assert out.loc["a", "sample_rate"] == 8000
+    assert out.loc["a", "duration_us"] == 2_000_000
+    assert abs(out.loc["a", "rms_scaled"] - 500_000) <= 20  # ~0.5 RMS
+    assert not out.loc["b", "decode_ok"]
+
+
+def test_frame_sample():
+    from rapidocr_ray.stages.multimodal import frame_sample
+
+    frames = [glyphs.render_page([f"frame {i}"], margin=4) for i in range(5)]
+    video = b"".join(glyphs.encode_rbmp(f) for f in frames)
+    sampled = frame_sample(video, every_k=2)
+    assert len(sampled) == 3  # frames 0, 2, 4
+    for got, want in zip(sampled, frames[::2]):
+        assert np.array_equal(got, want)
+    with pytest.raises(NotImplementedError, match="video codec"):
+        frame_sample(b"\x00\x00\x00 mp4ftyp")
