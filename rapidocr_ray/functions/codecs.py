@@ -27,18 +27,10 @@ import zlib
 
 import numpy as np
 
-from rapidocr_ray.functions.jpeg import decode_jpeg
+from rapidocr_ray.functions.jpeg import decode_jpeg, rgb_to_gray  # noqa: F401
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-
-
-def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
-    """(h, w, 3) RGB uint8 -> (h, w) uint8, cv2 BGR2GRAY fixed-point."""
-    r = rgb[:, :, 0].astype(np.uint32)
-    g = rgb[:, :, 1].astype(np.uint32)
-    b = rgb[:, :, 2].astype(np.uint32)
-    return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
 
 
 def flatten_alpha(rgba: np.ndarray) -> np.ndarray:
@@ -489,18 +481,24 @@ def decode_page_image(payload) -> np.ndarray:
     """Any supported page payload -> (h, w) grayscale uint8: RBMP (the
     engine's native format, zero-copy), PNG, GIF, BMP, baseline JPEG.
     Unknown bytes raise ValueError (LoadImageError analog,
-    utils.py:154)."""
+    utils.py:154); truncated/corrupt containers ALSO surface as
+    ValueError, never as raw struct/index/zlib errors — the stage
+    callers' ``except (ValueError, NotImplementedError)`` contract
+    must hold for any byte string that passes the magic sniff."""
     if is_rbmp(payload):
         return decode_rbmp(payload)
     head = bytes(payload[:8])
-    if head[:8] == PNG_MAGIC or head[:4] == b"\x89PNG":
-        return decode_png(bytes(payload))
-    if head[:4] == b"GIF8":
-        return decode_gif(bytes(payload))
-    if head[:2] == b"BM":
-        return decode_bmp(bytes(payload))
-    if head[:3] == b"\xff\xd8\xff":
-        return decode_jpeg(bytes(payload))
+    try:
+        if head[:8] == PNG_MAGIC or head[:4] == b"\x89PNG":
+            return decode_png(bytes(payload))
+        if head[:4] == b"GIF8":
+            return decode_gif(bytes(payload))
+        if head[:2] == b"BM":
+            return decode_bmp(bytes(payload))
+        if head[:3] == b"\xff\xd8\xff":
+            return decode_jpeg(bytes(payload))
+    except (struct.error, IndexError, zlib.error) as exc:
+        raise ValueError(f"truncated or corrupt image payload ({exc})") from exc
     raise ValueError("unrecognized image payload")
 
 
@@ -525,7 +523,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         body = data[pos + 8:pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as exc:
+                raise ValueError(f"wav: truncated fmt chunk ({exc})") from exc
         elif cid == b"data":
             raw = body
     if fmt is None or raw is None:

@@ -158,9 +158,11 @@ class _Huffman:
         raise ValueError("jpeg: invalid huffman code")
 
 
-def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
-    """cv2 fixed-point luma — duplicated from codecs.rgb_to_gray to
-    keep this module import-cycle-free (codecs imports jpeg)."""
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB uint8 -> (h, w) uint8 with cv2's exact BGR2GRAY
+    fixed-point luma.  This is the engine's ONE definition — codecs.py
+    re-exports it (the dependency direction is codecs -> jpeg, so
+    defining it here keeps the modules cycle-free)."""
     r = rgb[:, :, 0].astype(np.uint32)
     g = rgb[:, :, 1].astype(np.uint32)
     b = rgb[:, :, 2].astype(np.uint32)
@@ -179,8 +181,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
-    rgb_to_gray = _rgb_to_gray
-
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     pos = 2

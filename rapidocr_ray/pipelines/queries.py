@@ -219,6 +219,21 @@ FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
 """
 
 
+_BROADCAST_SERIES_CACHE: dict = {}
+
+
+def _broadcast_series_cached(ref):
+    """Per-worker cache of a broadcast lookup dict as a pd.Series so
+    per-batch ``.map`` is an index lookup, not a dict->Series rebuild."""
+    import ray as _ray
+
+    key = ref.hex()
+    if key not in _BROADCAST_SERIES_CACHE:
+        _BROADCAST_SERIES_CACHE.clear()
+        _BROADCAST_SERIES_CACHE[key] = pd.Series(_ray.get(ref))
+    return _BROADCAST_SERIES_CACHE[key]
+
+
 def q_revenue_by_mktsegment(sf_dir: str, broadcast_limit: int = 20_000_000):
     """Broadcast join (J3 pattern): small customer side ray.put once,
     looked up vectorized per batch — no shuffle join.  Guarded by
@@ -243,7 +258,10 @@ def q_revenue_by_mktsegment(sf_dir: str, broadcast_limit: int = 20_000_000):
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def join(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
+        # ray.get of the same ref is cheap (plasma-cached) but dict ->
+        # Series conversion is not: Series.map(dict) rebuilds a Series
+        # per call, so map against a Series built once per worker
+        lk = _broadcast_series_cached(ref)
         segs = batch.column("o_custkey").to_pandas().map(lk)
         return pa.table(
             {

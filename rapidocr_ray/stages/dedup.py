@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rapidocr_ray.functions.hashing import (
     MinHasher,
@@ -130,6 +131,28 @@ def minhash_signatures(ds, n_perm: int = 128, k: int = 3, seed: int = 7):
     )
 
 
+def _dedup_pairs(ds):
+    """Drop duplicate (doc_a, doc_b) rows with one bucketed pass: a
+    pair discovered in several LSH bands/buckets appears several times,
+    and every copy shares doc_a, hence lands in the same pbucket.
+    Extra columns ride along untouched."""
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "pbucket", pa.array((a * _PHI) % N_BUCKETS, type=pa.uint64())
+        )
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
+
+    return (
+        ds.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(drop_dup, batch_format="pandas")
+    )
+
+
 _SIG_MATRIX_CACHE: dict = {}
 
 
@@ -218,6 +241,13 @@ def minhash_lsh_pairs(
         batch is one zero-copy flatten + reshape, band hashes one
         vectorized murmur-fold (band_hash_matrix) — no per-row python
         (the round-2 regression hot spot, VERDICT r2 'What's wrong' #2)."""
+        # zero-shingle (empty-text) docs carry the all-max sentinel
+        # signature; banding them would pair every two empty docs at
+        # est 1.0 — and the SQL oracle (which has no sig row for them)
+        # would diverge.  Empty docs are exact-dedup's domain: skip.
+        nonzero = pc.not_equal(batch.column("n_shingles"), 0)
+        if not pc.all(nonzero).as_py():
+            batch = batch.filter(nonzero)
         n = batch.num_rows
         if n == 0:
             return band_schema.empty_table()
@@ -265,23 +295,7 @@ def minhash_lsh_pairs(
         scored = band_ds.groupby("bucket").map_groups(
             bucket_pairs_scored, batch_format="pandas"
         )
-
-        # a pair found in several bands lands in several buckets: one
-        # bucketed pass over the (tiny) scored stream drops duplicates
-        def pair_bucket(b: pa.Table) -> pa.Table:
-            a = b.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-            return b.append_column(
-                "pbucket", pa.array((a * _PHI) % N_BUCKETS, type=pa.uint64())
-            )
-
-        def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
-            return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
-
-        return (
-            scored.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("pbucket")
-            .map_groups(drop_dup, batch_format="pandas")
-        )
+        return _dedup_pairs(scored)
 
     cand_schema = pa.schema(
         [
@@ -622,20 +636,7 @@ def ngram_jaccard_pairs(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
         )
 
-        def pair_bucket(b: pa.Table) -> pa.Table:
-            a = b.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-            return b.append_column(
-                "pbucket", pa.array((a * _PHI) % N_BUCKETS, type=pa.uint64())
-            )
-
-        def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
-            return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
-
-        uniq_pairs = (
-            cand_ds.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("pbucket")
-            .map_groups(drop_dup, batch_format="pandas")
-        )
+        uniq_pairs = _dedup_pairs(cand_ds)
 
         refs = sig_ds.select_columns(["doc_id", "shingles"]).to_arrow_refs()
         refs_key = tuple(r.hex() for r in refs)

@@ -213,8 +213,22 @@ def write_partition_streamed(
         if name.endswith(".parquet")
     )
     if not files:
-        # write_parquet emits nothing for an empty stream; keep the
-        # partition readable with an explicit empty file
+        # Either the stream was genuinely empty, or the workers wrote
+        # to a filesystem the driver cannot see (write_parquet writes
+        # worker-side; a local out_dir on a multi-node cluster is NOT
+        # shared).  Distinguish loudly: a silent empty manifest over a
+        # non-empty partition would be masked data loss.  Re-executing
+        # the (deterministic) lineage for the count only happens on
+        # this edge path.
+        if result.count() > 0:
+            raise RuntimeError(
+                "write_partition_streamed: workers wrote parquet blocks "
+                f"but none are visible at {tmp!r} — out_dir must be on "
+                "a filesystem shared between driver and workers (NFS / "
+                "object store); a node-local path silently drops data"
+            )
+        # genuinely empty stream: keep the partition readable with an
+        # explicit empty file
         empty = os.path.join(tmp, "data.parquet")
         pq.write_table(FINAL_SCHEMA.empty_table(), empty)
         files = [empty]
@@ -262,12 +276,13 @@ def run_resumable(
             with open(manifest_path(out_dir, pid), encoding="utf-8") as f:
                 manifests.append(json.load(f))
             continue
-        ds = read_pages(group)
+        # one footer scan per group: read_pages reuses the total
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
+        ds = read_pages(group, total_rows=total)
         # cap the cascade pool at the partition's block count: a pool
         # larger than the number of dispatchable blocks only adds
         # actor spin-up latency (Ray itself warns), and at production
         # partition sizes the cap is a no-op
-        total = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
         n_blocks = max(len(group), total // 128)
         part_cfg = (cfg or PipelineConfig()).with_overrides(
             ray_cascade_concurrency=min(

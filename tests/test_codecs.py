@@ -417,3 +417,27 @@ def test_jpeg_420_subsampling():
     out = decode_jpeg(_build_color_jpeg(200, 128, 128, w=16, h=16, subsample=True))
     assert out.shape == (16, 16)
     assert np.array_equal(out, np.full((16, 16), 200, dtype=np.uint8))
+
+
+def test_truncated_containers_raise_value_error():
+    """Corrupt/truncated payloads that pass the magic sniff must raise
+    ValueError (the typed-error-row contract), never raw
+    struct.error/IndexError/zlib.error."""
+    from rapidocr_ray.functions.codecs import decode_wav
+
+    bad = (
+        b"GIF89a\x01",                      # truncated GIF header
+        b"BM",                              # 2-byte BMP
+        b"BM" + bytes(52),                  # zeroed DIB
+        C.PNG_MAGIC + b"\x00\x00\x00\x04IDATxxxx",  # PNG, garbage chunk
+        b"\xff\xd8\xff\xe0bad",             # truncated JPEG
+    )
+    for payload in bad:
+        with pytest.raises((ValueError, NotImplementedError)):
+            C.decode_page_image(payload)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError, match="fmt"):
+        decode_wav(
+            b"RIFF\x10\x00\x00\x00WAVE" + b"fmt " + b"\x02\x00\x00\x00" + b"\x01\x00"
+        )  # 2-byte fmt chunk

@@ -287,3 +287,25 @@ def test_ngram_broadcast_and_attach_paths_agree(docs_ds):
     assert fast.doc_a.tolist() == slow.doc_a.tolist()
     assert fast.doc_b.tolist() == slow.doc_b.tolist()
     assert np.allclose(fast.jaccard.to_numpy(), slow.jaccard.to_numpy())
+
+
+def test_minhash_empty_docs_never_pair(ray_session):
+    """Zero-shingle (empty-text) docs must not LSH-pair with each other
+    (the all-max sentinel signature is excluded from banding) — this is
+    also what keeps the SQL oracle, which has no sig rows for them,
+    hash-identical."""
+    import ray.data
+
+    from rapidocr_ray.stages.dedup import minhash_lsh_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["", "", "a real document with words " * 5,
+                     "a real document with words " * 5],
+        }
+    )
+    out = minhash_lsh_pairs(ray.data.from_arrow(tbl), threshold=0.5).to_pandas()
+    pairs = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
+    assert (1, 2) not in pairs  # the two empty docs
+    assert (3, 4) in pairs      # the two identical real docs
