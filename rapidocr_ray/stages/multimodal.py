@@ -46,7 +46,16 @@ def _sniff(payload: bytes) -> str | None:
     return None
 
 
-def decode_image(payload: bytes) -> np.ndarray:
+def _iter_payload_buffers(batch: pa.Table, col: str):
+    """Zero-copy payload iteration: yields arrow buffers (not python
+    bytes copies) for each row; nulls yield b''."""
+    arr = batch.column(col).combine_chunks()
+    for i in range(len(arr)):
+        v = arr[i]
+        yield v.as_buffer() if v.is_valid else b""
+
+
+def decode_image(payload) -> np.ndarray:
     """Decode an image payload (S1 analog,
     python/rapidocr_onnxruntime/utils.py:94-152).  RBMP zero-copy;
     PNG/GIF/BMP/baseline-JPEG via the pure-numpy codecs; audio/video
@@ -69,9 +78,9 @@ class ImageDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         heights, widths, inks, oks, errs = [], [], [], [], []
-        for payload in batch.column(self.payload_col).to_pylist():
+        for payload in _iter_payload_buffers(batch, self.payload_col):
             try:
-                img = decode_image(payload or b"")
+                img = decode_image(payload)
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
                 inks.append(int((img > 127).sum()))
@@ -119,9 +128,9 @@ class ImageFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, oks = [], []
-        for payload in batch.column(self.payload_col).to_pylist():
+        for payload in _iter_payload_buffers(batch, self.payload_col):
             try:
-                img = decode_image(payload or b"")
+                img = decode_image(payload)
                 feats.append(self._features(img).tolist())
                 oks.append(True)
             except (ValueError, NotImplementedError):
@@ -178,10 +187,10 @@ class ImageFeatureBinsStage:
         keys, kinds, bins, vals = [], [], [], []
         for key, payload in zip(
             batch.column(self.key_col).to_pylist(),
-            batch.column(self.payload_col).to_pylist(),
+            _iter_payload_buffers(batch, self.payload_col),
         ):
             try:
-                img = decode_image(payload or b"")
+                img = decode_image(payload)
             except (ValueError, NotImplementedError):
                 continue
             row_bins, col_bins = self._bins(img)
@@ -248,9 +257,9 @@ class AudioFeatureStage:
         from rapidocr_ray.functions.codecs import decode_wav
 
         rates, chans, durs, rms, oks, errs = [], [], [], [], [], []
-        for payload in batch.column(self.payload_col).to_pylist():
+        for payload in _iter_payload_buffers(batch, self.payload_col):
             try:
-                mono, rate, n_ch = decode_wav(payload or b"")
+                mono, rate, n_ch = decode_wav(bytes(payload))
                 rates.append(rate)
                 chans.append(n_ch)
                 durs.append(int(round(1e6 * len(mono) / max(1, rate))))
