@@ -165,16 +165,33 @@ def main() -> None:
             os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
             if f.endswith(".parquet")
         )
-        t0 = time.perf_counter()
         # 2 partitions: enough to exercise the per-partition manifest +
         # skip layout; at production scale partitions are hours of work
-        # and the per-partition pipeline spin-up amortizes away
-        run_resumable(files, os.path.join(tmp, "out"), files_per_partition=4)
-        timings["extract_write_resumable"] = round(time.perf_counter() - t0, 3)
+        # and the per-partition pipeline spin-up amortizes away.
+        # best-of-2 into separate out dirs — the same discipline as
+        # bench_extract: the first run can pay one-time actor-pool
+        # spin-up (worker fork + by-value module ship) that an aged
+        # session makes 10x worse (BENCH_r03's 22.7s first partition);
+        # partition_parallelism=2 additionally overlaps the two
+        # partitions' ramp with each other's compute.
+        best = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            run_resumable(
+                files,
+                os.path.join(tmp, f"out{i}"),
+                files_per_partition=4,
+                partition_parallelism=2,
+            )
+            best = min(best, time.perf_counter() - t0)
+        timings["extract_write_resumable"] = round(best, 3)
         # second invocation over the same out dir must SKIP all
         # finished partitions (the mid-job restart story) — near-zero
         t0 = time.perf_counter()
-        report = run_resumable(files, os.path.join(tmp, "out"), files_per_partition=4)
+        report = run_resumable(
+            files, os.path.join(tmp, "out1"), files_per_partition=4,
+            partition_parallelism=2,
+        )
         assert len(report["skipped"]) == report["n_partitions"], report
         timings["extract_resume_skip"] = round(time.perf_counter() - t0, 3)
 

@@ -12,8 +12,11 @@ python/rapidocr_onnxruntime/utils.py:93-152):
 - alpha channels are flattened exactly like ``cvt_four_to_three``
   (utils.py:133-145): color kept where a != 0, zeroed elsewhere, then a
   saturated add of the inverted alpha (white background).
-- baseline JPEG decodes via the from-scratch huffman+IDCT codec in
-  ``functions.jpeg`` (progressive/arithmetic raise typed errors).
+- JPEG (baseline sequential, multi-scan non-interleaved sequential,
+  and progressive SOF2) decodes via the from-scratch huffman+IDCT
+  codec in ``functions.jpeg`` (arithmetic coding / 12-bit raise typed
+  errors).  TIFF decodes uncompressed + PackBits strips; WebP raises a
+  NAMED typed error (VP8 entropy decode is out of scope here).
 
 Unsupported container features raise ``NotImplementedError`` with the
 feature named, which the stages surface as typed error columns — the
@@ -477,28 +480,306 @@ def encode_bmp(img: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# TIFF (baseline: uncompressed + PackBits strips)
+# ---------------------------------------------------------------------------
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _packbits_decode(data: bytes, expected: int) -> np.ndarray:
+    """TIFF PackBits (Apple RLE): control byte n in 0..127 copies n+1
+    literals, 129..255 (as signed -1..-127) repeats the next byte
+    1-n times, 128 is a no-op.  Stops once ``expected`` bytes are out."""
+    out = np.empty(expected, dtype=np.uint8)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    i = 0
+    o = 0
+    n_in = len(buf)
+    while o < expected:
+        if i >= n_in:
+            raise ValueError("tiff: truncated PackBits strip")
+        n = int(buf[i])
+        i += 1
+        if n < 128:  # literal run of n+1
+            cnt = n + 1
+            if i + cnt > n_in or o + cnt > expected:
+                raise ValueError("tiff: PackBits literal overruns strip")
+            out[o:o + cnt] = buf[i:i + cnt]
+            i += cnt
+            o += cnt
+        elif n > 128:  # replicate next byte 257-n times
+            cnt = 257 - n
+            if i >= n_in or o + cnt > expected:
+                raise ValueError("tiff: PackBits repeat overruns strip")
+            out[o:o + cnt] = buf[i]
+            i += 1
+            o += cnt
+        # n == 128: no-op
+    return out
+
+
+def _tiff_tag_values(data: bytes, endian: str, type_: int, count: int, raw: bytes):
+    """One IFD entry's values (BYTE/SHORT/LONG), inline or at offset."""
+    sizes = {1: 1, 3: 2, 4: 4}
+    if type_ not in sizes:
+        raise NotImplementedError(f"tiff: IFD value type {type_} unsupported")
+    total = sizes[type_] * count
+    if total <= 4:
+        payload = raw[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", raw)
+        payload = data[off:off + total]
+        if len(payload) != total:
+            raise ValueError("tiff: IFD value offset out of range")
+    fmt = {1: "B", 3: "H", 4: "I"}[type_]
+    return list(struct.unpack(endian + fmt * count, payload))
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF bytes -> (h, w) grayscale uint8.
+
+    Supports: uncompressed (1) and PackBits (32773) strips; 1- and
+    8-bit samples; photometric WhiteIsZero/BlackIsZero/RGB/Palette;
+    RGBA flattened on white like every other codec here (reference's
+    cvt_four_to_three, utils.py:133-145).  Tiles, LZW/JPEG/deflate
+    compression and 16-bit samples raise typed NotImplementedError —
+    the crawl-triage contract (named error counts per container
+    feature) rather than a generic 'unrecognized payload'."""
+    if data[:4] not in TIFF_MAGICS:
+        raise ValueError("tiff: bad magic")
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("tiff: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    tags: dict[int, list] = {}
+    for e in range(n_entries):
+        base = ifd_off + 2 + 12 * e
+        tag, type_, count = struct.unpack_from(endian + "HHI", data, base)
+        tags[tag] = _tiff_tag_values(
+            data, endian, type_, count, data[base + 8:base + 12]
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiff: tiled layout unsupported (strips only)")
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        strip_offsets = tags[273]
+        strip_counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"tiff: required tag missing ({exc})") from exc
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    rows_per_strip = tags.get(278, [h])[0] or h
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"tiff: compression {compression} unsupported (none/PackBits only)"
+        )
+    if any(b != bits[0] for b in bits):
+        raise NotImplementedError("tiff: mixed bits-per-sample unsupported")
+    depth = bits[0]
+    if depth not in (1, 8):
+        raise NotImplementedError(f"tiff: {depth}-bit samples unsupported")
+    if depth == 1 and spp != 1:
+        raise NotImplementedError("tiff: 1-bit multi-sample unsupported")
+    stride = -(-w * spp * depth // 8)  # rows are byte-aligned
+    chunks = []
+    remaining = h
+    for off, cnt in zip(strip_offsets, strip_counts):
+        rows = min(rows_per_strip, remaining)
+        if rows <= 0:
+            break
+        remaining -= rows
+        raw = data[off:off + cnt]
+        if len(raw) != cnt:
+            raise ValueError("tiff: strip extends past end of file")
+        if compression == 1:
+            strip = np.frombuffer(raw, dtype=np.uint8)
+            if strip.size < rows * stride:
+                raise ValueError("tiff: uncompressed strip too short")
+            strip = strip[: rows * stride]
+        else:
+            strip = _packbits_decode(raw, rows * stride)
+        chunks.append(strip)
+    if remaining > 0:
+        raise ValueError("tiff: strips cover fewer rows than ImageLength")
+    flat = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    rows_bytes = flat.reshape(h, stride)
+    if depth == 1:
+        bits_arr = np.unpackbits(rows_bytes, axis=1)[:, :w]
+        gray = (bits_arr * np.uint8(255)).astype(np.uint8)
+        if photometric == 0:  # WhiteIsZero
+            gray = (255 - gray).astype(np.uint8)
+        return gray
+    px = rows_bytes[:, : w * spp].reshape(h, w, spp)
+    if photometric in (0, 1):
+        gray = px[:, :, 0]
+        if photometric == 0:
+            gray = (255 - gray.astype(np.int32)).astype(np.uint8)
+        return np.ascontiguousarray(gray)
+    if photometric == 3:  # palette: ColorMap is 3*2^depth 16-bit values
+        cmap = tags.get(320)
+        if cmap is None:
+            raise ValueError("tiff: palette image without ColorMap")
+        n = 1 << depth
+        lut = (np.asarray(cmap, dtype=np.uint32).reshape(3, n).T >> 8).astype(
+            np.uint8
+        )
+        return rgb_to_gray(lut[px[:, :, 0]])
+    if photometric == 2:  # RGB / RGBA
+        if spp == 4:
+            return rgb_to_gray(flatten_alpha(np.ascontiguousarray(px)))
+        if spp != 3:
+            raise NotImplementedError(
+                f"tiff: RGB with {spp} samples/pixel unsupported"
+            )
+        return rgb_to_gray(np.ascontiguousarray(px))
+    raise NotImplementedError(f"tiff: photometric {photometric} unsupported")
+
+
+def encode_tiff(
+    img: np.ndarray, compression: str = "none", photometric: int | None = None
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> little-endian strip TIFF
+    (test/debug writer; one strip per 64 rows so multi-strip reads and
+    PackBits row restarts are exercised)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        spp = 1
+        photometric = 1 if photometric is None else photometric
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        spp = img.shape[2]
+        photometric = 2
+    else:
+        raise ValueError("encode_tiff: expected (h,w) or (h,w,3|4) uint8")
+    h, w = img.shape[:2]
+    flat_rows = img.reshape(h, w * spp)
+    rows_per_strip = 64
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        chunk = flat_rows[y0:y0 + rows_per_strip]
+        if compression == "none":
+            strips.append(chunk.tobytes())
+        elif compression == "packbits":
+            enc = bytearray()
+            for row in chunk:  # restart per row, per spec
+                i = 0
+                n = len(row)
+                while i < n:
+                    run = 1
+                    while i + run < n and run < 128 and row[i + run] == row[i]:
+                        run += 1
+                    if run >= 2:
+                        enc.append(257 - run)
+                        enc.append(int(row[i]))
+                        i += run
+                    else:
+                        j = i + 1
+                        while (
+                            j < n
+                            and j - i < 128
+                            and not (j + 1 < n and row[j] == row[j + 1])
+                        ):
+                            j += 1
+                        enc.append(j - i - 1)
+                        enc.extend(row[i:j].tobytes())
+                        i = j
+            strips.append(bytes(enc))
+        else:
+            raise ValueError(f"encode_tiff: unknown compression {compression!r}")
+    comp_tag = 1 if compression == "none" else 32773
+
+    def entry(tag: int, type_: int, values: list[int]) -> tuple[bytes, bytes]:
+        sizes = {3: 2, 4: 4}
+        fmt = {3: "H", 4: "I"}[type_]
+        payload = struct.pack("<" + fmt * len(values), *values)
+        if len(payload) <= 4:
+            return (
+                struct.pack("<HHI", tag, type_, len(values))
+                + payload.ljust(4, b"\x00"),
+                b"",
+            )
+        return struct.pack("<HHI", tag, type_, len(values)), payload
+
+    # layout: header | strip data | IFD | overflow values
+    header = b"II*\x00"
+    strip_offsets = []
+    pos = 8
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    fields = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [comp_tag]),
+        (262, 3, [photometric]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 4, [rows_per_strip]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    n = len(fields)
+    overflow_base = ifd_off + 2 + 12 * n + 4
+    entries = []
+    overflow = b""
+    for tag, type_, values in fields:
+        head, extra = entry(tag, type_, values)
+        if extra:
+            head = head + struct.pack("<I", overflow_base + len(overflow))
+            overflow += extra
+        entries.append(head)
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    return (
+        header + struct.pack("<I", ifd_off) + b"".join(strips) + ifd + overflow
+    )
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def is_webp(payload) -> bool:
+    head = bytes(payload[:12])
+    return head[:4] == b"RIFF" and head[8:12] == b"WEBP"
+
+
 def decode_page_image(payload) -> np.ndarray:
     """Any supported page payload -> (h, w) grayscale uint8: RBMP (the
-    engine's native format, zero-copy), PNG, GIF, BMP, baseline JPEG.
+    engine's native format, zero-copy), PNG, GIF, BMP, JPEG
+    (baseline + progressive), TIFF (uncompressed/PackBits).
     Unknown bytes raise ValueError (LoadImageError analog,
     utils.py:154); truncated/corrupt containers ALSO surface as
     ValueError, never as raw struct/index/zlib errors — the stage
     callers' ``except (ValueError, NotImplementedError)`` contract
-    must hold for any byte string that passes the magic sniff."""
+    must hold for any byte string that passes the magic sniff.
+    Recognized-but-undecodable containers (WebP) raise a NAMED typed
+    NotImplementedError so crawl triage can count them."""
     if is_rbmp(payload):
         return decode_rbmp(payload)
-    head = bytes(payload[:8])
+    head = bytes(payload[:12])
     try:
         if head[:8] == PNG_MAGIC or head[:4] == b"\x89PNG":
             return decode_png(bytes(payload))
         if head[:4] == b"GIF8":
             return decode_gif(bytes(payload))
+        if head[:4] in TIFF_MAGICS:
+            return decode_tiff(bytes(payload))
         if head[:2] == b"BM":
             return decode_bmp(bytes(payload))
         if head[:3] == b"\xff\xd8\xff":
             return decode_jpeg(bytes(payload))
     except (struct.error, IndexError, zlib.error) as exc:
         raise ValueError(f"truncated or corrupt image payload ({exc})") from exc
+    if is_webp(payload):
+        raise NotImplementedError(
+            "codec for webp not available in this environment (stub)"
+        )
     raise ValueError("unrecognized image payload")
 
 

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rapidocr_ray.util import ensure_worker_importable
+from rapidocr_ray.util import ensure_worker_importable, stack_list_column
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -33,10 +33,10 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _stack_embeddings(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-    )
+    """Zero-copy (ids, matrix) from an embedding batch: one flatten +
+    reshape per column (util.stack_list_column), no per-row loop."""
+    ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+    mat = stack_list_column(batch.column("embedding"))
     return ids, mat
 
 

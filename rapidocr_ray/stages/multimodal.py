@@ -28,18 +28,27 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from rapidocr_ray.functions.codecs import decode_page_image
+# NOTE: every name a WORKER-side body needs must be bound at module
+# level — the module ships by value (cloudpickle), so a late
+# `from rapidocr_ray...` import inside __call__ would do a real import
+# on the worker and fail when the driver's CWD is not the repo.
+from rapidocr_ray import glyphs
+from rapidocr_ray.functions.codecs import decode_page_image, decode_wav
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
 
 # RIFF is audio, not an image: the IMAGE decode path stubs it with a
-# typed error (AudioFeatureStage decodes it for real via decode_wav)
+# typed error (AudioFeatureStage decodes it for real via decode_wav).
+# EXCEPT WebP, which is a RIFF container too — disambiguated by fourcc
+# so crawl triage counts "webp" separately from "riff/wav".
 KNOWN_REAL_FORMATS = {
     b"RIFF": "riff/wav",
 }
 
 
 def _sniff(payload: bytes) -> str | None:
+    if payload[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        return "webp"
     for magic, name in KNOWN_REAL_FORMATS.items():
         if payload[: len(magic)] == magic:
             return name
@@ -254,8 +263,6 @@ class AudioFeatureStage:
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from rapidocr_ray.functions.codecs import decode_wav
-
         rates, chans, durs, rms, oks, errs = [], [], [], [], [], []
         for payload in _iter_payload_buffers(batch, self.payload_col):
             try:
@@ -302,14 +309,66 @@ def audio_feature_pipeline(ds, payload_col: str = "html", concurrency: int = 4):
     )
 
 
+class FrameSampleStage:
+    """Actor-pool stage: RBMP frame-stream payload column -> per-video
+    sampled-frame stats (every-k temporal sampling): total frame count,
+    sampled count, and the integer ink sum over the sampled frames —
+    the actor shape a real frame-embedding stage would have (decode
+    once per payload in the actor, aggregate in-kernel).  Non-RBMP
+    payloads emit typed error columns (the ffmpeg-less stub contract,
+    see ``frame_sample``)."""
+
+    def __init__(self, payload_col: str = "video", every_k: int = 2):
+        self.payload_col = payload_col
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, n_sampled, inks, oks, errs = [], [], [], [], []
+        for payload in _iter_payload_buffers(batch, self.payload_col):
+            try:
+                frames = frame_sample(bytes(payload), every_k=1)
+                sampled = frames[:: self.every_k]
+                n_frames.append(len(frames))
+                n_sampled.append(len(sampled))
+                inks.append(int(sum(int(f.sum(dtype=np.int64)) for f in sampled)))
+                oks.append(True)
+                errs.append(None)
+            except (ValueError, NotImplementedError) as exc:
+                n_frames.append(None)
+                n_sampled.append(None)
+                inks.append(None)
+                oks.append(False)
+                errs.append(str(exc))
+        out = batch.drop_columns([self.payload_col])
+        for name, vals, typ in (
+            ("n_frames", n_frames, pa.int64()),
+            ("n_sampled", n_sampled, pa.int64()),
+            ("ink_sampled", inks, pa.int64()),
+            ("decode_ok", oks, pa.bool_()),
+            ("decode_err", errs, pa.string()),
+        ):
+            out = out.append_column(name, pa.array(vals, type=typ))
+        return out
+
+
+def frame_stats_pipeline(ds, payload_col: str = "video", every_k: int = 2, concurrency: int = 4):
+    ensure_worker_importable()
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"payload_col": payload_col, "every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 def frame_sample(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
     """Video frame sampling: an RBMP "video" (concatenated RBMP frames,
     the engine's codec-free container) yields every k-th frame; real
     video containers raise the typed stub error (no ffmpeg in this
     environment — this is the engine's one remaining stubbed decode)."""
     import struct
-
-    from rapidocr_ray import glyphs
 
     if not is_rbmp(payload):
         raise NotImplementedError(

@@ -118,8 +118,15 @@ def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
     # (functions/codecs.py + functions/jpeg.py — incl. the GIF
     # first-frame path the reference special-cases,
     # ocrweb_multi/rapidocr/main.py:29-40); unsupported container
-    # features surface as typed error rows from the decode itself
-    if payload[:4] in (b"\x89PNG", b"GIF8") or payload[:3] == b"\xff\xd8\xff":
+    # features surface as typed error rows from the decode itself.
+    # TIFF decodes for real (uncompressed/PackBits); WebP routes to the
+    # codec so its NAMED NotImplementedError becomes the error column —
+    # crawl triage can count tiff/webp instead of "unrecognized".
+    if (
+        payload[:4] in (b"\x89PNG", b"GIF8", b"II*\x00", b"MM\x00*")
+        or payload[:3] == b"\xff\xd8\xff"
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
+    ):
         return "bitmap", None
     if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in _DIB_SIZES:
         return "bitmap", None
@@ -161,7 +168,18 @@ def sniff_routes_batch(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         | _magic(b"\x89PNG")
         | _magic(b"GIF8")
         | _magic(b"\xff\xd8\xff")
+        | _magic(b"II*\x00")
+        | _magic(b"MM\x00*")
     )
+    # WebP = RIFF container with WEBP fourcc at offset 8 (routes to the
+    # codec's named NotImplementedError, same as the row-wise sniff)
+    riff = _magic(b"RIFF") & (lengths >= 12)
+    if riff.any():
+        fourcc = pc.binary_slice(payloads, 8, 12)
+        webp_eq = pc.fill_null(
+            pc.equal(fourcc, pa.scalar(b"WEBP", type=pa.binary())), False
+        ).to_numpy(zero_copy_only=False)
+        bitmap |= riff & webp_eq
     # BMP: "BM" alone is too weak a magic (plain text can start with
     # it); require a known DIB header size at offset 14 like the
     # row-wise sniff does

@@ -182,6 +182,26 @@ def write_partition(
     return manifest
 
 
+def _sink_reported_rows(result) -> int | None:
+    """Row count the Ray datasink itself reported having written —
+    independent of which files are VISIBLE to the driver.  On a
+    multi-node cluster with a node-local out_dir, driver-node workers'
+    blocks are visible while other nodes' blocks are silently lost;
+    comparing sink-reported rows against the merged per-file partials
+    catches that partial-visibility case, not only the all-lost one
+    (ADVICE r3).  Best-effort (reads the executed write sub-dataset's
+    cached result blocks — no recompute); returns None if the internal
+    layout changes."""
+    try:
+        import ray as _ray
+
+        write_ds = result._write_ds
+        raw = _ray.get(write_ds._plan.execute().block_refs)
+        return int(sum(r["num_rows"].sum() for r in raw))
+    except Exception:  # pragma: no cover — private-API drift
+        return None
+
+
 def write_partition_streamed(
     out_dir: str,
     partition_id: int,
@@ -207,6 +227,7 @@ def write_partition_streamed(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     result.write_parquet(tmp)
+    expected_rows = _sink_reported_rows(result)
     files = sorted(
         os.path.join(tmp, name)
         for name in os.listdir(tmp)
@@ -234,6 +255,15 @@ def write_partition_streamed(
         files = [empty]
     task = ray.remote(num_cpus=1)(_file_metrics)
     partials = ray.get([task.remote(f) for f in files])
+    visible_rows = sum(p["row_count"] for p in partials)
+    if expected_rows is not None and visible_rows != expected_rows:
+        raise RuntimeError(
+            f"write_partition_streamed: sink reported {expected_rows} rows "
+            f"written but only {visible_rows} are visible at {tmp!r} — "
+            "out_dir must be on a filesystem shared between driver and "
+            "workers (NFS / object store); a node-local path silently "
+            "drops non-driver nodes' blocks"
+        )
     manifest = {
         "partition_id": partition_id,
         "input_files": input_files,
@@ -252,6 +282,7 @@ def run_resumable(
     cfg=None,
     files_per_partition: int = 1,
     dedup: bool = True,
+    partition_parallelism: int = 1,
 ) -> dict:
     """Extraction over parquet shards with skip-finished semantics.
 
@@ -259,9 +290,20 @@ def run_resumable(
     dedup scope: latest-capture-wins runs WITHIN a partition (url is
     the partition key of the upstream sharding at production scale, so
     cross-shard duplicates do not occur when inputs are url-sharded;
-    for unsharded inputs pass files_per_partition=len(input_files))."""
+    for unsharded inputs pass files_per_partition=len(input_files)).
+
+    ``partition_parallelism > 1`` submits that many partitions' pipelines
+    concurrently (driver threads; Ray interleaves their tasks on the one
+    cluster).  At production shard counts this hides the per-partition
+    ramp (pool spin-up, winners pass) behind the previous partition's
+    compute; each concurrent partition's cascade pool is sized to its
+    1/k slice of the session so k pipelines never oversubscribe."""
     from rapidocr_ray.config import PipelineConfig
-    from rapidocr_ray.pipelines.extract import build_extract_pipeline, read_pages
+    from rapidocr_ray.pipelines.extract import (
+        DEFAULT_ROWS_PER_BLOCK,
+        build_extract_pipeline,
+        read_pages,
+    )
 
     os.makedirs(out_dir, exist_ok=True)
     groups = [
@@ -269,30 +311,67 @@ def run_resumable(
         for i in range(0, len(input_files), files_per_partition)
     ]
     done = completed_partitions(out_dir)
-    manifests, skipped = [], []
-    for pid, group in enumerate(groups):
-        if pid in done:
-            skipped.append(pid)
-            with open(manifest_path(out_dir, pid), encoding="utf-8") as f:
-                manifests.append(json.load(f))
-            continue
+    base_cfg = cfg or PipelineConfig()
+    k = max(1, min(partition_parallelism, len(groups)))
+    slice_cap = None
+    if k > 1:
+        import ray as _ray
+
+        try:
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover — session not up yet
+            cpus = 8
+        # each concurrent partition needs >= 2 cascade actors plus
+        # headroom for its read tasks; on tiny sessions concurrency
+        # degrades to serial rather than deadlocking the scheduler
+        k = max(1, min(k, cpus // 6))
+        if k > 1:
+            slice_cap = max(2, cpus // k - 1)
+
+    def run_partition(pid: int, group: list[str]) -> dict:
         # one footer scan per group: read_pages reuses the total
         total = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
         ds = read_pages(group, total_rows=total)
         # cap the cascade pool at the partition's block count: a pool
         # larger than the number of dispatchable blocks only adds
         # actor spin-up latency (Ray itself warns), and at production
-        # partition sizes the cap is a no-op
-        n_blocks = max(len(group), total // 128)
-        part_cfg = (cfg or PipelineConfig()).with_overrides(
-            ray_cascade_concurrency=min(
-                (cfg or PipelineConfig()).Ray.cascade_concurrency, n_blocks
-            )
-        )
+        # partition sizes the cap is a no-op.  Block-count estimate
+        # derives from the SAME rows_per_block constant read_pages
+        # uses (ADVICE r3: no silent drift).
+        n_blocks = max(len(group), total // DEFAULT_ROWS_PER_BLOCK)
+        pool_cap = min(base_cfg.Ray.cascade_concurrency, n_blocks)
+        if slice_cap is not None:
+            pool_cap = min(pool_cap, slice_cap)
+        part_cfg = base_cfg.with_overrides(ray_cascade_concurrency=pool_cap)
         result = build_extract_pipeline(
             ds, cfg=part_cfg, dedup=dedup, winners_files=group
         )
-        manifests.append(write_partition_streamed(out_dir, pid, result, group))
+        return write_partition_streamed(out_dir, pid, result, group)
+
+    manifests_by_pid: dict[int, dict] = {}
+    skipped = []
+    pending: list[tuple[int, list[str]]] = []
+    for pid, group in enumerate(groups):
+        if pid in done:
+            skipped.append(pid)
+            with open(manifest_path(out_dir, pid), encoding="utf-8") as f:
+                manifests_by_pid[pid] = json.load(f)
+        else:
+            pending.append((pid, group))
+    if k > 1 and len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=k) as pool:
+            futs = {
+                pid: pool.submit(run_partition, pid, group)
+                for pid, group in pending
+            }
+        for pid, fut in futs.items():
+            manifests_by_pid[pid] = fut.result()
+    else:
+        for pid, group in pending:
+            manifests_by_pid[pid] = run_partition(pid, group)
+    manifests = [manifests_by_pid[pid] for pid in sorted(manifests_by_pid)]
     return {
         "out_dir": out_dir,
         "n_partitions": len(groups),

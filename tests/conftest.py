@@ -1,4 +1,12 @@
+import os
+
 import pytest
+
+# keep idle worker processes alive between Dataset executions (same
+# rationale as bench.py): rapid actor-pool churn across tests otherwise
+# cold-forks workers per pool and races pool teardown against the next
+# pool's resource acquisition.  Must be set before ray.init.
+os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "0")
 
 
 @pytest.fixture(scope="session")

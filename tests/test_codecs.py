@@ -342,12 +342,94 @@ def test_jpeg_restart_intervals():
         pass  # typed rejection is equally acceptable
 
 
-def test_jpeg_progressive_rejected_typed():
+def test_jpeg_arithmetic_rejected_typed():
     from rapidocr_ray.functions.jpeg import decode_jpeg
 
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9) + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(sof2)
+    # SOF9 (extended sequential, arithmetic coding) stays a typed error
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + bytes(9) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="0xc9"):
+        decode_jpeg(sof9)
+
+
+def test_jpeg_progressive_bit_identical_to_baseline_twin():
+    """A progressive (SOF2) encoding carries the SAME quantized
+    coefficients as the sequential encoding at the same quality, so the
+    two must decode to identical pixels — spectral selection,
+    successive approximation, and refinement scans all exact."""
+    from rapidocr_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(99)
+    g = rng.integers(0, 256, (120, 97), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quality=90))
+    assert np.array_equal(base, decode_jpeg(encode_jpeg_progressive(g, quality=90)))
+    # restart markers inside progressive scans (DC + AC + refinement)
+    assert np.array_equal(
+        base, decode_jpeg(encode_jpeg_progressive(g, quality=90, restart_interval=3))
+    )
+
+
+def test_jpeg_progressive_color_and_subsampled():
+    from rapidocr_ray.functions.jpeg import (
+        _encode_jpeg_multi,
+        decode_jpeg,
+        encode_jpeg_progressive,
+        encode_jpeg_sequential_multiscan,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    seq = decode_jpeg(encode_jpeg_sequential_multiscan(rgb, quality=85))
+    assert np.array_equal(seq, decode_jpeg(encode_jpeg_progressive(rgb, quality=85)))
+    # 4:2:0 subsampling: the non-interleaved scan grid (sw x sh) is
+    # smaller than the MCU grid (bw x bh) for Y — the ns=1 geometry the
+    # round-3 decoder got wrong (ADVICE r3)
+    rgb2 = rng.integers(0, 256, (50, 100, 3), dtype=np.uint8)
+    seq_sub = decode_jpeg(_encode_jpeg_multi(rgb2, 85, progressive=False, subsample=True))
+    assert np.array_equal(
+        seq_sub, decode_jpeg(encode_jpeg_progressive(rgb2, quality=85, subsample=True))
+    )
+    assert np.array_equal(
+        seq_sub,
+        decode_jpeg(
+            encode_jpeg_progressive(rgb2, quality=85, subsample=True, restart_interval=2)
+        ),
+    )
+
+
+def test_jpeg_sequential_multiscan_requires_all_components():
+    """A sequential file whose scans do not cover every frame component
+    is a typed ValueError, not a silent partial decode (ADVICE r3)."""
+    from rapidocr_ray.functions.jpeg import decode_jpeg, encode_jpeg_sequential_multiscan
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = encode_jpeg_sequential_multiscan(rgb, quality=85)
+    # truncate after the SECOND scan's entropy data: find the 3rd SOS
+    sos_positions = []
+    i = 2
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] == 0xDA:
+            sos_positions.append(i)
+        i += 1
+    assert len(sos_positions) == 3
+    # cut at the 3rd scan's first DHT (entropy data byte-stuffs FF, so
+    # a raw FF C4 after scan 2's SOS can only be scan 3's table marker)
+    cut = data.index(b"\xff\xc4", sos_positions[1])
+    truncated = data[:cut] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="never coded"):
+        decode_jpeg(truncated)
+
+
+def test_jpeg_progressive_q100_smooth_lossless():
+    from rapidocr_ray.functions.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    smooth = np.tile(np.linspace(40, 200, 64).astype(np.uint8), (64, 1))
+    out = decode_jpeg(encode_jpeg_progressive(smooth, quality=100))
+    assert np.array_equal(out, smooth)
 
 
 def _build_color_jpeg(v_y, v_cb, v_cr, w, h, subsample=False):

@@ -153,16 +153,22 @@ def test_most_angle_flag_ray_vs_oracle(ray_session):
 
 
 def test_real_container_pages_match_rbmp(ray_session):
-    """PNG/GIF/BMP pages (the pure-numpy codecs) must extract byte-
-    identical text to the same page encoded as RBMP, through both the
-    Ray pipeline and the oracle; JPEG stays a typed error row."""
+    """PNG/GIF/BMP/TIFF/baseline-JPEG/progressive-JPEG pages (the
+    pure-numpy codecs) must extract byte-identical text to the same
+    page encoded as RBMP, through both the Ray pipeline and the oracle;
+    truncated JPEG and WebP surface as typed error rows."""
     import numpy as np
 
-    from rapidocr_ray.functions.codecs import encode_bmp, encode_gif, encode_png
+    from rapidocr_ray.functions.codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_tiff,
+    )
     from rapidocr_ray.glyphs import encode_rbmp, render_page
     from rapidocr_ray.pipelines.extract import extract_pages_table
 
-    from rapidocr_ray.functions.jpeg import encode_jpeg
+    from rapidocr_ray.functions.jpeg import encode_jpeg, encode_jpeg_progressive
 
     img = render_page(["container codec line"], margin=12)
     now = 1_700_000_000_000_000
@@ -172,7 +178,10 @@ def test_real_container_pages_match_rbmp(ray_session):
         "gif": encode_gif(img),
         "bmp": encode_bmp(img),
         "jpg": encode_jpeg(img, quality=95),
+        "jpg-prog": encode_jpeg_progressive(img, quality=95),
+        "tiff": encode_tiff(img, compression="packbits"),
         "jpeg": b"\xff\xd8\xff\xe0fake-jpeg",  # truncated -> error row
+        "webp": b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 24,  # named stub
     }
     pages = pa.table(
         {
@@ -190,8 +199,9 @@ def test_real_container_pages_match_rbmp(ray_session):
     by_url = got.set_index("url")
     expected = by_url.loc["https://t/rbmp", "extracted_text"]
     assert expected == "container codec line"
-    for k in ("png", "gif", "bmp", "jpg"):
+    for k in ("png", "gif", "bmp", "jpg", "jpg-prog", "tiff"):
         assert by_url.loc[f"https://t/{k}", "extracted_text"] == expected, k
         assert by_url.loc[f"https://t/{k}", "route"] == "bitmap"
     assert by_url.loc["https://t/jpeg", "route"] == "error"
     assert "jpeg" in by_url.loc["https://t/jpeg", "err"]
+    assert "webp" in by_url.loc["https://t/webp", "err"]

@@ -46,10 +46,13 @@ def test_cheap_query_matches_duckdb(ray_session, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-@pytest.mark.parametrize("name", ["image_features", "ann_ivf_invariant"])
+@pytest.mark.parametrize(
+    "name", ["image_features", "ann_ivf_invariant", "video_frame_stats"]
+)
 def test_new_oracle_queries_match_duckdb(ray_session, name):
-    """Round-3 additions: the glyph-analytic image feature bins and the
-    IVF ordering invariant must hash-match their DuckDB oracles."""
+    """Round-3/4 additions: the glyph-analytic image feature bins, the
+    IVF ordering invariant, and the frame-sampling video stats must
+    hash-match their DuckDB oracles."""
     out = QUERIES[name](SF)
     df = out.to_pandas()
     con = duckdb.connect()
