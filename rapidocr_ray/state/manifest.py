@@ -304,7 +304,9 @@ def run_resumable(
         build_extract_pipeline,
         read_pages,
     )
+    from rapidocr_ray.util import harden_lazy_imports
 
+    harden_lazy_imports()
     os.makedirs(out_dir, exist_ok=True)
     groups = [
         input_files[i:i + files_per_partition]
@@ -328,24 +330,39 @@ def run_resumable(
         if k > 1:
             slice_cap = max(2, cpus // k - 1)
 
+    import threading
+
+    build_lock = threading.Lock()
+
     def run_partition(pid: int, group: list[str]) -> dict:
         # one footer scan per group: read_pages reuses the total
         total = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
-        ds = read_pages(group, total_rows=total)
-        # cap the cascade pool at the partition's block count: a pool
-        # larger than the number of dispatchable blocks only adds
-        # actor spin-up latency (Ray itself warns), and at production
-        # partition sizes the cap is a no-op.  Block-count estimate
-        # derives from the SAME rows_per_block constant read_pages
-        # uses (ADVICE r3: no silent drift).
+        # size the cascade pool to the partition's WORK, not the
+        # session width: each actor is a fresh process (imports + by-
+        # value module ship, ~1s), so an actor must amortize its
+        # spin-up over several blocks or ramp dominates (measured on
+        # the 19-block bench partition: pool 15 -> 8.3s, pool 6 ->
+        # 3.8s end-to-end).  At production partition sizes n_blocks is
+        # huge and the concurrency/slice caps bind instead — this only
+        # throttles partitions too small to use a wide pool anyway.
+        # Block-count estimate derives from the SAME rows_per_block
+        # constant read_pages uses (ADVICE r3: no silent drift).
         n_blocks = max(len(group), total // DEFAULT_ROWS_PER_BLOCK)
-        pool_cap = min(base_cfg.Ray.cascade_concurrency, n_blocks)
+        pool_cap = min(
+            base_cfg.Ray.cascade_concurrency, max(2, n_blocks // 3)
+        )
         if slice_cap is not None:
             pool_cap = min(pool_cap, slice_cap)
         part_cfg = base_cfg.with_overrides(ray_cascade_concurrency=pool_cap)
-        result = build_extract_pipeline(
-            ds, cfg=part_cfg, dedup=dedup, winners_files=group
-        )
+        with build_lock:
+            # dataset BUILD (path resolution, plan construction) hits
+            # lazy imports inside Ray/pyarrow that are not thread-safe;
+            # building is milliseconds, so serializing it costs nothing
+            # while the EXECUTIONS still overlap
+            ds = read_pages(group, total_rows=total)
+            result = build_extract_pipeline(
+                ds, cfg=part_cfg, dedup=dedup, winners_files=group
+            )
         return write_partition_streamed(out_dir, pid, result, group)
 
     manifests_by_pid: dict[int, dict] = {}

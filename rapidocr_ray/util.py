@@ -22,6 +22,38 @@ import numpy as np
 _registered: set[str] = set()
 
 
+def harden_lazy_imports() -> None:
+    """Make Ray Data's lazy fsspec-http probe thread-safe.
+
+    ``read_parquet``/``write_parquet`` path resolution calls
+    ``_is_http_filesystem``, which does a lazy
+    ``from fsspec.implementations.http import HTTPFileSystem`` guarded
+    only by ``except ModuleNotFoundError``.  In this environment that
+    import always fails (no aiohttp) — fine single-threaded, but when
+    two driver threads build datasets concurrently (run_resumable
+    partition_parallelism) the failed import RACES: one thread sees the
+    sibling's partially-initialized module and gets a plain
+    ImportError, which escapes the guard and kills the pipeline.  Wrap
+    the probe so any import failure means "not an http filesystem".
+    Idempotent; driver-side only."""
+    try:
+        import ray.data.datasource.path_util as pu
+    except Exception:  # pragma: no cover
+        return
+    orig = getattr(pu, "_is_http_filesystem", None)
+    if orig is None or getattr(orig, "_rr_hardened", False):
+        return
+
+    def _safe_is_http_filesystem(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    _safe_is_http_filesystem._rr_hardened = True
+    pu._is_http_filesystem = _safe_is_http_filesystem
+
+
 def lru_cache_get(cache: dict, key, build, maxsize: int = 4):
     """Tiny per-worker broadcast LRU: keep up to ``maxsize`` broadcast
     objects alive per worker instead of clear-on-new-key, so two dedup
