@@ -759,6 +759,49 @@ FROM t
 """
 
 
+def q_curation_filter(sf_dir: str):
+    """End-to-end training-data curation pipeline (the shape a corpus
+    sweep actually runs): deterministic hash downsample -> vectorized
+    quality gate (token count, stopword ratio, word-length band) ->
+    exact dedup keep-min-id — all streaming map_batches + the bounded
+    bucket shuffle, composed from the engine's existing kernels."""
+    from rapidocr_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(97) < 80
+        stats = quality_stats_batch(batch.column("text"))
+        nt = np.asarray(stats["n_tokens"])
+        sw = np.asarray(stats["stopword_ratio"])
+        awl = np.asarray(stats["avg_word_len"])
+        keep &= (nt >= 5) & (sw >= 0.05) & (awl >= 2.0) & (awl <= 12.0)
+        if keep.all():
+            return batch
+        return batch.filter(pa.array(keep))
+
+    survivors = ds.map_batches(gate, batch_format="pyarrow")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id"])
+
+    return exact_dedup(survivors).map_batches(proj, batch_format="pyarrow")
+
+
+SQL_CURATION_FILTER = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT doc_id, text FROM t
+  WHERE (doc_id * 2654435761) % 97 < 80
+    AND len(toks) >= 5
+    AND CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks) >= 0.05
+    AND CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+)
+SELECT min(doc_id) AS doc_id FROM q GROUP BY text
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-profile language ID (n-gram heuristic family)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1547,6 +1590,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_distinct_types": q_user_distinct_types,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
+    "curation_filter": q_curation_filter,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -1585,6 +1629,7 @@ ORACLE_SQL: dict[str, str] = {
     "user_distinct_types": SQL_USER_DISTINCT_TYPES,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
+    "curation_filter": SQL_CURATION_FILTER,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "dedup_exact": SQL_DEDUP_EXACT,
