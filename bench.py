@@ -228,28 +228,29 @@ def main() -> None:
 
 
 SCALING_CORPUS = os.environ.get("GRAFT_SCALING_CORPUS", "/tmp/rapidocr_ray_scaling_corpus")
-# large enough that cascade compute dominates the session-fixed floor
-# (the shuffle-free fused plan streams payload blocks with backpressure,
-# so there is no spill-driven degradation at this size — BASELINE.md)
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "32000"))
+# large enough that SUSTAINED cascade compute dominates the fixed costs
+# (pool ramp ~1.4s + wave-quantization tail): at 32k docs those fixed
+# shares cost ~12% of the 32-cpu wall (measured r4), at 64k ~6% — the
+# larger corpus is the closer model of a production shard, where a
+# partition is hours of work and ramp amortizes to nothing
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "65536"))
 
 
-def ensure_scaling_corpus() -> str:
-    """Deterministic det-path-heavy corpus (multi-line bitmap pages),
-    written to parquet ONCE and read by both scaling runs: compute must
-    dominate fixed overhead for the efficiency measurement to reflect
-    the engine rather than session startup."""
+def _synth_scaling_chunk(args: tuple) -> bytes:
+    """Subprocess body: render one chunk of the scaling corpus and
+    return it as serialized arrow IPC (deterministic per index, so the
+    chunking does not affect content)."""
+    start, count = args
+    import io
+
     import numpy as np
     import pyarrow as pa
 
     from rapidocr_ray import glyphs
-    from rapidocr_ray.sources.pages import PAGES_SCHEMA, _ts, _rand_text, wrap_lines, write_pages_parquet
+    from rapidocr_ray.sources.pages import PAGES_SCHEMA, _rand_text, _ts, wrap_lines
 
-    marker = os.path.join(SCALING_CORPUS, f"done-{SCALING_DOCS}")
-    if os.path.isfile(marker):
-        return SCALING_CORPUS
     urls, tss, payloads, texts, langs = [], [], [], [], []
-    for i in range(SCALING_DOCS):
+    for i in range(start, start + count):
         rng = np.random.default_rng(990_001 + i)
         text = _rand_text(rng, int(rng.integers(24, 56)))
         lines = wrap_lines(text, width=48)
@@ -264,6 +265,34 @@ def ensure_scaling_corpus() -> str:
         {"url": urls, "warc_ts": tss, "html": payloads, "text": texts, "lang": langs},
         schema=PAGES_SCHEMA,
     )
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue()
+
+
+def ensure_scaling_corpus() -> str:
+    """Deterministic det-path-heavy corpus (multi-line bitmap pages),
+    written to parquet ONCE and read by both scaling runs.  Synthesis
+    is chunked across a process pool (glyph rendering is CPU-bound;
+    determinism is per-document, so chunking cannot change content)."""
+    import pyarrow as pa
+
+    from rapidocr_ray.sources.pages import write_pages_parquet
+
+    marker = os.path.join(SCALING_CORPUS, f"done-{SCALING_DOCS}")
+    if os.path.isfile(marker):
+        return SCALING_CORPUS
+    from concurrent.futures import ProcessPoolExecutor
+
+    chunk = 2048
+    spans = [
+        (s, min(chunk, SCALING_DOCS - s)) for s in range(0, SCALING_DOCS, chunk)
+    ]
+    with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 8)) as pool:
+        blobs = list(pool.map(_synth_scaling_chunk, spans))
+    tables = [pa.ipc.open_stream(b).read_all() for b in blobs]
+    table = pa.concat_tables(tables)
     write_pages_parquet(table, SCALING_CORPUS, n_files=32)
     open(marker, "w").close()
     return SCALING_CORPUS
@@ -346,7 +375,12 @@ def scaling() -> None:
     taskset = shutil.which("taskset")
     results = {}
     steal = {}
-    for ncpu in (8, 32):
+    # 32-wide FIRST: the shared VM's full-width capacity degrades in
+    # minutes-long phases, and the wide run is the sensitive side (the
+    # pinned 8-cpu run tracks its own probe at ~100% in every recorded
+    # window) — running it immediately maximizes the chance it lands in
+    # the same window the caller gated on
+    for ncpu in (32, 8):
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, GRAFT_HEADLINE="1"
         )

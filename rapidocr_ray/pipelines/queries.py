@@ -1462,6 +1462,53 @@ FROM documents
 """
 
 
+def q_audio_features(sf_dir: str):
+    """Audio-path plumbing with a hash-checked oracle: deterministic
+    16-bit PCM square waves (amplitude 2^(9 + doc_id%4) counts, length
+    16000 + 8000*(doc_id%4) samples at 16 kHz) synthesized per
+    document, decoded + feature-extracted by the AudioFeatureStage
+    actor pool.  Power-of-two amplitudes make the decoded samples, the
+    float32 mean-of-squares and its sqrt all EXACT, so rms_scaled =
+    1e6 * 2^(j-15) = 15625 * 2^(doc_id%4) with no rounding ties — the
+    DuckDB oracle is pure integer arithmetic on doc_id."""
+    from rapidocr_ray.stages.multimodal import audio_feature_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    from rapidocr_ray.functions.codecs import encode_wav
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            n = 16000 + (d % 4) * 8000
+            amp = float(1 << (9 + d % 4)) / 32767.0
+            x = np.empty(n, dtype=np.float64)
+            x[0::2] = amp
+            x[1::2] = -amp
+            payloads.append(encode_wav(x, 16000))
+        return pa.table(
+            {"doc_id": ids, "audio": pa.array(payloads, type=pa.binary())}
+        )
+
+    wavs = ds.map_batches(synth, batch_format="pyarrow")
+    out = audio_feature_pipeline(wavs, payload_col="audio")
+    return out.select_columns(
+        ["doc_id", "sample_rate", "n_channels", "duration_us", "rms_scaled"]
+    )
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(1000000 + (doc_id % 4) * 500000 AS BIGINT) AS duration_us,
+       CAST(15625 * (1 << (doc_id % 4)) AS BIGINT) AS rms_scaled
+FROM documents
+"""
+
+
 def q_image_features(sf_dir: str):
     """Feature-extraction actor-pool over decoded pixels, emitted as
     EXACT integer-scaled profile bins (long format) so the DuckDB
@@ -1608,6 +1655,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
+    "audio_features": q_audio_features,
     "image_features": q_image_features,
 }
 
@@ -1645,6 +1693,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
+    "audio_features": SQL_AUDIO_FEATURES,
     "image_features": SQL_IMAGE_FEATURES,
     "ann_ivf_invariant": SQL_ANN_IVF_INVARIANT,
 }

@@ -48,7 +48,13 @@ def test_cheap_query_matches_duckdb(ray_session, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["image_features", "ann_ivf_invariant", "video_frame_stats", "curation_filter"],
+    [
+        "image_features",
+        "ann_ivf_invariant",
+        "video_frame_stats",
+        "curation_filter",
+        "audio_features",
+    ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):
     """Round-3/4 additions: the glyph-analytic image feature bins, the
