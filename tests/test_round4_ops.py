@@ -243,3 +243,22 @@ def test_run_resumable_parallel_matches_serial(ray_session, pages_files, tmp_pat
         partition_parallelism=2,
     )
     assert len(again["skipped"]) == 2
+
+
+def test_harden_lazy_imports_idempotent_and_safe(ray_session):
+    """The fsspec-http probe wrapper must install once, stay installed,
+    and never raise for a non-http filesystem argument."""
+    import ray.data.datasource.path_util as pu
+
+    from rapidocr_ray.util import harden_lazy_imports
+
+    harden_lazy_imports()
+    first = pu._is_http_filesystem
+    assert getattr(first, "_rr_hardened", False)
+    harden_lazy_imports()  # idempotent: no double-wrap
+    assert pu._is_http_filesystem is first
+
+    class FakeFS:
+        pass
+
+    assert pu._is_http_filesystem(FakeFS()) is False
