@@ -187,7 +187,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     analog); unsupported coding modes raise NotImplementedError."""
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError) as exc:
+    except (struct.error, IndexError, KeyError) as exc:
+        # KeyError: a scan referencing an undefined huffman/quant table
+        # id (corrupt crawl bytes) must stay inside the module's
+        # documented ValueError/NotImplementedError contract — stage
+        # callers catch only those two (ADVICE r4).
         raise ValueError(f"jpeg: truncated or corrupt stream ({exc})") from exc
 
 

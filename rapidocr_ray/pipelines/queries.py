@@ -170,8 +170,18 @@ def q_lineitem_agg(sf_dir: str):
         agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("sum_qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"), ("n", "sum")]
         )
-        return agg.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "base_cents", "disc_cents", "n"]
+        # select/rename by the deterministic "<col>_sum" output names —
+        # key-vs-aggregate column ORDER is pyarrow-version-dependent
+        # (ADVICE r4), names are not.
+        return pa.table(
+            {
+                "l_returnflag": agg.column("l_returnflag"),
+                "l_linestatus": agg.column("l_linestatus"),
+                "sum_qty": agg.column("sum_qty_sum"),
+                "base_cents": agg.column("base_cents_sum"),
+                "disc_cents": agg.column("disc_cents_sum"),
+                "n": agg.column("n_sum"),
+            }
         )
 
     return (
@@ -520,15 +530,28 @@ def q_events_window(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def window_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["window_start"] = df.ts.dt.floor("h")
-        df["value_cents"] = _cents(df.value.to_numpy())
-        agg = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
+        # Arrow-native partial (no pandas round-trip): floor_temporal
+        # for the window key, Table.group_by for the C-level combine.
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "window_start": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "value_cents": _cents(np.asarray(batch.column("value"))),
+            }
         )
-        keys = agg.user_id.to_numpy().astype(np.uint64)
-        agg["bucket"] = (keys * np.uint64(2654435761)) % np.uint64(64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = t.group_by(["user_id", "window_start"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        keys = np.asarray(agg.column("user_id"), dtype=np.uint64)
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "window_start": agg.column("window_start"),
+                "n_events": pc.cast(agg.column("value_cents_count"), pa.int64()),
+                "value_cents": agg.column("value_cents_sum"),
+                "bucket": (keys * np.uint64(2654435761)) % np.uint64(64),
+            }
+        )
 
     part = ds.map_batches(window_partial, batch_format="pyarrow")
 

@@ -326,9 +326,12 @@ class FrameSampleStage:
         n_frames, n_sampled, inks, oks, errs = [], [], [], [], []
         for payload in _iter_payload_buffers(batch, self.payload_col):
             try:
-                frames = frame_sample(bytes(payload), every_k=1)
-                sampled = frames[:: self.every_k]
-                n_frames.append(len(frames))
+                # header-scan: total count comes free from the walk,
+                # only every k-th frame is actually decoded
+                total, sampled = frame_scan_sample(
+                    bytes(payload), every_k=self.every_k
+                )
+                n_frames.append(total)
                 n_sampled.append(len(sampled))
                 inks.append(int(sum(int(f.sum(dtype=np.int64)) for f in sampled)))
                 oks.append(True)
@@ -363,17 +366,25 @@ def frame_stats_pipeline(ds, payload_col: str = "video", every_k: int = 2, concu
     )
 
 
-def frame_sample(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
-    """Video frame sampling: an RBMP "video" (concatenated RBMP frames,
-    the engine's codec-free container) yields every k-th frame; real
-    video containers raise the typed stub error (no ffmpeg in this
-    environment — this is the engine's one remaining stubbed decode)."""
+def frame_scan_sample(
+    payload: bytes, every_k: int = 2, _decode=None
+) -> tuple[int, list[np.ndarray]]:
+    """Header-scan temporal sampling (VERDICT r4 #3): walk the RBMP
+    frame headers (an O(1) h·w skip per frame — the point of temporal
+    sampling at real video scale) and DECODE ONLY every k-th frame.
+    Returns (total_frame_count, sampled_decoded_frames).  Real video
+    containers raise the typed stub error (no ffmpeg in this
+    environment — this is the engine's one remaining stubbed decode).
+    ``_decode`` is a test hook (defaults to decode_rbmp) so a unit test
+    can count decode calls and assert skipped frames are never
+    decoded."""
     import struct
 
     if not is_rbmp(payload):
         raise NotImplementedError(
             "video codec unavailable (only RBMP frame streams decode)"
         )
+    decode = _decode or decode_rbmp
     frames = []
     pos = 0
     idx = 0
@@ -381,9 +392,15 @@ def frame_sample(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
     while pos < len(payload):
         _magic, h, w = struct.unpack_from(glyphs._HEADER_FMT, payload, pos)
         end = pos + hsize + h * w
-        frame = decode_rbmp(payload[pos:end])
         if idx % every_k == 0:
-            frames.append(frame)
+            frames.append(decode(payload[pos:end]))
         pos = end
         idx += 1
-    return frames
+    return idx, frames
+
+
+def frame_sample(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
+    """Back-compat wrapper over ``frame_scan_sample`` returning only
+    the sampled frames (skipped frames are header-scanned, not
+    decoded)."""
+    return frame_scan_sample(payload, every_k=every_k)[1]

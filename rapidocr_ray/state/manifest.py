@@ -198,7 +198,17 @@ def _sink_reported_rows(result) -> int | None:
         write_ds = result._write_ds
         raw = _ray.get(write_ds._plan.execute().block_refs)
         return int(sum(r["num_rows"].sum() for r in raw))
-    except Exception:  # pragma: no cover — private-API drift
+    except Exception as exc:  # pragma: no cover — private-API drift
+        # loud, not silent: a Ray upgrade that changes these internals
+        # disarms the multi-node partial-visibility guard — make that
+        # visible in run output (ADVICE r4).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sink row-count cross-check disarmed (Ray private-API drift: %s); "
+            "multi-node partial-visibility losses will NOT be detected",
+            exc,
+        )
         return None
 
 
