@@ -15,8 +15,9 @@ python/rapidocr_onnxruntime/utils.py:93-152):
 - JPEG (baseline sequential, multi-scan non-interleaved sequential,
   and progressive SOF2) decodes via the from-scratch huffman+IDCT
   codec in ``functions.jpeg`` (arithmetic coding / 12-bit raise typed
-  errors).  TIFF decodes uncompressed + PackBits strips; WebP raises a
-  NAMED typed error (VP8 entropy decode is out of scope here).
+  errors).  TIFF decodes uncompressed + PackBits strips; WebP lossless
+  (VP8L) decodes via ``functions.webp``; WebP lossy (VP8) raises a
+  NAMED typed error (the VP8 entropy decoder is out of scope here).
 
 Unsupported container features raise ``NotImplementedError`` with the
 feature named, which the stages surface as typed error columns — the
@@ -752,14 +753,14 @@ def is_webp(payload) -> bool:
 def decode_page_image(payload) -> np.ndarray:
     """Any supported page payload -> (h, w) grayscale uint8: RBMP (the
     engine's native format, zero-copy), PNG, GIF, BMP, JPEG
-    (baseline + progressive), TIFF (uncompressed/PackBits).
-    Unknown bytes raise ValueError (LoadImageError analog,
-    utils.py:154); truncated/corrupt containers ALSO surface as
+    (baseline + progressive), TIFF (uncompressed/PackBits), WebP
+    lossless (VP8L).  Unknown bytes raise ValueError (LoadImageError
+    analog, utils.py:154); truncated/corrupt containers ALSO surface as
     ValueError, never as raw struct/index/zlib errors — the stage
     callers' ``except (ValueError, NotImplementedError)`` contract
     must hold for any byte string that passes the magic sniff.
-    Recognized-but-undecodable containers (WebP) raise a NAMED typed
-    NotImplementedError so crawl triage can count them."""
+    Recognized-but-undecodable containers (WebP lossy/VP8) raise a
+    NAMED typed NotImplementedError so crawl triage can count them."""
     if is_rbmp(payload):
         return decode_rbmp(payload)
     head = bytes(payload[:12])
@@ -774,12 +775,15 @@ def decode_page_image(payload) -> np.ndarray:
             return decode_bmp(bytes(payload))
         if head[:3] == b"\xff\xd8\xff":
             return decode_jpeg(bytes(payload))
+        if is_webp(payload):
+            from rapidocr_ray.functions.webp import decode_webp
+
+            rgba = decode_webp(bytes(payload))
+            if (rgba[:, :, 3] == 255).all():
+                return rgb_to_gray(rgba[:, :, :3])
+            return rgb_to_gray(flatten_alpha(rgba))
     except (struct.error, IndexError, zlib.error) as exc:
         raise ValueError(f"truncated or corrupt image payload ({exc})") from exc
-    if is_webp(payload):
-        raise NotImplementedError(
-            "codec for webp not available in this environment (stub)"
-        )
     raise ValueError("unrecognized image payload")
 
 

@@ -48,7 +48,12 @@ KNOWN_REAL_FORMATS = {
 
 def _sniff(payload: bytes) -> str | None:
     if payload[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
-        return "webp"
+        from rapidocr_ray.functions.webp import is_webp_lossless
+
+        # VP8L decodes for real (functions.webp); only lossy VP8 stays
+        # the named stub — fall through to decode_page_image for both
+        # (it raises the typed webp-lossy error itself)
+        return None if is_webp_lossless(payload) else "webp-lossy"
     for magic, name in KNOWN_REAL_FORMATS.items():
         if payload[: len(magic)] == magic:
             return name

@@ -169,6 +169,7 @@ def test_real_container_pages_match_rbmp(ray_session):
     from rapidocr_ray.pipelines.extract import extract_pages_table
 
     from rapidocr_ray.functions.jpeg import encode_jpeg, encode_jpeg_progressive
+    from rapidocr_ray.functions.webp import encode_webp
 
     img = render_page(["container codec line"], margin=12)
     now = 1_700_000_000_000_000
@@ -180,8 +181,9 @@ def test_real_container_pages_match_rbmp(ray_session):
         "jpg": encode_jpeg(img, quality=95),
         "jpg-prog": encode_jpeg_progressive(img, quality=95),
         "tiff": encode_tiff(img, compression="packbits"),
+        "webpl": encode_webp(img),
         "jpeg": b"\xff\xd8\xff\xe0fake-jpeg",  # truncated -> error row
-        "webp": b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 24,  # named stub
+        "webp": b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 24,  # lossy: named stub
     }
     pages = pa.table(
         {
@@ -199,7 +201,7 @@ def test_real_container_pages_match_rbmp(ray_session):
     by_url = got.set_index("url")
     expected = by_url.loc["https://t/rbmp", "extracted_text"]
     assert expected == "container codec line"
-    for k in ("png", "gif", "bmp", "jpg", "jpg-prog", "tiff"):
+    for k in ("png", "gif", "bmp", "jpg", "jpg-prog", "tiff", "webpl"):
         assert by_url.loc[f"https://t/{k}", "extracted_text"] == expected, k
         assert by_url.loc[f"https://t/{k}", "route"] == "bitmap"
     assert by_url.loc["https://t/jpeg", "route"] == "error"
