@@ -120,3 +120,61 @@ def test_content_hash_order_insensitive():
     t4 = pa.table({"url": ["a", "a"], "extracted_text": ["x", "x"]})
     t5 = pa.table({"url": ["a"], "extracted_text": ["x"]})
     assert mf.content_hash(t4) != mf.content_hash(t5)
+
+
+_PARALLEL_STRESS = """
+import json, os, sys
+os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "0")
+import ray
+ray.init(address="local", num_cpus=int(sys.argv[1]),
+         include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from rapidocr_ray.sources.pages import synth_pages, write_pages_parquet
+from rapidocr_ray.state import manifest as mf
+d = sys.argv[2]
+paths = write_pages_parquet(synth_pages(64, seed=21), os.path.join(d, "in"), n_files=8)
+report = mf.run_resumable(paths, os.path.join(d, "out"),
+                          files_per_partition=1, partition_parallelism=4)
+print(json.dumps({"n": report["n_partitions"], "rows": report["row_count"],
+                  "skipped": report["skipped"],
+                  "hashes": [report["manifests"][p]["content_hash"]
+                             for p in range(report["n_partitions"])]}))
+ray.shutdown()
+"""
+
+
+@pytest.mark.parametrize("ncpu", [8, 24])
+def test_partition_parallelism_4_under_contention(tmp_path, ncpu):
+    """k=4 with 8 UNDERSIZED partitions (1 file / ~8 docs each, so
+    every pool wants more actors than its slice allows):
+
+    - 8-CPU session: the cap math (k = min(k, cpus // 6)) must degrade
+      to SERIAL rather than deadlock the scheduler (the 4-CPU
+      starvation bug of r4, proven at the next size up);
+    - 24-CPU session: genuine k=4 contention — four pipelines share one
+      cluster with per-slice pool caps; must complete with all
+      manifests written.
+
+    Run in fresh subprocesses (own Ray sessions); the 300 s timeout is
+    the deadlock detector.  Both sizes must produce identical per-
+    partition content hashes (parallelism never changes output)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c", _PARALLEL_STRESS, str(ncpu), str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["n"] == 8 and rep["skipped"] == []
+    assert rep["rows"] > 0
+    # determinism across parallelism levels: stash/compare via file
+    marker = tmp_path.parent / "k4_hashes.json"
+    if marker.exists():
+        assert json.load(open(marker)) == rep["hashes"]
+    else:
+        json.dump(rep["hashes"], open(marker, "w"))
