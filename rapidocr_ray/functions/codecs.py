@@ -32,6 +32,10 @@ import zlib
 import numpy as np
 
 from rapidocr_ray.functions.jpeg import decode_jpeg, rgb_to_gray  # noqa: F401
+# module-level bind, NOT a function-level import: this module ships to
+# workers by value (ensure_worker_importable), where a live
+# `import rapidocr_ray...` inside a function would fail off-repo-CWD
+from rapidocr_ray.functions.webp import decode_webp
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -776,8 +780,6 @@ def decode_page_image(payload) -> np.ndarray:
         if head[:3] == b"\xff\xd8\xff":
             return decode_jpeg(bytes(payload))
         if is_webp(payload):
-            from rapidocr_ray.functions.webp import decode_webp
-
             rgba = decode_webp(bytes(payload))
             if (rgba[:, :, 3] == 255).all():
                 return rgb_to_gray(rgba[:, :, :3])

@@ -1435,6 +1435,53 @@ FROM documents
 """
 
 
+def q_webp_metadata(sf_dir: str):
+    """WebP-lossless (VP8L) path plumbing with a hash-checked oracle:
+    deterministic gradient images (pixel(y,x) = (7x + 13y + doc_id) %
+    256, size keyed off doc_id) are encoded to real VP8L containers per
+    document, decoded back by the ImageDecodeStage actor pool (through
+    ``functions.webp``), and the DuckDB oracle re-derives height/width/
+    ink-count analytically from doc_id — all integer arithmetic, so a
+    single wrong pixel anywhere in the codec flips the hash."""
+    from rapidocr_ray.stages.multimodal import image_metadata_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    from rapidocr_ray.functions.webp import encode_webp
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            h = 8 + (d % 3) * 4
+            w = 12 + (d % 4) * 6
+            ys = np.arange(h, dtype=np.int64)[:, None]
+            xs = np.arange(w, dtype=np.int64)[None, :]
+            img = ((xs * 7 + ys * 13 + d) % 256).astype(np.uint8)
+            payloads.append(encode_webp(img))
+        return pa.table(
+            {"doc_id": ids, "image": pa.array(payloads, type=pa.binary())}
+        )
+
+    imgs = ds.map_batches(synth, batch_format="pyarrow")
+    out = image_metadata_pipeline(imgs, payload_col="image")
+    return out.select_columns(["doc_id", "height", "width", "n_ink", "decode_ok"])
+
+
+SQL_WEBP_METADATA = """
+SELECT doc_id,
+       CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS height,
+       CAST(12 + (doc_id % 4) * 6 AS INTEGER) AS width,
+       CAST(list_sum(flatten(list_transform(range(0, 8 + (doc_id % 3) * 4), y ->
+            list_transform(range(0, 12 + (doc_id % 4) * 6), x ->
+                CASE WHEN (x * 7 + y * 13 + doc_id) % 256 > 127
+                     THEN 1 ELSE 0 END)))) AS BIGINT) AS n_ink,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
 def q_video_frame_stats(sf_dir: str):
     """Video-path plumbing with a hash-checked oracle: deterministic
     RBMP frame streams (1 + doc_id%5 constant-value 16x16 frames)
@@ -1678,6 +1725,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
+    "webp_metadata": q_webp_metadata,
     "audio_features": q_audio_features,
     "image_features": q_image_features,
 }
@@ -1716,6 +1764,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
+    "webp_metadata": SQL_WEBP_METADATA,
     "audio_features": SQL_AUDIO_FEATURES,
     "image_features": SQL_IMAGE_FEATURES,
     "ann_ivf_invariant": SQL_ANN_IVF_INVARIANT,

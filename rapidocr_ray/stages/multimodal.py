@@ -34,6 +34,7 @@ import pyarrow as pa
 # on the worker and fail when the driver's CWD is not the repo.
 from rapidocr_ray import glyphs
 from rapidocr_ray.functions.codecs import decode_page_image, decode_wav
+from rapidocr_ray.functions.webp import is_webp_lossless
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
 
@@ -48,8 +49,6 @@ KNOWN_REAL_FORMATS = {
 
 def _sniff(payload: bytes) -> str | None:
     if payload[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
-        from rapidocr_ray.functions.webp import is_webp_lossless
-
         # VP8L decodes for real (functions.webp); only lossy VP8 stays
         # the named stub — fall through to decode_page_image for both
         # (it raises the typed webp-lossy error itself)
