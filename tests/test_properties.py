@@ -189,3 +189,50 @@ def test_fill_poly_area_property(seed):
     per = sum(np.linalg.norm(quad[i] - quad[(i + 1) % 4]) for i in range(4))
     mask = fill_poly_mask((60, 60), quad)
     assert abs(int(mask.sum()) - area) <= per + 8
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 3))
+def test_webp_fuzz_typed_errors_only(tail, variant):
+    """Crawl-triage contract fuzz: any bytes passing the RIFF/WEBP
+    sniff must decode to an ndarray or raise ValueError /
+    NotImplementedError — never struct.error / IndexError / KeyError.
+    Variants seed plausible structure (VP8L sig, chunk headers) so the
+    fuzz reaches past the container walk into the bitstream decoder."""
+    import struct as _struct
+
+    from rapidocr_ray.functions.codecs import decode_page_image
+
+    if variant == 0:
+        body = b"WEBP" + tail
+    elif variant == 1:
+        body = b"WEBPVP8L" + _struct.pack("<I", len(tail) + 1) + b"\x2f" + tail
+    elif variant == 2:
+        body = b"WEBPVP8L" + _struct.pack("<I", len(tail)) + tail
+    else:
+        body = b"WEBPVP8X" + _struct.pack("<I", 10) + bytes(10) + tail
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    try:
+        out = decode_page_image(payload)
+        assert out.ndim == 2
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 2**32 - 1), st.data())
+def test_webp_truncation_never_escapes(h, w, seed, data):
+    """Every prefix truncation of a VALID webp container either decodes
+    (only the full payload) or raises a typed error."""
+    import numpy as np
+
+    from rapidocr_ray.functions.codecs import decode_page_image
+    from rapidocr_ray.functions.webp import encode_webp
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    payload = encode_webp(img)
+    cut = data.draw(st.integers(0, len(payload) - 1))
+    try:
+        decode_page_image(payload[:cut])
+    except (ValueError, NotImplementedError):
+        pass
