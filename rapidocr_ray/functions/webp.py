@@ -67,6 +67,24 @@ class _LsbReader:
         self.n -= 1
         return v
 
+    def peek(self, k: int) -> int:
+        """Next k bits WITHOUT consuming, zero-filled past end-of-
+        stream (the table-decode fast path may legitimately peek past
+        the final symbol; ``consume`` still errors if a symbol's real
+        bits extend past the stream)."""
+        data = self.data
+        while self.n < k and self.pos < len(data):
+            self.acc |= data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        return self.acc & ((1 << k) - 1)
+
+    def consume(self, k: int) -> None:
+        if k > self.n:
+            raise ValueError("vp8l: truncated bitstream")
+        self.acc >>= k
+        self.n -= k
+
 
 class _LsbWriter:
     __slots__ = ("buf", "acc", "n")
@@ -107,16 +125,44 @@ _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 class _Canon:
-    """Canonical prefix code: counts[l] codes of length l, symbols in
-    canonical order.  ``single`` short-circuits 0-bit single-symbol
-    codes (legal per spec: a code with one symbol consumes no bits)."""
+    """Canonical prefix code: decoded via a flat 2^maxlen lookup table
+    (peek maxlen stream bits -> (symbol, length) in one indexed read —
+    the classic deflate-style table decoder; the per-pixel hot loop
+    cannot afford bit-by-bit walks in Python).  ``single``
+    short-circuits 0-bit single-symbol codes (legal per spec: a code
+    with one symbol consumes no bits)."""
 
-    __slots__ = ("counts", "symbols", "single")
+    __slots__ = ("table", "maxlen", "single")
 
     def __init__(self, counts, symbols, single=None):
-        self.counts = counts
-        self.symbols = symbols
         self.single = single
+        if single is not None:
+            self.table = None
+            self.maxlen = 0
+            return
+        maxlen = max(l for l in range(1, _MAX_LEN + 1) if counts[l])
+        self.maxlen = maxlen
+        table = np.zeros(1 << maxlen, np.int32)
+        code = 0
+        i = 0
+        for l in range(1, maxlen + 1):
+            for _ in range(counts[l]):
+                sym = symbols[i]
+                i += 1
+                # stream bits arrive LSB-first while the code value is
+                # MSB-first: index positions share the BIT-REVERSED
+                # code in their low l bits
+                rev = 0
+                c = code
+                for _b in range(l):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                table[rev :: 1 << l] = sym | (l << 16)
+                code += 1
+            code <<= 1
+        # plain list: python-int indexing in the per-pixel loop is
+        # ~3x faster than numpy scalar extraction
+        self.table = table.tolist()
 
 
 def _build_canon(lengths: list[int]) -> _Canon:
@@ -143,18 +189,11 @@ def _build_canon(lengths: list[int]) -> _Canon:
 def _decode_sym(br: _LsbReader, c: _Canon) -> int:
     if c.single is not None:
         return c.single
-    code = 0
-    first = 0
-    index = 0
-    counts = c.counts
-    for l in range(1, _MAX_LEN + 1):
-        code = (code << 1) | br.read_bit()
-        cnt = counts[l]
-        if code - first < cnt:
-            return c.symbols[index + code - first]
-        index += cnt
-        first = (first + cnt) << 1
-    raise ValueError("vp8l: invalid prefix code word")
+    e = c.table[br.peek(c.maxlen)]
+    if e == 0:
+        raise ValueError("vp8l: invalid prefix code word")
+    br.consume(e >> 16)
+    return e & 0xFFFF
 
 
 def _read_code_lengths(br: _LsbReader, clc: _Canon, num: int) -> list[int]:
@@ -378,22 +417,37 @@ def _decode_pixels(br, w, h, groups, meta, meta_bits, meta_w, cache_bits):
     y = 0
     single_group = groups[0] if meta is None else None
     green_c = red_c = blue_c = alpha_c = dist_c = None
+    # fast path: when red/blue/alpha codes are all single-symbol (every
+    # palette or subtract-green-grayscale stream), a literal pixel is
+    # one green decode + an OR with a precomputed constant
+    consts = [
+        (a.single << 24) | (r.single << 16) | b.single
+        if r.single is not None and b.single is not None and a.single is not None
+        else None
+        for _, r, b, a, _ in groups
+    ]
+    const = None
     group_row = -1
+    if single_group is not None:
+        green_c, red_c, blue_c, alpha_c, dist_c = single_group
+        const = consts[0]
     while pos < n:
-        if single_group is not None:
-            green_c, red_c, blue_c, alpha_c, dist_c = single_group
-        else:
+        if single_group is None:
             gy = y >> meta_bits
             if gy != group_row or (x & ((1 << meta_bits) - 1)) == 0:
                 group_row = gy
-                g = groups[meta[gy * meta_w + (x >> meta_bits)]]
-                green_c, red_c, blue_c, alpha_c, dist_c = g
+                gi = meta[gy * meta_w + (x >> meta_bits)]
+                green_c, red_c, blue_c, alpha_c, dist_c = groups[gi]
+                const = consts[gi]
         s = _decode_sym(br, green_c)
         if s < 256:  # literal
-            r = _decode_sym(br, red_c)
-            b = _decode_sym(br, blue_c)
-            a = _decode_sym(br, alpha_c)
-            px = (a << 24) | (r << 16) | (s << 8) | b
+            if const is not None:
+                px = const | (s << 8)
+            else:
+                r = _decode_sym(br, red_c)
+                b = _decode_sym(br, blue_c)
+                a = _decode_sym(br, alpha_c)
+                px = (a << 24) | (r << 16) | (s << 8) | b
             out[pos] = px
             if cache is not None:
                 cache[((_CACHE_MUL * px) & 0xFFFFFFFF) >> cache_shift] = px
