@@ -42,26 +42,37 @@ from rapidocr_ray.stages.ray_stages import (
 )
 
 
-def _winners_file_partial(f: str):
-    """Per-file winners partial: projection read of (url, warc_ts)
-    from ONE parquet file + a vectorized groupby max.  One num_cpus=0
-    task per file (fan-out, VERDICT r4 #4) so a huge unsharded input no
-    longer pays a serial footer+column read of every file in a single
-    process; partials are small (url -> max ts within the file)."""
+def _winners_file_partial(files: list[str] | str):
+    """Winners partial over a CHUNK of files: projection read of (url,
+    warc_ts) + a vectorized groupby max.  The caller fans out one
+    num_cpus=0 task per chunk (VERDICT r4 #4) so a huge unsharded input
+    no longer pays a serial footer+column read of every file in one
+    process — chunked rather than strictly per-file because the
+    per-task overhead (~5-20 ms scheduling + partial transfer) swamps
+    tiny files: measured on a 5000-row corpus, 128 single-file tasks
+    cost 675 ms vs 277 ms serial, while chunks bounded by session width
+    match serial at small scale and parallelize the big one."""
     import pandas as pd
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    t = _pq.read_table(f, columns=["url", "warc_ts"])
-    df = pd.DataFrame(
-        {
-            "url": t.column("url").to_pandas(),
-            # int64 epoch MICROseconds — must match keep_winners'
-            # arrow cast (a pandas datetime64 round trip would
-            # silently flip to nanoseconds)
-            "ts": t.column("warc_ts").cast(_pa.int64()).to_pandas(),
-        }
-    )
+    if isinstance(files, str):
+        files = [files]
+    frames = []
+    for f in files:
+        t = _pq.read_table(f, columns=["url", "warc_ts"])
+        frames.append(
+            pd.DataFrame(
+                {
+                    "url": t.column("url").to_pandas(),
+                    # int64 epoch MICROseconds — must match keep_winners'
+                    # arrow cast (a pandas datetime64 round trip would
+                    # silently flip to nanoseconds)
+                    "ts": t.column("warc_ts").cast(_pa.int64()).to_pandas(),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
     return df.groupby("url", sort=False)["ts"].max()
 
 
@@ -144,12 +155,23 @@ def dedup_by_url(
         # long-lived cascade actors hold every CPU slot — a num_cpus=1
         # task behind a full actor pool deadlocks the pipeline (the
         # first keep_winners call blocks on this ref inside an actor
-        # that will never yield its CPU).  One reader task PER FILE so
-        # wall time stays flat as file count grows (VERDICT r4 #4); the
-        # merge is itself a task over the partial refs, so the driver
-        # never blocks.
+        # that will never yield its CPU).  Reader tasks fan out over
+        # file CHUNKS (bounded by session width) so wall time stays
+        # flat as file count grows (VERDICT r4 #4) without paying
+        # per-task overhead on tiny files; the merge is itself a task
+        # over the partial refs, so the driver never blocks.
+        try:
+            n_chunks = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+        except Exception:  # pragma: no cover — session not up yet
+            n_chunks = 8
+        n_chunks = min(len(winners_files), n_chunks)
+        step = (len(winners_files) + n_chunks - 1) // n_chunks
+        chunks = [
+            winners_files[i : i + step]
+            for i in range(0, len(winners_files), step)
+        ]
         reader = _ray.remote(num_cpus=0)(_winners_file_partial)
-        partial_refs = [reader.remote(f) for f in winners_files]
+        partial_refs = [reader.remote(c) for c in chunks]
         ref = (
             _ray.remote(num_cpus=0)(_winners_merge)
             .remote(broadcast_limit, *partial_refs)
