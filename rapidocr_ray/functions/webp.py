@@ -680,6 +680,14 @@ def _apply_inverse_transforms(pix: np.ndarray, transforms: list) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# decode size cap: crawl triage guard — a crafted ~30-byte payload can
+# declare 16383x16383 (268 MP, >1 GiB of buffers) and OOM a decode
+# worker with a MemoryError that escapes the typed-error contract.
+# 67 MP covers any sane crawl image; oversized payloads become typed
+# error rows.  Module-level so a non-crawl caller can raise it.
+MAX_DECODE_PIXELS = 1 << 26
+
+
 def decode_vp8l(payload: bytes) -> np.ndarray:
     """VP8L chunk payload -> (h, w, 4) RGBA uint8."""
     if len(payload) < 5 or payload[0] != 0x2F:
@@ -687,6 +695,11 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br = _LsbReader(payload[1:])
     w = br.read_bits(14) + 1
     h = br.read_bits(14) + 1
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"vp8l: declared size {w}x{h} exceeds the decode cap "
+            f"({MAX_DECODE_PIXELS} px)"
+        )
     br.read_bits(1)  # alpha-is-used hint (informative)
     if br.read_bits(3) != 0:
         raise ValueError("vp8l: unsupported version")
@@ -737,8 +750,10 @@ def decode_webp(data: bytes) -> np.ndarray:
     VP8 lossy raises the NAMED typed stub; corrupt streams raise
     ValueError."""
     data = bytes(data)
+    saw_chunk = False
     try:
         for fourcc, payload in _webp_chunks(data):
+            saw_chunk = True
             if fourcc == b"VP8L":
                 return decode_vp8l(payload)
             if fourcc == b"VP8 ":
@@ -747,7 +762,16 @@ def decode_webp(data: bytes) -> np.ndarray:
                 )
     except (struct.error, IndexError) as exc:
         raise ValueError(f"webp: truncated or corrupt container ({exc})") from exc
-    raise ValueError("webp: no VP8/VP8L image chunk found")
+    if saw_chunk:
+        # a well-formed container without a decodable still image
+        # (animated ANIM/ANMF-only, or an unsupported feature set) is a
+        # RECOGNIZED-but-undecodable payload: the crawl-triage contract
+        # is the NAMED typed stub, not a "corrupt" ValueError
+        raise NotImplementedError(
+            "webp container without a VP8L still image "
+            "(animated or unsupported feature set) (stub)"
+        )
+    raise ValueError("webp: no chunks in container")
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,15 @@ def _winners_file_partial(files: list[str] | str):
     return df.groupby("url", sort=False)["ts"].max()
 
 
+def _footer_rows(files: list[str]) -> int:
+    """Sum of parquet footer row counts for a chunk of files (fanned
+    out as num_cpus=0 tasks so the driver's winners upper-bound check
+    never serially opens thousands of footers)."""
+    import pyarrow.parquet as _pq
+
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _winners_merge(broadcast_limit: int, *partials) -> dict | None:
     """Merge per-file winner partials into the broadcast dict.  Runs AS
     A RAY TASK taking the partial ObjectRefs so the whole winners pass
@@ -140,6 +149,11 @@ def dedup_by_url(
     import pyarrow as _pa
     import pyarrow.compute as _pc
 
+    if winners_files is not None and len(winners_files) == 0:
+        # empty partition group: nothing to read winners from — fall
+        # through to the generic-Dataset path (the chunking math below
+        # would divide by zero)
+        winners_files = None
     if winners_files is not None:
         # source-projection fast path, overlapped with pipeline build
         # (_winners_merge docstring); ray.get happens lazily in
@@ -148,8 +162,6 @@ def dedup_by_url(
         # exceeds the broadcast limit must the driver wait for the
         # winners task to learn whether to fall back — the common
         # (bounded) case keeps the fully overlapped plan.
-        import pyarrow.parquet as _pq
-
         # num_cpus=0: the winners pass is a narrow projection read
         # (I/O-bound, seconds).  It MUST be able to schedule even when
         # long-lived cascade actors hold every CPU slot — a num_cpus=1
@@ -176,9 +188,13 @@ def dedup_by_url(
             _ray.remote(num_cpus=0)(_winners_merge)
             .remote(broadcast_limit, *partial_refs)
         )
-        rows_upper_bound = sum(
-            _pq.ParquetFile(f).metadata.num_rows for f in winners_files
-        )
+        # footer scans fan out over the same chunks (footers are tiny,
+        # but thousands of remote files read serially would stall the
+        # driver for minutes before the pipeline even builds); the
+        # ray.get here is a parallel wait on footer metadata only —
+        # the column reads above are NOT blocked on.
+        footer = _ray.remote(num_cpus=0)(_footer_rows)
+        rows_upper_bound = sum(_ray.get([footer.remote(c) for c in chunks]))
         if rows_upper_bound > broadcast_limit:
             if _ray.get(ref) is None:  # over-limit sentinel
                 return dedup_by_url(ds, strict=True)

@@ -34,7 +34,6 @@ import pyarrow as pa
 # on the worker and fail when the driver's CWD is not the repo.
 from rapidocr_ray import glyphs
 from rapidocr_ray.functions.codecs import decode_page_image, decode_wav
-from rapidocr_ray.functions.webp import is_webp_lossless
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
 
@@ -49,10 +48,11 @@ KNOWN_REAL_FORMATS = {
 
 def _sniff(payload: bytes) -> str | None:
     if payload[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
-        # VP8L decodes for real (functions.webp); only lossy VP8 stays
-        # the named stub — fall through to decode_page_image for both
-        # (it raises the typed webp-lossy error itself)
-        return None if is_webp_lossless(payload) else "webp-lossy"
+        # all WebP falls through to decode_page_image: VP8L decodes for
+        # real, and decode_webp itself raises the correctly-NAMED typed
+        # stub for lossy VP8 or animated containers (naming here would
+        # mislabel animated as lossy)
+        return None
     for magic, name in KNOWN_REAL_FORMATS.items():
         if payload[: len(magic)] == magic:
             return name
@@ -393,9 +393,24 @@ def frame_scan_sample(
     pos = 0
     idx = 0
     hsize = glyphs._HEADER_SIZE
-    while pos < len(payload):
-        _magic, h, w = struct.unpack_from(glyphs._HEADER_FMT, payload, pos)
+    total = len(payload)
+    while pos < total:
+        # every frame is VALIDATED (magic + full-frame bounds) even
+        # when skipped — the old full-decode path rejected corrupt
+        # non-sampled frames, and so must the header scan; a bad
+        # header or truncated tail is a typed error row, never
+        # silently-wrong stats
+        if pos + hsize > total:
+            raise ValueError("rbmp video: truncated frame header")
+        try:
+            magic, h, w = struct.unpack_from(glyphs._HEADER_FMT, payload, pos)
+        except struct.error as exc:  # pragma: no cover — length-guarded
+            raise ValueError(f"rbmp video: bad frame header ({exc})") from exc
+        if magic != glyphs.MAGIC:
+            raise ValueError("rbmp video: frame magic mismatch (desynced stream)")
         end = pos + hsize + h * w
+        if end > total:
+            raise ValueError("rbmp video: truncated frame payload")
         if idx % every_k == 0:
             frames.append(decode(payload[pos:end]))
         pos = end

@@ -162,3 +162,53 @@ def test_frame_scan_sample_skips_decode():
     assert len(calls) == 3  # ONLY the sampled frames were decoded
     for got, want in zip(sampled, frames[::3]):
         assert np.array_equal(got, want)
+
+
+def test_frame_scan_rejects_corrupt_skipped_frames():
+    """Header-scan sampling must still REJECT corrupt payloads the old
+    full-decode path rejected — even when the corruption sits in a
+    frame that sampling would skip (review finding r5)."""
+    from rapidocr_ray.stages.multimodal import frame_scan_sample
+
+    frames = [glyphs.render_page([f"f{i}"], margin=4) for i in range(3)]
+    video = b"".join(glyphs.encode_rbmp(f) for f in frames)
+    # truncate inside the LAST frame (skipped at every_k=2? no: idx 2 IS
+    # sampled; use every_k=3 so only frame 0 decodes)
+    with pytest.raises(ValueError, match="truncated"):
+        frame_scan_sample(video[:-5], every_k=3)
+    # corrupt the magic of frame 1 (never decoded at every_k=3)
+    hdr1 = len(glyphs.encode_rbmp(frames[0]))
+    bad = bytearray(video)
+    bad[hdr1:hdr1 + 4] = b"XXXX"
+    with pytest.raises(ValueError, match="magic"):
+        frame_scan_sample(bytes(bad), every_k=3)
+    # trailing garbage shorter than a header: typed error, not struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        frame_scan_sample(video + b"\x01\x02\x03", every_k=1)
+
+
+def test_frame_stage_corrupt_rows_are_error_rows(ray_session):
+    """One corrupt video row must become a typed error row, never abort
+    the Ray task."""
+    import pyarrow as pa
+    import ray
+
+    from rapidocr_ray.stages.multimodal import frame_stats_pipeline
+
+    good = b"".join(
+        glyphs.encode_rbmp(glyphs.render_page([f"g{i}"], margin=4)) for i in range(2)
+    )
+    tbl = pa.table(
+        {
+            "url": ["good", "truncated", "garbage-tail"],
+            "video": [good, good[:-7], good + b"\x00\x01"],
+        }
+    )
+    out = (
+        frame_stats_pipeline(ray.data.from_arrow(tbl), payload_col="video", every_k=2)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert out.loc["good", "decode_ok"]
+    assert not out.loc["truncated", "decode_ok"]
+    assert not out.loc["garbage-tail", "decode_ok"]

@@ -207,3 +207,17 @@ def test_real_container_pages_match_rbmp(ray_session):
     assert by_url.loc["https://t/jpeg", "route"] == "error"
     assert "jpeg" in by_url.loc["https://t/jpeg", "err"]
     assert "webp" in by_url.loc["https://t/webp", "err"]
+
+
+def test_dedup_empty_winners_files_falls_back(ray_session):
+    """winners_files=[] (an empty partition group) must fall back to
+    the generic winners path rather than dividing by zero in the
+    chunking math (review finding r5)."""
+    import ray.data
+
+    from rapidocr_ray.pipelines.extract import dedup_by_url
+    from rapidocr_ray.sources.pages import synth_pages
+
+    pages = synth_pages(20, seed=3)
+    out = dedup_by_url(ray.data.from_arrow(pages), winners_files=[]).to_pandas()
+    assert len(out) == len(set(pages.column("url").to_pylist()))

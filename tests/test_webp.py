@@ -482,3 +482,32 @@ def test_extraction_e2e_webp_byte_identical():
         == out.loc["https://t/rbmp", "extracted_text"]
     )
     assert out.loc["https://t/rbmp", "extracted_text"] == "webp lossless e2e"
+
+
+def test_animated_container_named_stub():
+    """ANIM/ANMF-only containers (animated WebP) must raise the NAMED
+    typed stub, not a 'corrupt' ValueError, through every entry point."""
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    body = b"WEBP" + b"VP8X" + struct.pack("<I", 10) + bytes(10) + anim
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="animated|webp"):
+        W.decode_webp(data)
+    with pytest.raises(NotImplementedError, match="animated|webp"):
+        decode_page_image(data)
+    from rapidocr_ray.stages.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="animated|webp"):
+        decode_image(data)
+
+
+def test_oversized_dims_typed_error():
+    """A ~30-byte payload declaring 16383x16383 must be rejected BEFORE
+    gigabyte buffer allocation (typed ValueError, not MemoryError)."""
+    bw = W._LsbWriter()
+    bw.write(16382, 14)
+    bw.write(16382, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    payload = b"\x2f" + bw.getvalue()
+    with pytest.raises(ValueError, match="decode cap"):
+        W.decode_vp8l(payload)
