@@ -236,3 +236,23 @@ def test_webp_truncation_never_escapes(h, w, seed, data):
         decode_page_image(payload[:cut])
     except (ValueError, NotImplementedError):
         pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=200), st.integers(1, 4))
+def test_frame_scan_fuzz_typed_errors_only(tail, every_k):
+    """Frame streams built from a valid frame plus arbitrary bytes must
+    either scan cleanly or raise ValueError/NotImplementedError — never
+    struct.error (the FrameSampleStage typed-error contract)."""
+    import numpy as np
+
+    from rapidocr_ray import glyphs
+    from rapidocr_ray.stages.multimodal import frame_scan_sample
+
+    frame = glyphs.encode_rbmp(np.full((4, 6), 9, np.uint8))
+    for payload in (frame + tail, bytes(tail[:4]) + tail):
+        try:
+            total, frames = frame_scan_sample(payload, every_k=every_k)
+            assert total >= len(frames)
+        except (ValueError, NotImplementedError):
+            pass
