@@ -760,6 +760,87 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM doc
 """
 
 
+def q_top_terms_per_lang(sf_dir: str, k: int = 5):
+    """Corpus term statistics: top-k tokens per language by exact
+    count (count desc, token asc tie-break) — the TF-style vocabulary
+    op a crawl pipeline runs before filtering/weighting.
+
+    Scale shape: per-batch partial counts (Arrow split + flatten +
+    Table.group_by — the token EXPLOSION never leaves the task), ONE
+    bounded shuffle bucketed by token hash (token determines bucket,
+    so per-bucket merged counts are exact), and per-bucket per-lang
+    top-k pruning BEFORE the final tiny per-lang reduce — the second
+    shuffle carries at most n_buckets x n_langs x k rows, never the
+    vocabulary."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        langs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
+        flat = pc.list_flatten(toks)
+        t = pa.table(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "token": flat,
+                "n": np.ones(len(flat), dtype=np.int64),
+            }
+        )
+        agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        # stable bucket on the token only (crc32 over the DISTINCT
+        # tokens of the partial — not the exploded instances)
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % 64 for s in agg.column("token").to_pylist()),
+            dtype=np.int64,
+            count=agg.num_rows,
+        )
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "token": agg.column("token"),
+                "n": agg.column("n_sum"),
+                "bucket": buckets,
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_prune(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["lang", "token"], as_index=False)["n"].sum()
+        # exact within the bucket (token -> one bucket): the global
+        # top-k per lang is among the per-bucket per-lang top-k
+        out = out.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return out.groupby("lang", sort=False).head(k)
+
+    counts = part.groupby("bucket").map_groups(merge_prune, batch_format="pandas")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["n"] = g.n.astype(np.int64)
+        return g[["lang", "token", "n", "rank"]]
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+SQL_TOP_TERMS_PER_LANG = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
+), r AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM counts
+)
+SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def q_quality_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1706,6 +1787,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_join": q_asof_join,
     "user_distinct_types": q_user_distinct_types,
     "token_counts": q_token_counts,
+    "top_terms_per_lang": q_top_terms_per_lang,
     "quality_scores": q_quality_scores,
     "curation_filter": q_curation_filter,
     "lang_id": q_lang_id,
@@ -1747,6 +1829,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "user_distinct_types": SQL_USER_DISTINCT_TYPES,
     "token_counts": SQL_TOKEN_COUNTS,
+    "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
     "quality_scores": SQL_QUALITY_SCORES,
     "curation_filter": SQL_CURATION_FILTER,
     "lang_id": SQL_LANG_ID,
