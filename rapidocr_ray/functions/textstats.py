@@ -160,3 +160,23 @@ def rolling_fingerprint(text: str, window: int = 16) -> int:
         if h < best:
             best = h
     return best
+
+
+def rolling_window_hashes(text: str, window: int = 16) -> list[int]:
+    """ALL distinct rolling window hashes of a document (the
+    fingerprint above keeps only the min) — the candidate set for
+    exact substring-share dedup: two docs share a >=``window``-byte
+    substring iff they share a window hash (modulo 2^-61 collisions).
+    Docs shorter than the window have no full window and return []."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return []
+    top_pow = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
+    h = 0
+    for b in data[:window]:
+        h = (h * _ROLL_BASE + b) % _ROLL_MOD
+    out = {h}
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * top_pow) * _ROLL_BASE + data[i]) % _ROLL_MOD
+        out.add(h)
+    return sorted(out)

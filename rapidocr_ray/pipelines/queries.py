@@ -1013,6 +1013,96 @@ SELECT doc_id, CAST(min(h) AS UBIGINT) AS fp_roll FROM w GROUP BY doc_id
 """
 
 
+def q_substring_dup_pairs(sf_dir: str, window: int = 16, cap: int = 64):
+    """Exact substring-share dedup (the 'shared long n-gram' family of
+    training-data dedup): pairs of documents sharing ANY 16-byte
+    substring, found via the full set of rolling window hashes per doc.
+
+    Scale shape: the window explosion stays in the task (per-doc
+    DISTINCT hashes only), ONE bounded shuffle bucketed by hash value
+    (a hash lives in one bucket, so the hot-hash frequency cap and the
+    pair join are exact per bucket), pair formation is a vectorized
+    self-merge, and a second bounded shuffle dedups pairs that share
+    multiple substrings.  Hashes shared by more than ``cap`` docs are
+    SKIPPED as stop-substrings (boilerplate phrases would otherwise
+    form quadratic pair blowups at crawl scale) — the oracle mirrors
+    the cap with an identical HAVING predicate, so the exclusion rule
+    is hash-checked, not a silent truncation.  ASCII precondition
+    shared with the rolling-fingerprint oracle; sub-window docs have
+    no full window and produce no pairs (oracle: length >= 16)."""
+    from rapidocr_ray.functions.textstats import rolling_window_hashes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ascii_mask = pc.fill_null(pc.string_is_ascii(batch.column("text")), False)
+        if not pc.all(ascii_mask).as_py():
+            batch = batch.filter(ascii_mask)
+        # INTENTIONAL to_pylist: oracle-pinned per-doc rolling hash
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_h, out_id = [], []
+        for d, t in zip(ids, texts):
+            hs = rolling_window_hashes(t, window)
+            out_h.extend(hs)
+            out_id.extend([d] * len(hs))
+        harr = np.asarray(out_h, dtype=np.uint64)
+        return pa.table(
+            {
+                "h": harr,
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "bucket": (harr % np.uint64(256)).astype(np.int64),
+            }
+        )
+
+    part = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        docs_per_h = g.groupby("h")["doc_id"].nunique()
+        keep = g[g.h.isin(docs_per_h[docs_per_h <= cap].index)]
+        m = keep.merge(keep, on="h")
+        m = m[m.doc_id_x < m.doc_id_y][["doc_id_x", "doc_id_y"]].drop_duplicates()
+        m["pair_bucket"] = (
+            (m.doc_id_x.to_numpy(dtype=np.uint64) * np.uint64(2654435761)
+             + m.doc_id_y.to_numpy(dtype=np.uint64)) % np.uint64(64)
+        ).astype(np.int64)
+        return m
+
+    cand = part.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["doc_id_x", "doc_id_y"]).sort_values(
+            ["doc_id_x", "doc_id_y"]
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": out.doc_id_x.astype(np.int64),
+                "doc_b": out.doc_id_y.astype(np.int64),
+            }
+        )
+
+    return cand.groupby("pair_bucket").map_groups(
+        distinct_pairs, batch_format="pandas"
+    )
+
+
+SQL_SUBSTRING_DUP_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(16),
+             j -> ascii(substr(text, i + j, 1))::HUGEINT * ({{P}})[j + 1]))
+           % {{M}}::HUGEINT AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 14)) AS i)
+  WHERE length(text) >= 16 AND strlen(text) = length(text)
+), d AS (SELECT DISTINCT doc_id, h FROM w),
+ok AS (SELECT h FROM d GROUP BY h HAVING count(*) <= 64)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM ok)
+GROUP BY 1, 2
+""".replace("{P}", _ROLL_P_SQL).replace("{M}", str(_ROLL_M))
+
+
 # ===========================================================================
 # 4. Dedup family
 # ===========================================================================
@@ -1793,6 +1883,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "substring_dup_pairs": q_substring_dup_pairs,
     "dedup_exact": q_dedup_exact,
     "dup_groups": q_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1838,6 +1929,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_groups": SQL_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
+    "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,

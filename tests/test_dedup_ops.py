@@ -309,3 +309,58 @@ def test_minhash_empty_docs_never_pair(ray_session):
     pairs = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
     assert (1, 2) not in pairs  # the two empty docs
     assert (3, 4) in pairs      # the two identical real docs
+
+
+def test_substring_dup_pairs_cap_is_mirrored(ray_session, tmp_path):
+    """The hot-hash stop-substring cap must exclude identically on the
+    Ray side and the SQL oracle: 70 docs sharing one 16-byte phrase
+    (over cap=64) produce NO pairs from it; 3 docs sharing another
+    (under cap) pair up."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rapidocr_ray.pipelines import queries as q
+
+    hot = "THE-HOT-BOILERPLATE-PHRASE-HERE "
+    cold = "a rarer shared sixteen-byte run "
+    texts, ids = [], []
+    for i in range(70):
+        ids.append(i)
+        texts.append(f"doc {i} prefix {i*7} " + hot + f"suffix {i}")
+    for i in range(70, 73):
+        ids.append(i)
+        texts.append(f"doc {i} prefix {i*7} " + cold + f"suffix {i}")
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = (
+        q.QUERIES["substring_dup_pairs"](str(d))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(q.ORACLE_SQL["substring_dup_pairs"])
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    # the 3 cold-phrase docs pair among themselves; the hot phrase's
+    # FULLY-interior windows (shared by all 70 docs > cap) are
+    # excluded, so the 70-doc clique must NOT be complete (straddling
+    # boundary windows shared by digit-collision subsets < cap still
+    # legitimately pair some of them — e.g. every i ending in the same
+    # digit — which is exactly the cap semantics, mirrored by the
+    # oracle's HAVING)
+    pairs = {tuple(p) for p in got.values.tolist()}
+    assert {(70, 71), (70, 72), (71, 72)} <= pairs
+    hot_side = [p for p in pairs if p[0] < 70 and p[1] < 70]
+    assert len(hot_side) < 70 * 69 // 2  # cap removed the full clique
