@@ -1103,6 +1103,208 @@ GROUP BY 1, 2
 """.replace("{P}", _ROLL_P_SQL).replace("{M}", str(_ROLL_M))
 
 
+_DECONTAM_CACHE: dict = {}
+
+
+def q_decontam_flags(sf_dir: str, window: int = 16):
+    """Benchmark decontamination: flag every corpus document sharing
+    ANY 16-byte substring with the benchmark subset (``doc_id % 97 ==
+    0`` — the deterministic stand-in for a held-out eval suite).  The
+    canonical training-data shape: the benchmark side is tiny (MBs of
+    eval suites vs TBs of corpus), so its DISTINCT window-hash set is
+    computed once, ``ray.put`` ONCE, and read per worker through the
+    bounded LRU — the corpus then streams through one map_batches with
+    NO shuffle at all; nothing but the flags column moves.  ASCII and
+    sub-window preconditions shared with the rolling-fingerprint
+    oracle family (non-ASCII docs are filtered, <16-byte docs carry no
+    window and flag 0)."""
+    import ray
+
+    from rapidocr_ray.functions.textstats import rolling_window_hashes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        is_bench = pa.array(
+            batch.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+        )
+        ascii_ok = pc.fill_null(pc.string_is_ascii(batch.column("text")), False)
+        b = batch.filter(pc.and_(is_bench, ascii_ok))
+        hs: set[int] = set()
+        # INTENTIONAL to_pylist: oracle-pinned per-doc rolling hash
+        for t in b.column("text").to_pylist():
+            hs.update(rolling_window_hashes(t, window))
+        return pa.table({"h": pa.array(sorted(hs), type=pa.uint64())})
+
+    # small side: the benchmark hash set is bounded by benchmark bytes,
+    # not corpus size — take_all here is the documented broadcast build
+    bench_parts = ds.map_batches(bench_hashes, batch_format="pyarrow").take_all()
+    bench_set = frozenset(int(r["h"]) for r in bench_parts)
+    ref = ray.put(bench_set)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = lru_cache_get(_DECONTAM_CACHE, ref.hex(), lambda: ray.get(ref))
+        ascii_mask = pc.fill_null(pc.string_is_ascii(batch.column("text")), False)
+        if not pc.all(ascii_mask).as_py():
+            batch = batch.filter(ascii_mask)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_flag = [], []
+        for d, t in zip(ids, texts):
+            if d % 97 == 0:
+                continue  # benchmark rows are not corpus rows
+            hit = any(h in bset for h in rolling_window_hashes(t, window))
+            out_id.append(d)
+            out_flag.append(1 if hit else 0)
+        return pa.table(
+            {"doc_id": pa.array(out_id, type=pa.int64()),
+             "contaminated": pa.array(out_flag, type=pa.int64())}
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_DECONTAM_FLAGS = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(16),
+             j -> ascii(substr(text, i + j, 1))::HUGEINT * ({{P}})[j + 1]))
+           % {{M}}::HUGEINT AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 14)) AS i)
+  WHERE length(text) >= 16 AND strlen(text) = length(text)
+), b AS (SELECT DISTINCT h FROM w WHERE doc_id % 97 = 0)
+SELECT d.doc_id,
+       CAST(CASE WHEN EXISTS (
+           SELECT 1 FROM w JOIN b ON w.h = b.h WHERE w.doc_id = d.doc_id
+       ) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d
+WHERE d.doc_id % 97 != 0 AND strlen(d.text) = length(d.text)
+""".replace("{P}", _ROLL_P_SQL).replace("{M}", str(_ROLL_M))
+
+
+def q_length_quantiles_per_lang(sf_dir: str):
+    """Exact per-group quantiles (p50/p90/p99 of document length per
+    language) WITHOUT a global sort: lengths are bounded integers, so
+    the exact distribution fits a (lang, n_chars)->count histogram.
+    Partial histograms build inside map_batches (pa.Table.group_by per
+    batch), only the tiny histogram rows shuffle (one bounded groupby —
+    #langs x #distinct-lengths keys regardless of corpus row count),
+    and each language's quantiles come off the cumulative histogram.
+    Index convention pinned to DuckDB quantile_disc: sorted[max(0,
+    ceil(q*n) - 1)] — fuzzed against DuckDB over 200 random arrays
+    (tests/test_query_suite.py)."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        # select by name (pyarrow key-vs-aggregate column order is
+        # version-dependent — ADVICE r4)
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "n_chars": g.column("n_chars"),
+                "cnt": g.column("n_chars_count"),
+            }
+        )
+
+    hist = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("n_chars")["cnt"].sum().sort_index()
+        n = int(counts.sum())
+        cum = counts.cumsum()
+
+        def qdisc(q: float) -> int:
+            k = max(1, math.ceil(q * n))
+            return int(cum.index[int((cum >= k).to_numpy().argmax())])
+
+        return pd.DataFrame(
+            {
+                "lang": [g.lang.iloc[0]],
+                "n_docs": np.array([n], dtype=np.int64),
+                "p50": np.array([qdisc(0.5)], dtype=np.int64),
+                "p90": np.array([qdisc(0.9)], dtype=np.int64),
+                "p99": np.array([qdisc(0.99)], dtype=np.int64),
+            }
+        )
+
+    return hist.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       count(*) AS n_docs,
+       quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang
+"""
+
+
+def q_props_extract_stats(sf_dir: str):
+    """Semi-structured field extraction at corpus scale: pull the
+    integer ``k`` out of the JSON ``props`` string with ONE vectorized
+    Arrow regex kernel (pc.extract_regex — no per-row json.loads), then
+    mergeable partial aggregates per event_type inside the task and a
+    bounded groupby merge (#event-types keys).  sum/count/min/max are
+    exact integers; avg_k is one exact-int division per group so the
+    float is bit-identical to the oracle's CAST(sum AS DOUBLE)/count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "count"), ("k", "min"), ("k", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "s": g.column("k_sum"),
+                "n": g.column("k_count"),
+                "mn": g.column("k_min"),
+                "mx": g.column("k_max"),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        s = int(g["s"].sum())
+        return pd.DataFrame(
+            {
+                "event_type": [g.event_type.iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "sum_k": np.array([s], dtype=np.int64),
+                "min_k": np.array([int(g["mn"].min())], dtype=np.int64),
+                "max_k": np.array([int(g["mx"].max())], dtype=np.int64),
+                "avg_k": np.array([s / n], dtype=np.float64),
+            }
+        )
+
+    return part.groupby("event_type").map_groups(merge, batch_format="pandas")
+
+
+SQL_PROPS_EXTRACT_STATS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(k) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+FROM e GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # 4. Dedup family
 # ===========================================================================
@@ -1884,6 +2086,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprints": q_fingerprints,
     "rolling_fingerprints": q_rolling_fingerprints,
     "substring_dup_pairs": q_substring_dup_pairs,
+    "decontam_flags": q_decontam_flags,
+    "length_quantiles_per_lang": q_length_quantiles_per_lang,
+    "props_extract_stats": q_props_extract_stats,
     "dedup_exact": q_dedup_exact,
     "dup_groups": q_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1930,6 +2135,9 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
+    "decontam_flags": SQL_DECONTAM_FLAGS,
+    "length_quantiles_per_lang": SQL_LENGTH_QUANTILES,
+    "props_extract_stats": SQL_PROPS_EXTRACT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,

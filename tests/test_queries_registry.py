@@ -54,6 +54,9 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "video_frame_stats",
         "curation_filter",
         "audio_features",
+        "decontam_flags",
+        "length_quantiles_per_lang",
+        "props_extract_stats",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

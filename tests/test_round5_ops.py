@@ -1,0 +1,157 @@
+"""Round-5 training-data ops: benchmark decontamination, exact
+histogram quantiles, vectorized JSON field extraction."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rapidocr_ray.pipelines import queries as q
+
+
+def _docs_dir(tmp_path, ids, texts, langs=None, n_chars=None):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": texts,
+            "lang": langs or ["en"] * len(ids),
+            "n_chars": pa.array(
+                n_chars or [len(t) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _oracle(sf_dir, name, tables=("documents",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(q.ORACLE_SQL[name]).df()
+
+
+def test_decontam_planted_leak_is_flagged(ray_session, tmp_path):
+    """A corpus doc embedding a benchmark doc's 16-byte phrase flags 1;
+    an unrelated doc flags 0; a sub-window doc flags 0; a non-ASCII doc
+    is excluded (same precondition as the fingerprint family) — and the
+    whole table matches the oracle."""
+    leak = "UNIQUE-EVAL-ANSWER-PHRASE-42"  # >= 16 bytes
+    ids = [0, 1, 2, 3, 4]  # doc 0 is benchmark (0 % 97 == 0)
+    texts = [
+        "benchmark question with " + leak + " inside it",
+        "an innocent training document with nothing shared at all",
+        "a scraped page that copied " + leak + " verbatim from the eval",
+        "tiny",  # shorter than one window: cannot be contaminated
+        "café au lait non-ascii doc sharing " + leak,  # excluded
+    ]
+    d = _docs_dir(tmp_path, ids, texts)
+    got = (
+        q.QUERIES["decontam_flags"](d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    flags = dict(zip(got.doc_id, got.contaminated))
+    assert flags == {1: 0, 2: 1, 3: 0}  # no benchmark row, no non-ASCII row
+    want = (
+        _oracle(d, "decontam_flags").sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quantile_disc_formula_matches_duckdb_fuzz():
+    """The histogram quantile index convention — sorted[max(0,
+    ceil(q*n) - 1)] — is DuckDB's quantile_disc, fuzzed over random
+    arrays and the standard quantiles."""
+    con = duckdb.connect()
+    rng = np.random.RandomState(7)
+    for _ in range(40):
+        n = int(rng.randint(1, 200))
+        vals = sorted(int(v) for v in rng.randint(0, 500, size=n))
+        for qq in (0.5, 0.9, 0.99):
+            want = con.execute(
+                f"SELECT quantile_disc(x, {qq}) FROM (SELECT unnest({vals}) AS x)"
+            ).fetchone()[0]
+            idx = max(0, math.ceil(qq * n) - 1)
+            assert vals[idx] == want, (n, qq)
+
+
+def test_length_quantiles_per_lang_matches_oracle(ray_session, tmp_path):
+    """Per-lang exact quantiles off the bounded histogram: skewed group
+    sizes, duplicate lengths, and a singleton language."""
+    rng = np.random.RandomState(11)
+    ids, texts, langs, n_chars = [], [], [], []
+    sizes = {"en": 137, "de": 40, "zh": 1}
+    i = 0
+    for lang, cnt in sizes.items():
+        for _ in range(cnt):
+            ln = int(rng.choice([50, 50, 80, 200, 333]))
+            ids.append(i)
+            texts.append("x" * ln)
+            langs.append(lang)
+            n_chars.append(ln)
+            i += 1
+    d = _docs_dir(tmp_path, ids, texts, langs=langs, n_chars=n_chars)
+    got = (
+        q.QUERIES["length_quantiles_per_lang"](d)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(d, "length_quantiles_per_lang")
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got.lang) == set(sizes)
+
+
+def test_props_extract_skips_missing_k_like_the_oracle(ray_session, tmp_path):
+    """Rows whose props lack the field are null on BOTH sides (regex
+    no-match == json_extract null) and drop out of count/sum/min/max;
+    avg is the exact-int division."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(6), type=pa.int64()),
+            "ts": pa.array([0] * 6, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 6, type=pa.int64()),
+            "event_type": ["a", "a", "a", "b", "b", "b"],
+            "value": pa.array([0.0] * 6, type=pa.float64()),
+            "props": [
+                '{"k": 10}',
+                '{"k": -3}',
+                '{"other": 1}',  # no k: skipped by both sides
+                '{"k": 7}',
+                '{"k": 7}',
+                '{"j": 0}',  # no k
+            ],
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = (
+        q.QUERIES["props_extract_stats"](str(d))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(str(d), "props_extract_stats", tables=("events",))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    a = got[got.event_type == "a"].iloc[0]
+    assert (a.n, a.sum_k, a.min_k, a.max_k) == (2, 7, -3, 10)
+    assert a.avg_k == pytest.approx(3.5)
