@@ -1147,6 +1147,7 @@ def q_decontam_flags(sf_dir: str, window: int = 16):
         ascii_mask = pc.fill_null(pc.string_is_ascii(batch.column("text")), False)
         if not pc.all(ascii_mask).as_py():
             batch = batch.filter(ascii_mask)
+        # INTENTIONAL to_pylist: oracle-pinned per-doc rolling hash
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_id, out_flag = [], []
@@ -1257,6 +1258,10 @@ def q_props_extract_stats(sf_dir: str):
         ex = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
         t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        # rows without the field drop out BEFORE grouping (oracle:
+        # WHERE k IS NOT NULL) — an event_type with zero valid rows is
+        # absent from both sides instead of an all-null stats row
+        t = t.filter(pc.is_valid(t.column("k")))
         g = t.group_by("event_type").aggregate(
             [("k", "sum"), ("k", "count"), ("k", "min"), ("k", "max")]
         )
@@ -1301,7 +1306,7 @@ SELECT event_type,
        min(k) AS min_k,
        max(k) AS max_k,
        CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
-FROM e GROUP BY event_type
+FROM e WHERE k IS NOT NULL GROUP BY event_type
 """
 
 

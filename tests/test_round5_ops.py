@@ -122,11 +122,11 @@ def test_props_extract_skips_missing_k_like_the_oracle(ray_session, tmp_path):
     avg is the exact-int division."""
     tbl = pa.table(
         {
-            "event_id": pa.array(range(6), type=pa.int64()),
-            "ts": pa.array([0] * 6, type=pa.timestamp("us")),
-            "user_id": pa.array([1] * 6, type=pa.int64()),
-            "event_type": ["a", "a", "a", "b", "b", "b"],
-            "value": pa.array([0.0] * 6, type=pa.float64()),
+            "event_id": pa.array(range(8), type=pa.int64()),
+            "ts": pa.array([0] * 8, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 8, type=pa.int64()),
+            "event_type": ["a", "a", "a", "b", "b", "b", "c", "c"],
+            "value": pa.array([0.0] * 8, type=pa.float64()),
             "props": [
                 '{"k": 10}',
                 '{"k": -3}',
@@ -134,6 +134,8 @@ def test_props_extract_skips_missing_k_like_the_oracle(ray_session, tmp_path):
                 '{"k": 7}',
                 '{"k": 7}',
                 '{"j": 0}',  # no k
+                '{"j": 1}',  # event_type c: NO valid k at all ->
+                '{"j": 2}',  # absent from both outputs, not all-null
             ],
         }
     )
@@ -155,3 +157,4 @@ def test_props_extract_skips_missing_k_like_the_oracle(ray_session, tmp_path):
     a = got[got.event_type == "a"].iloc[0]
     assert (a.n, a.sum_k, a.min_k, a.max_k) == (2, 7, -3, 10)
     assert a.avg_k == pytest.approx(3.5)
+    assert set(got.event_type) == {"a", "b"}  # c has no valid k
