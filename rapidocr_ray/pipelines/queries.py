@@ -456,6 +456,128 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_orders_antijoin(sf_dir: str):
+    """Distributed ANTI-join, both sides large (orders with NO
+    lineitem): same bucket-by-key shuffle as the inner join, but the
+    probe side ships only its per-task DISTINCT keys (a task-local
+    semi-join reduction — at crawl scale the fact side is the huge
+    one, and only unique keys ever leave the scan), then a per-bucket
+    vectorized isin-negation and a tiny per-priority aggregate."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = 32
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def bucket_orders(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("o_orderkey"))
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, type=pa.int64()),
+                "orderkey": pa.array(keys, type=pa.int64()),
+                "priority": batch.column("o_orderpriority"),
+                "total_cents": pa.array(
+                    _cents(np.asarray(batch.column("o_totalprice")))
+                ),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+            }
+        )
+
+    def bucket_lineitem_keys(batch: pa.Table) -> pa.Table:
+        keys = np.unique(np.asarray(batch.column("l_orderkey")))
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, type=pa.int64()),
+                "orderkey": pa.array(keys, type=pa.int64()),
+                "priority": pa.array([None] * len(keys), type=pa.string()),
+                "total_cents": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+            }
+        )
+
+    both = orders.map_batches(bucket_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(bucket_lineitem_keys, batch_format="pyarrow")
+    )
+
+    def anti_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group.side == 0]
+        seen = group[group.side == 1].orderkey.to_numpy()
+        miss = left[~left.orderkey.isin(seen)]
+        if miss.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=str),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                    "total_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        agg = miss.groupby("priority", as_index=False).agg(
+            n_orders=("orderkey", "size"), total_cents=("total_cents", "sum")
+        )
+        return agg.rename(columns={"priority": "o_orderpriority"}).astype(
+            {"n_orders": np.int64, "total_cents": np.int64}
+        )
+
+    return (
+        both.groupby("bucket")
+        .map_groups(anti_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+
+SQL_ORDERS_ANTIJOIN = """
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_user_running_totals(sf_dir: str):
+    """Per-key running-window prefix aggregate (the SQL window-function
+    shape: SUM/COUNT OVER PARTITION BY user ORDER BY ts): one shuffle
+    keyed by user, then an in-group sort + vectorized cumsum.  The
+    deterministic tiebreak (ts, event_id) makes the running values
+    order-stable; money through exact integer cents.  Per-user history
+    is the partitioning assumption — a single user's events must fit a
+    group (true for session-scale keys; a pathological single-key
+    corpus would salt the key and prefix-merge, the documented
+    dup_groups-style escalation)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = _cents(g["value"].to_numpy())
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_n": np.arange(1, len(g) + 1, dtype=np.int64),
+                "running_cents": np.cumsum(cents).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+SQL_USER_RUNNING_TOTALS = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS running_n,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_score_filter(sf_dir: str):
     """M15 filter analog as a standalone relational op: vectorized
     predicate inside map_batches (score >= threshold)."""
@@ -2094,6 +2216,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontam_flags": q_decontam_flags,
     "length_quantiles_per_lang": q_length_quantiles_per_lang,
     "props_extract_stats": q_props_extract_stats,
+    "orders_antijoin": q_orders_antijoin,
+    "user_running_totals": q_user_running_totals,
     "dedup_exact": q_dedup_exact,
     "dup_groups": q_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2143,6 +2267,8 @@ ORACLE_SQL: dict[str, str] = {
     "decontam_flags": SQL_DECONTAM_FLAGS,
     "length_quantiles_per_lang": SQL_LENGTH_QUANTILES,
     "props_extract_stats": SQL_PROPS_EXTRACT_STATS,
+    "orders_antijoin": SQL_ORDERS_ANTIJOIN,
+    "user_running_totals": SQL_USER_RUNNING_TOTALS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,

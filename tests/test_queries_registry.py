@@ -57,6 +57,8 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "decontam_flags",
         "length_quantiles_per_lang",
         "props_extract_stats",
+        "orders_antijoin",
+        "user_running_totals",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

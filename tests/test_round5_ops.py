@@ -158,3 +158,79 @@ def test_props_extract_skips_missing_k_like_the_oracle(ray_session, tmp_path):
     assert (a.n, a.sum_k, a.min_k, a.max_k) == (2, 7, -3, 10)
     assert a.avg_k == pytest.approx(3.5)
     assert set(got.event_type) == {"a", "b"}  # c has no valid k
+
+
+def test_orders_antijoin_drops_fully_matched_priority(ray_session, tmp_path):
+    """A priority whose every order has lineitems must be ABSENT (an
+    anti-join emits no zero rows); unmatched orders aggregate per
+    priority with exact cents."""
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "o_custkey": pa.array([1] * 4, type=pa.int64()),
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": pa.array([10.005, 20.0, 30.5, 40.0], type=pa.float64()),
+            "o_orderdate": ["1996-01-01"] * 4,
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"],
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([3, 4, 4], type=pa.int64()),  # 2-HIGH matched
+            "l_extendedprice": pa.array([1.0, 1.0, 1.0], type=pa.float64()),
+            "l_discount": pa.array([0.0] * 3, type=pa.float64()),
+        }
+    )
+    d = tmp_path / "tpc"
+    d.mkdir()
+    pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(lineitem, str(d / "lineitem.parquet"))
+    got = (
+        q.QUERIES["orders_antijoin"](str(d))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert got.o_orderpriority.tolist() == ["1-URGENT"]
+    assert got.n_orders.tolist() == [2]
+    assert got.total_cents.tolist() == [1001 + 2000]  # floor(x*100+0.5)
+    want = (
+        _oracle(str(d), "orders_antijoin", tables=("orders", "lineitem"))
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_running_totals_tiebreak_is_event_id(ray_session, tmp_path):
+    """Two events at the SAME timestamp order by event_id on both
+    sides, so the running sums are stable; users never mix."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([5, 2, 9, 1], type=pa.int64()),
+            "ts": pa.array([100, 100, 50, 60], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "event_type": ["x"] * 4,
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], type=pa.float64()),
+            "props": ['{"k": 0}'] * 4,
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = (
+        q.QUERIES["user_running_totals"](str(d))
+        .to_pandas()
+        .sort_values(["user_id", "running_n"])
+        .reset_index(drop=True)
+    )
+    # user 1 order: ts50(id9, 400c) -> ts100(id2, 200c) -> ts100(id5, 100c)
+    u1 = got[got.user_id == 1]
+    assert u1.event_id.tolist() == [9, 2, 5]
+    assert u1.running_cents.tolist() == [400, 600, 700]
+    want = (
+        _oracle(str(d), "user_running_totals", tables=("events",))
+        .sort_values(["user_id", "running_n"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
