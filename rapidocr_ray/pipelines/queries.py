@@ -2186,6 +2186,315 @@ SQL_IMAGE_FEATURES = _image_features_sql()
 
 
 # ===========================================================================
+# 8. Late-round-5 corpus-curation widening: repetition quality,
+#    stratified sampling, normalized dedup, funnels, salient terms
+# ===========================================================================
+
+
+def q_token_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals, per document: token
+    count, distinct-token count, and the top single-token count (the
+    "most common word fraction" numerator).  Embarrassingly parallel —
+    the token explosion never leaves the task (per-batch C-level
+    groupby), NO shuffle at any scale."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        d = np.repeat(np.asarray(batch.column("doc_id")), lens)
+        df = pd.DataFrame({"d": d, "tok": pc.list_flatten(toks).to_pandas()})
+        per = df.groupby(["d", "tok"], sort=False).size().rename("n").reset_index()
+        agg = per.groupby("d", sort=False).agg(
+            n_tokens=("n", "sum"),
+            n_distinct_toks=("n", "size"),
+            top_tok_n=("n", "max"),
+        )
+        return pa.table(
+            {
+                "doc_id": agg.index.to_numpy().astype(np.int64),
+                "n_tokens": agg.n_tokens.to_numpy().astype(np.int64),
+                "n_distinct_toks": agg.n_distinct_toks.to_numpy().astype(np.int64),
+                "top_tok_n": agg.top_tok_n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TOKEN_REPETITION_STATS = """
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS n FROM l GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct_toks,
+       CAST(max(n) AS BIGINT) AS top_tok_n
+FROM c GROUP BY doc_id
+"""
+
+
+def q_stratified_sample(sf_dir: str, k: int = 64):
+    """Deterministic per-language rebalancing sample: the EXACT k
+    documents with the smallest multiplicative hash of doc_id per lang
+    (the reproducible analog of 'cap each language at k docs').
+
+    Distributed top-k-by-hash: each read task prunes to its local
+    per-lang k smallest (the global answer is a subset of every task's
+    local answer), so the shuffle carries at most n_tasks x n_langs x k
+    rows — never the corpus.  The final per-lang reduce sees only those
+    candidates; languages are a bounded categorical key.  (The SQL
+    oracle's un-wrapped BIGINT product matches numpy's uint64 arithmetic
+    for doc_id < 2^31, which holds for every test SF.)"""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        hv = ((ids * np.uint64(2654435761)) % np.uint64(2**32)).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pandas(),
+                "doc_id": np.asarray(batch.column("doc_id")),
+                "hv": hv,
+            }
+        )
+        df = df.sort_values(["hv", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False
+        )
+
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["hv", "doc_id"], kind="mergesort").head(k)
+        return g[["lang", "doc_id"]]
+
+    return pruned.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH h AS (SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents),
+r AS (SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h)
+SELECT lang, doc_id FROM r WHERE rn <= 64
+"""
+
+
+def q_norm_dedup_groups(sf_dir: str):
+    """Exact dedup on a NORMALIZED key (lowercase, non-alphanumeric
+    runs collapsed to one space, trimmed) — catches the
+    case/punctuation/whitespace near-identical copies raw exact dedup
+    misses.  One row per normalized group: keeper (min doc_id) and
+    group size.  Same shape as exact dedup: normalize vectorized in
+    the scan task, ONE bounded shuffle bucketed by key hash (a key
+    lives in one bucket, so per-bucket groups are exact).  Both sides
+    use RE2 ('[^a-z0-9]+') so the normalization is kernel-identical."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        key = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), "[^a-z0-9]+", " "
+            )
+        )
+        # INTENTIONAL to_pylist: per-doc string hashing (crc32 is C
+        # over the full key bytes), same pattern as top_terms_per_lang
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % 64 for s in key.to_pylist()),
+            dtype=np.int64,
+            count=len(key),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "k": key, "bucket": buckets}
+        )
+
+    bucketed = ds.map_batches(norm, batch_format="pyarrow")
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("k", sort=False, as_index=False).agg(
+            keeper=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+        return pd.DataFrame(
+            {
+                "keeper": agg.keeper.to_numpy().astype(np.int64),
+                "n_docs": agg.n_docs.to_numpy().astype(np.int64),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(groups, batch_format="pandas")
+
+
+SQL_NORM_DEDUP_GROUPS = """
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS k
+           FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM n GROUP BY k
+"""
+
+
+def q_event_funnel(sf_dir: str):
+    """Conversion funnel: users whose first 'view' is strictly
+    followed by a 'purchase', with the earliest qualifying purchase
+    timestamp.  The scan keeps only the two funnel steps (vectorized
+    is_in — everything else never leaves the read task), then ONE
+    bucketed shuffle by user and a per-bucket vectorized min/merge/min;
+    per-user history fits a group (the running_totals partitioning
+    assumption)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(
+                batch.column("event_type"),
+                value_set=pa.array(["view", "purchase"]),
+            )
+        )
+
+    ds = _bucket_by(ds.map_batches(pre, batch_format="pyarrow"), "user_id")
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        ta = (
+            g[g.event_type == "view"]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "ta"})
+        )
+        b = g[g.event_type == "purchase"][["user_id", "ts"]]
+        m = b.merge(ta, on="user_id")
+        m = m[m.ts > m.ta]
+        return (
+            m.groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "conv_ts"})
+        )
+
+    return ds.groupby("bucket").map_groups(funnel, batch_format="pandas")
+
+
+SQL_EVENT_FUNNEL = """
+WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+           WHERE event_type = 'view' GROUP BY user_id)
+SELECT b.user_id, min(b.ts) AS conv_ts
+FROM events b JOIN a USING (user_id)
+WHERE b.event_type = 'purchase' AND b.ts > a.ta
+GROUP BY b.user_id
+"""
+
+
+def q_doc_salient_term(sf_dir: str):
+    """Per-document salient term: the most frequent token, tie-broken
+    by SMALLEST global document frequency (rarest wins) then token — a
+    deterministic integer-only tf-idf proxy (no float log, so the
+    oracle compares exactly).
+
+    Fully distributed, no broadcast: (1) per-batch per-doc tf counts
+    keep only each doc's max-tf ties (candidates — a handful per doc);
+    (2) per-batch DISTINCT-token df partials; (3) ONE shuffle bucketed
+    by token merges df and attaches it to candidates (a token lives in
+    one bucket, so the df a candidate sees is exact and global);
+    (4) a second small shuffle keyed by doc bucket picks the winner —
+    it carries only the tie rows, never the token explosion."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> tuple[pd.DataFrame, pd.DataFrame]:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        d = np.repeat(np.asarray(batch.column("doc_id")), lens)
+        df = pd.DataFrame({"d": d, "tok": pc.list_flatten(toks).to_pandas()})
+        per = df.groupby(["d", "tok"], sort=False).size().rename("tf").reset_index()
+        return per
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        per = explode(batch)
+        mx = per.groupby("d", sort=False)["tf"].transform("max")
+        cand = per[per.tf == mx]
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % 64 for s in cand.tok),
+            dtype=np.int64,
+            count=len(cand),
+        )
+        return pa.table(
+            {
+                "bucket": buckets,
+                "token": pa.array(cand.tok, type=pa.string()),
+                "doc_id": cand.d.to_numpy().astype(np.int64),
+                "tf": cand.tf.to_numpy().astype(np.int64),
+                "df_part": np.zeros(len(cand), dtype=np.int64),
+            }
+        )
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        per = explode(batch)  # already DISTINCT (doc, token)
+        part = per.groupby("tok", sort=False).size().rename("df").reset_index()
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % 64 for s in part.tok),
+            dtype=np.int64,
+            count=len(part),
+        )
+        return pa.table(
+            {
+                "bucket": buckets,
+                "token": pa.array(part.tok, type=pa.string()),
+                "doc_id": np.full(len(part), -1, dtype=np.int64),
+                "tf": np.zeros(len(part), dtype=np.int64),
+                "df_part": part["df"].to_numpy().astype(np.int64),
+            }
+        )
+
+    both = ds.map_batches(candidates, batch_format="pyarrow").union(
+        ds.map_batches(df_partials, batch_format="pyarrow")
+    )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df_tab = g[g.doc_id < 0].groupby("token", sort=False)["df_part"].sum()
+        cand = g[g.doc_id >= 0][["doc_id", "token", "tf"]]
+        out = cand.merge(df_tab.rename("df_n"), left_on="token", right_index=True)
+        out["doc_bucket"] = (
+            out.doc_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)
+            % np.uint64(2**32)
+        ).astype(np.int64) % 64
+        return out
+
+    attached = both.groupby("bucket").map_groups(attach_df, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tf", "df_n", "token"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        ).drop_duplicates("doc_id", keep="first")
+        return pd.DataFrame(
+            {
+                "doc_id": g.doc_id.to_numpy().astype(np.int64),
+                "token": g.token.to_numpy(),
+                "tf": g.tf.to_numpy().astype(np.int64),
+                "df_n": g.df_n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return attached.groupby("doc_bucket").map_groups(pick, batch_format="pandas")
+
+
+SQL_DOC_SALIENT_TERM = """
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS tf FROM l GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df_n FROM l GROUP BY tok),
+r AS (SELECT c.doc_id, c.tok, c.tf, df.df_n,
+             ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                                ORDER BY c.tf DESC, df.df_n ASC, c.tok ASC) AS rn
+      FROM c JOIN df USING (tok))
+SELECT doc_id, tok AS token, CAST(tf AS BIGINT) AS tf, CAST(df_n AS BIGINT) AS df_n
+FROM r WHERE rn = 1
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -2218,6 +2527,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "props_extract_stats": q_props_extract_stats,
     "orders_antijoin": q_orders_antijoin,
     "user_running_totals": q_user_running_totals,
+    "token_repetition_stats": q_token_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "norm_dedup_groups": q_norm_dedup_groups,
+    "event_funnel": q_event_funnel,
+    "doc_salient_term": q_doc_salient_term,
     "dedup_exact": q_dedup_exact,
     "dup_groups": q_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2269,6 +2583,11 @@ ORACLE_SQL: dict[str, str] = {
     "props_extract_stats": SQL_PROPS_EXTRACT_STATS,
     "orders_antijoin": SQL_ORDERS_ANTIJOIN,
     "user_running_totals": SQL_USER_RUNNING_TOTALS,
+    "token_repetition_stats": SQL_TOKEN_REPETITION_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "norm_dedup_groups": SQL_NORM_DEDUP_GROUPS,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "doc_salient_term": SQL_DOC_SALIENT_TERM,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,

@@ -1,0 +1,192 @@
+"""Late-round-5 curation widening: token repetition stats, stratified
+sampling, normalized dedup groups, conversion funnel, salient terms."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rapidocr_ray.pipelines import queries as q
+
+
+def _docs_dir(tmp_path, ids, texts, langs=None):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": texts,
+            "lang": langs or ["en"] * len(ids),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _events_dir(tmp_path, rows):
+    """rows: list of (event_id, ts_str, user_id, event_type)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([1.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def _oracle(sf_dir, name, tables=("documents",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(q.ORACLE_SQL[name]).df()
+
+
+def _compare(got_ds, want_df):
+    df = got_ds.to_pandas()
+    cols = sorted(df.columns)
+    assert cols == sorted(want_df.columns), (cols, sorted(want_df.columns))
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = want_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return df
+
+
+def test_token_repetition_stats_edges(ray_session, tmp_path):
+    """Repeated tokens, single-token doc, empty text (DuckDB and Arrow
+    both split '' into one empty token), and double spaces (both emit
+    the empty token) — per-doc counts must match the oracle exactly."""
+    d = _docs_dir(
+        tmp_path,
+        [0, 1, 2, 3],
+        ["the the the cat", "solo", "", "a  b"],
+    )
+    df = _compare(q.QUERIES["token_repetition_stats"](d), _oracle(d, "token_repetition_stats"))
+    row = df.set_index("doc_id")
+    assert row.loc[0].to_dict() == {"n_tokens": 4, "n_distinct_toks": 2, "top_tok_n": 3}
+    assert row.loc[2].to_dict() == {"n_tokens": 1, "n_distinct_toks": 1, "top_tok_n": 1}
+    assert row.loc[3].to_dict() == {"n_tokens": 3, "n_distinct_toks": 3, "top_tok_n": 1}
+
+
+def test_stratified_sample_cap_and_small_group(ray_session, tmp_path):
+    """A language over the cap is sampled down to exactly k docs (the k
+    smallest hashes — deterministic), a language under the cap keeps
+    every doc, and the whole result matches the window-function oracle."""
+    ids = list(range(200))
+    langs = ["en"] * 150 + ["zh"] * 50
+    d = _docs_dir(tmp_path, ids, ["doc %d" % i for i in ids], langs=langs)
+    df = _compare(q.QUERIES["stratified_sample"](d), _oracle(d, "stratified_sample"))
+    sizes = df.groupby("lang").size()
+    assert sizes["en"] == 64 and sizes["zh"] == 50
+    # determinism: the en sample is the 64 smallest multiplicative hashes
+    hv = (np.arange(150, dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    want = set(np.argsort(hv, kind="stable")[:64].tolist())
+    assert set(df[df.lang == "en"].doc_id) == want
+
+
+def test_norm_dedup_groups_collapses_variants(ray_session, tmp_path):
+    """Case / punctuation / whitespace variants of one text collapse to
+    a single group (keeper = min doc_id); distinct texts stay apart;
+    non-ASCII letters are normalization-stable on both sides."""
+    d = _docs_dir(
+        tmp_path,
+        [5, 6, 7, 8, 9],
+        [
+            "Hello, World!",
+            "hello   world",
+            "hello;world...",
+            "another doc",
+            "café au lait",  # non-ascii char -> separator on both sides
+        ],
+    )
+    df = _compare(q.QUERIES["norm_dedup_groups"](d), _oracle(d, "norm_dedup_groups"))
+    by_keeper = df.set_index("keeper").n_docs.to_dict()
+    assert by_keeper == {5: 3, 8: 1, 9: 1}
+
+
+def test_event_funnel_strict_ordering(ray_session, tmp_path):
+    """Funnel semantics pinned: purchase strictly AFTER the first view
+    converts (earliest qualifying ts wins); purchase at exactly the
+    first-view timestamp does not; purchase-then-view does not;
+    single-step users never appear."""
+    rows = [
+        # user 1: view -> purchase -> purchase (first qualifying wins)
+        (0, "2024-01-01T10:00:00", 1, "view"),
+        (1, "2024-01-01T11:00:00", 1, "purchase"),
+        (2, "2024-01-01T12:00:00", 1, "purchase"),
+        # user 2: purchase exactly at first view ts -> no conversion
+        (3, "2024-01-02T10:00:00", 2, "view"),
+        (4, "2024-01-02T10:00:00", 2, "purchase"),
+        # user 3: purchase before the only view -> no conversion
+        (5, "2024-01-03T09:00:00", 3, "purchase"),
+        (6, "2024-01-03T10:00:00", 3, "view"),
+        # user 4: view only; user 5: purchase only
+        (7, "2024-01-04T10:00:00", 4, "view"),
+        (8, "2024-01-05T10:00:00", 5, "purchase"),
+        # user 6: second view earlier than first purchase, purchase
+        # after the FIRST view still converts
+        (9, "2024-01-06T10:00:00", 6, "view"),
+        (10, "2024-01-06T09:00:00", 6, "view"),
+        (11, "2024-01-06T09:30:00", 6, "purchase"),
+    ]
+    d = _events_dir(tmp_path, rows)
+    df = _compare(
+        q.QUERIES["event_funnel"](d), _oracle(d, "event_funnel", tables=("events",))
+    )
+    conv = {int(r.user_id): str(r.conv_ts) for r in df.itertuples()}
+    assert set(conv) == {1, 6}
+    assert conv[1].startswith("2024-01-01 11:00:00")
+    assert conv[6].startswith("2024-01-06 09:30:00")
+
+
+def test_doc_salient_term_tiebreaks(ray_session, tmp_path):
+    """Max-tf wins; tf ties break to the RAREST global df, then token
+    order — verified against the window-function oracle on a corpus
+    crafted so every tiebreak level is exercised."""
+    d = _docs_dir(
+        tmp_path,
+        [0, 1, 2, 3],
+        [
+            "common common rare rare",  # tf tie 2-2: 'rare' has smaller df
+            "common common common zz",  # clear tf winner
+            "common rare",  # tf tie 1-1: df decides -> 'rare'
+            "aa bb",  # df tie (both 1): token order -> 'aa'
+        ],
+    )
+    df = _compare(q.QUERIES["doc_salient_term"](d), _oracle(d, "doc_salient_term"))
+    by_doc = df.set_index("doc_id")
+    assert by_doc.loc[0].token == "rare"
+    assert by_doc.loc[1].token == "common" and by_doc.loc[1].tf == 3
+    assert by_doc.loc[2].token == "rare"
+    assert by_doc.loc[3].token == "aa"
+
+
+def test_widen_queries_match_duckdb_at_sf(ray_session):
+    """All five new registry entries hash-match their oracles over the
+    real sf0.001 tables (the driver-shaped comparison)."""
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    for name in (
+        "token_repetition_stats",
+        "stratified_sample",
+        "norm_dedup_groups",
+        "event_funnel",
+        "doc_salient_term",
+    ):
+        _compare(q.QUERIES[name](SF), con.execute(q.ORACLE_SQL[name]).df())
