@@ -173,6 +173,24 @@ def test_doc_salient_term_tiebreaks(ray_session, tmp_path):
     assert by_doc.loc[3].token == "aa"
 
 
+def test_widen_multibatch_partials_merge_exactly(ray_session, tmp_path):
+    """3000 docs force multiple map_batches calls (default batch_size
+    1024), so the stratified-sample local top-k prune and the
+    salient-term df partials genuinely merge across tasks — results
+    must still be exact vs the oracle."""
+    rng = np.random.RandomState(3)
+    ids = list(range(3000))
+    vocab = ["alpha", "beta", "gamma", "delta"] + ["rare%d" % i for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 12)))
+        for _ in ids
+    ]
+    langs = [["en", "de", "fr"][i % 3] for i in ids]
+    d = _docs_dir(tmp_path, ids, texts, langs=langs)
+    _compare(q.QUERIES["stratified_sample"](d), _oracle(d, "stratified_sample"))
+    _compare(q.QUERIES["doc_salient_term"](d), _oracle(d, "doc_salient_term"))
+
+
 def test_widen_queries_match_duckdb_at_sf(ray_session):
     """All five new registry entries hash-match their oracles over the
     real sf0.001 tables (the driver-shaped comparison)."""
