@@ -794,16 +794,93 @@ def decode_page_image(payload) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# IMA/DVI ADPCM (WAVE format tag 0x11) — public IMA spec tables
+_IMA_STEP = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(nib: np.ndarray, pred: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Vectorized-across-blocks IMA ADPCM inner loop: ``nib`` is
+    (n_blocks, n_nibbles) uint8, ``pred``/``idx`` the per-block header
+    predictor (int32) and step index (int32).  Returns (n_blocks,
+    n_nibbles + 1) int16 — header predictor is the first output sample
+    (IMA spec); the sequential dependency is per block only, so the
+    loop runs once per within-block position, vectorized over blocks."""
+    n_blocks, n_nib = nib.shape
+    out = np.empty((n_blocks, n_nib + 1), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    idx = np.clip(idx, 0, 88)
+    for t in range(n_nib):
+        step = _IMA_STEP[idx]
+        b = nib[:, t].astype(np.int32)
+        diff = (
+            (step >> 3)
+            + np.where(b & 4, step >> 2, 0)
+            + np.where(b & 2, step >> 1, 0)
+            + np.where(b & 1, step, 0)
+        )
+        pred = np.clip(pred + np.where(b & 8, -diff, diff), -32768, 32767)
+        out[:, t + 1] = pred.astype(np.int16)
+        idx = np.clip(idx + _IMA_INDEX[b & 7], 0, 88)
+    return out
+
+
+def _decode_ima_adpcm(raw: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM 'data' chunk -> interleaved int16 sample frames,
+    shape (n_frames, n_ch).  Block layout per the IMA/Microsoft WAVE
+    spec: a 4-byte header per channel (int16 predictor, uint8 step
+    index, reserved), then 4-byte nibble groups round-robin across
+    channels; low nibble first within each byte."""
+    if n_ch not in (1, 2):
+        raise NotImplementedError(f"wav: {n_ch}-channel IMA ADPCM unsupported")
+    if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError(f"wav: bad IMA ADPCM block_align {block_align}")
+    usable = (len(raw) // block_align) * block_align
+    if usable == 0:
+        raise ValueError("wav: IMA ADPCM data shorter than one block")
+    blocks = np.frombuffer(raw[:usable], dtype=np.uint8).reshape(-1, block_align)
+    chans = []
+    for c in range(n_ch):
+        hdr = blocks[:, 4 * c:4 * c + 4]
+        pred = (hdr[:, 0].astype(np.int32) | (hdr[:, 1].astype(np.int32) << 8))
+        pred = np.where(pred >= 32768, pred - 65536, pred)
+        idx = hdr[:, 2].astype(np.int32)
+        if (idx > 88).any():
+            raise ValueError("wav: IMA ADPCM step index out of range")
+        body = blocks[:, 4 * n_ch:].reshape(len(blocks), -1, 4 * n_ch)
+        mine = body[:, :, 4 * c:4 * c + 4].reshape(len(blocks), -1)
+        nib = np.empty((len(blocks), mine.shape[1] * 2), dtype=np.uint8)
+        nib[:, 0::2] = mine & 0x0F
+        nib[:, 1::2] = mine >> 4
+        chans.append(_ima_decode_nibbles(nib, pred, idx))
+    per_block = chans[0].shape[1]
+    out = np.empty((len(blocks) * per_block, n_ch), dtype=np.int16)
+    for c, ch in enumerate(chans):
+        out[:, c] = ch.reshape(-1)
+    return out
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     """RIFF/WAVE bytes -> (mono float32 samples in [-1, 1], sample_rate,
-    n_channels).  PCM 8/16/32-bit integer and 32-bit IEEE float;
-    multi-channel downmixes by mean.  Compressed codecs (ADPCM, mp3
-    inside RIFF, ...) raise typed NotImplementedError."""
+    n_channels).  PCM 8/16/32-bit integer, 32-bit IEEE float, and IMA
+    ADPCM (tag 0x11, mono/stereo, decoded vectorized across blocks);
+    multi-channel downmixes by mean.  Remaining compressed codecs (MS
+    ADPCM, mp3 inside RIFF, ...) raise typed NotImplementedError."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("wav: bad RIFF/WAVE signature")
     pos = 12
     fmt = None
     raw = None
+    n_fact_frames = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -816,9 +893,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
                 raise ValueError(f"wav: truncated fmt chunk ({exc})") from exc
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and len(body) >= 4:
+            (n_fact_frames,) = struct.unpack_from("<I", body, 0)
     if fmt is None or raw is None:
         raise ValueError("wav: missing fmt/data chunk")
-    tag, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    tag, n_ch, rate, _byte_rate, block_align, bits = fmt
     if tag == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -830,6 +909,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
             raise NotImplementedError(f"wav: {bits}-bit PCM unsupported (8/16/32)")
     elif tag == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif tag == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise NotImplementedError(f"wav: IMA ADPCM with {bits}-bit samples unsupported")
+        frames = _decode_ima_adpcm(raw, max(1, n_ch), block_align)
+        if n_fact_frames is not None:
+            frames = frames[:n_fact_frames]
+        x = frames.astype(np.float32).reshape(-1) / 32768.0
     else:
         raise NotImplementedError(f"wav: format tag {tag}/{bits}-bit unsupported")
     n_ch = max(1, n_ch)

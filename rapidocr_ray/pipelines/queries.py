@@ -2032,6 +2032,56 @@ FROM documents
 """
 
 
+def q_avi_frame_stats(sf_dir: str):
+    """REAL-container video path with a hash-checked oracle: per-doc
+    AVI/MJPG files (1 + doc_id%4 frames of 16x24 8x8-block-constant
+    tiles) synthesized deterministically, demuxed by the header-only
+    AVI chunk walk and every-2nd-frame decoded through the from-scratch
+    JPEG decoder inside the FrameSampleStage actor pool.  quality=100
+    (all-ones quant table) makes block-constant frames round-trip
+    bit-exactly, so the DuckDB oracle re-derives the sampled ink purely
+    from doc_id — integer arithmetic, no image library on either side."""
+    from rapidocr_ray.functions import avi as avi_mod
+    from rapidocr_ray.stages.multimodal import frame_stats_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        payloads = []
+        tile = np.ones((8, 8), dtype=np.uint8)
+        for d in ids:
+            d = int(d)
+            frames = []
+            for f in range(1 + d % 4):
+                vals = np.array(
+                    [(d * 31 + f * 17 + t * 7) % 256 for t in range(6)],
+                    dtype=np.uint8,
+                ).reshape(2, 3)
+                frames.append(np.kron(vals, tile))
+            payloads.append(avi_mod.encode_avi_mjpeg(frames, quality=100))
+        return pa.table(
+            {"doc_id": ids, "video": pa.array(payloads, type=pa.binary())}
+        )
+
+    vids = ds.map_batches(synth, batch_format="pyarrow")
+    out = frame_stats_pipeline(vids, payload_col="video", every_k=2)
+    return out.select_columns(["doc_id", "n_frames", "n_sampled", "ink_sampled"])
+
+
+SQL_AVI_FRAME_STATS = """
+SELECT doc_id,
+       (1 + doc_id % 4) AS n_frames,
+       CAST(ceil((1 + doc_id % 4) / 2.0) AS BIGINT) AS n_sampled,
+       CAST(list_sum(list_transform(range(0, 1 + doc_id % 4),
+            f -> CASE WHEN f % 2 = 0
+                      THEN 64 * list_sum(list_transform(range(0, 6),
+                           t -> (doc_id * 31 + f * 17 + t * 7) % 256))
+                      ELSE 0 END)) AS BIGINT) AS ink_sampled
+FROM documents
+"""
+
+
 def q_audio_features(sf_dir: str):
     """Audio-path plumbing with a hash-checked oracle: deterministic
     16-bit PCM square waves (amplitude 2^(9 + doc_id%4) counts, length
@@ -2546,6 +2596,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
+    "avi_frame_stats": q_avi_frame_stats,
     "webp_metadata": q_webp_metadata,
     "audio_features": q_audio_features,
     "image_features": q_image_features,
@@ -2597,6 +2648,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
+    "avi_frame_stats": SQL_AVI_FRAME_STATS,
     "webp_metadata": SQL_WEBP_METADATA,
     "audio_features": SQL_AUDIO_FEATURES,
     "image_features": SQL_IMAGE_FEATURES,

@@ -33,6 +33,7 @@ import pyarrow as pa
 # `from rapidocr_ray...` import inside __call__ would do a real import
 # on the worker and fail when the driver's CWD is not the repo.
 from rapidocr_ray import glyphs
+from rapidocr_ray.functions.avi import avi_frame_scan_sample, is_avi
 from rapidocr_ray.functions.codecs import decode_page_image, decode_wav
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
@@ -384,9 +385,16 @@ def frame_scan_sample(
     decoded."""
     import struct
 
+    if is_avi(payload):
+        # real container path: AVI demux (header-only chunk walk) with
+        # MJPG frames through the from-scratch JPEG decoder; non-MJPG
+        # codecs raise the typed stub inside avi_frame_scan_sample
+        # (module-level import — a call-time absolute import would fail
+        # inside by-value workers launched from a non-repo CWD)
+        return avi_frame_scan_sample(payload, every_k=every_k, _decode=_decode)
     if not is_rbmp(payload):
         raise NotImplementedError(
-            "video codec unavailable (only RBMP frame streams decode)"
+            "video codec unavailable (only RBMP and AVI/MJPG streams decode)"
         )
     decode = _decode or decode_rbmp
     frames = []

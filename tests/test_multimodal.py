@@ -104,6 +104,300 @@ def test_wav_typed_errors():
         decode_wav(data)
 
 
+_IMA_STEP_REF = None
+
+
+def _ima_tables():
+    from rapidocr_ray.functions.codecs import _IMA_INDEX, _IMA_STEP
+
+    return _IMA_STEP, _IMA_INDEX
+
+
+def _ima_enc_step(sample, pred, idx, step_t, index_t):
+    """Scalar reference IMA ADPCM encoder step (public-spec algorithm)."""
+    step = int(step_t[idx])
+    delta = int(sample) - pred
+    nib = 0
+    if delta < 0:
+        nib = 8
+        delta = -delta
+    if delta >= step:
+        nib |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nib |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nib |= 1
+    diff = step >> 3
+    if nib & 4:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step
+    pred = max(-32768, min(32767, pred + (-diff if nib & 8 else diff)))
+    idx = max(0, min(88, idx + int(index_t[nib & 7])))
+    return nib, pred, idx
+
+
+def _ima_dec_step(nib, pred, idx, step_t, index_t):
+    """Scalar reference decoder step (mirrors the spec, independent of
+    the vectorized implementation under test)."""
+    step = int(step_t[idx])
+    diff = step >> 3
+    if nib & 4:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step
+    pred = max(-32768, min(32767, pred + (-diff if nib & 8 else diff)))
+    idx = max(0, min(88, idx + int(index_t[nib & 7])))
+    return pred, idx
+
+
+def _ima_encode_mono(samples, block_align):
+    """Encode int16 mono samples into IMA ADPCM data-chunk bytes and a
+    scalar-decoded reference, block layout per the WAVE spec."""
+    import struct as _s
+
+    step_t, index_t = _ima_tables()
+    per_block = (block_align - 4) * 2 + 1
+    assert len(samples) % per_block == 0
+    data = bytearray()
+    ref = []
+    idx = 0
+    for b0 in range(0, len(samples), per_block):
+        block = samples[b0:b0 + per_block]
+        pred = int(block[0])
+        data += _s.pack("<hBB", pred, idx, 0)
+        ref.append(pred)
+        nibs = []
+        for s in block[1:]:
+            nib, pred, idx = _ima_enc_step(s, pred, idx, step_t, index_t)
+            nibs.append(nib)
+            ref.append(pred)
+        for i in range(0, len(nibs), 2):
+            data.append(nibs[i] | (nibs[i + 1] << 4))
+    return bytes(data), np.array(ref, dtype=np.int16)
+
+
+def _wav_container(fmt_tag, n_ch, rate, block_align, bits, data, fact_frames=None):
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", fmt_tag, n_ch, rate, rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    if fact_frames is not None:
+        body += b"fact" + _s.pack("<I", 4) + _s.pack("<I", fact_frames)
+    body += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_ima_adpcm_mono_bit_exact_vs_scalar_reference():
+    """The vectorized-across-blocks decoder reproduces the scalar
+    public-spec reference decode bit-for-bit over multiple blocks of a
+    noisy signal, and tracks the original within quantization error."""
+    from rapidocr_ray.functions.codecs import decode_wav
+
+    rng = np.random.RandomState(5)
+    block_align = 36  # 65 samples/block
+    per_block = (block_align - 4) * 2 + 1
+    t = np.arange(per_block * 6)
+    sig = (
+        8000 * np.sin(2 * np.pi * t / 50) + rng.randint(-500, 500, len(t))
+    ).astype(np.int16)
+    data, ref = _ima_encode_mono(sig, block_align)
+    wav = _wav_container(0x11, 1, 8000, block_align, 4, data)
+    mono, rate, n_ch = decode_wav(wav)
+    assert rate == 8000 and n_ch == 1
+    got = np.round(mono * 32768.0).astype(np.int16)
+    assert np.array_equal(got, ref)  # bit-exact vs scalar reference
+    # steady-state tracking stays tight; the first ~16 samples ramp the
+    # step index from 0 against a steep sine (inherent ADPCM attack)
+    assert np.abs(got.astype(np.int32) - sig.astype(np.int32))[16:].max() < 2500
+
+
+def test_ima_adpcm_stereo_interleave_and_fact_trim():
+    """Stereo 4-byte group round-robin: each channel decodes to its own
+    scalar reference; the downmix is their exact mean; a fact chunk
+    trims trailing frames."""
+    import struct as _s
+
+    from rapidocr_ray.functions.codecs import decode_wav
+
+    step_t, index_t = _ima_tables()
+    rng = np.random.RandomState(9)
+    frames_per_block = 65  # header + 64 nibbles per channel
+    n_blocks = 3
+    n = frames_per_block * n_blocks
+    left = (6000 * np.sin(2 * np.pi * np.arange(n) / 40)).astype(np.int16)
+    right = rng.randint(-7000, 7000, n).astype(np.int16)
+    data = bytearray()
+    refs = {0: [], 1: []}
+    state = {0: 0, 1: 0}  # step index per channel
+    for b0 in range(0, n, frames_per_block):
+        preds = {}
+        for c, sig in ((0, left), (1, right)):
+            preds[c] = int(sig[b0])
+            data += _s.pack("<hBB", preds[c], state[c], 0)
+            refs[c].append(preds[c])
+        nibs = {0: [], 1: []}
+        for c, sig in ((0, left), (1, right)):
+            pred, idx = preds[c], state[c]
+            for s in sig[b0 + 1:b0 + frames_per_block]:
+                nib, pred, idx = _ima_enc_step(s, pred, idx, step_t, index_t)
+                nibs[c].append(nib)
+                refs[c].append(pred)
+            state[c] = idx
+        for g in range(0, len(nibs[0]), 8):
+            for c in (0, 1):
+                for i in range(g, g + 8, 2):
+                    data.append(nibs[c][i] | (nibs[c][i + 1] << 4))
+    block_align = 8 + (frames_per_block - 1)  # 2 headers + 64 nib-pairs/2 *2ch
+    n_keep = n - 5
+    wav = _wav_container(0x11, 2, 16000, block_align, 4, bytes(data), fact_frames=n_keep)
+    mono, rate, n_ch = decode_wav(wav)
+    assert rate == 16000 and n_ch == 2 and len(mono) == n_keep
+    want = (
+        np.stack([np.array(refs[0]), np.array(refs[1])], axis=1)[:n_keep]
+        .astype(np.float32)
+        .mean(axis=1)
+        / 32768.0
+    )
+    assert np.allclose(mono, want, atol=0)
+
+
+def test_ima_adpcm_typed_errors():
+    """Corrupt ADPCM payloads raise typed ValueError; MS ADPCM (tag 2)
+    stays the named stub; odd bit width stays a named stub."""
+    from rapidocr_ray.functions.codecs import decode_wav
+
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav(_wav_container(0x11, 1, 8000, 7, 4, b"\x00" * 14))
+    with pytest.raises(ValueError, match="shorter than one block"):
+        decode_wav(_wav_container(0x11, 1, 8000, 36, 4, b"\x00" * 10))
+    bad_idx = b"\x00\x00\x60\x00" + b"\x00" * 32  # step index 96 > 88
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(_wav_container(0x11, 1, 8000, 36, 4, bad_idx))
+    with pytest.raises(NotImplementedError, match="IMA ADPCM with 8-bit"):
+        decode_wav(_wav_container(0x11, 1, 8000, 36, 8, b"\x00" * 36))
+
+
+def _tile_frames(n, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = []
+    for _ in range(n):
+        tiles = rng.randint(0, 256, (2, 3), dtype=np.uint8)
+        frames.append(np.kron(tiles, np.ones((8, 8), dtype=np.uint8)))
+    return frames
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """Mux -> demux: block-constant frames at quality=100 round-trip
+    bit-exactly; every-k sampling decodes exactly the sampled indices."""
+    from rapidocr_ray.functions.avi import (
+        avi_frame_scan_sample,
+        avi_scan,
+        encode_avi_mjpeg,
+    )
+
+    frames = _tile_frames(7)
+    avi = encode_avi_mjpeg(frames, quality=100)
+    codec, spans = avi_scan(avi)
+    assert codec == "MJPG" and len(spans) == 7
+    total, sampled = avi_frame_scan_sample(avi, every_k=3)
+    assert total == 7 and len(sampled) == 3
+    for i, s in enumerate(sampled):
+        assert np.array_equal(s, frames[3 * i])
+
+
+def test_avi_skipped_frames_never_decoded():
+    """The demux walk is header-only: with every_k=4 over 8 frames,
+    the decode hook fires exactly twice (frames 0 and 4)."""
+    from rapidocr_ray.functions.avi import avi_frame_scan_sample, encode_avi_mjpeg
+    from rapidocr_ray.functions.jpeg import decode_jpeg
+
+    avi = encode_avi_mjpeg(_tile_frames(8), quality=100)
+    calls = []
+
+    def hook(b):
+        calls.append(len(b))
+        return decode_jpeg(b)
+
+    total, sampled = avi_frame_scan_sample(avi, every_k=4, _decode=hook)
+    assert total == 8 and len(sampled) == 2 and len(calls) == 2
+
+
+def test_avi_dispatches_through_frame_scan_sample(ray_session):
+    """The stage entry point sniffs RIFF/AVI and decodes through the
+    JPEG path; the FrameSampleStage pipeline emits exact ink sums."""
+    import ray.data
+
+    from rapidocr_ray.functions.avi import encode_avi_mjpeg
+    from rapidocr_ray.stages.multimodal import frame_scan_sample, frame_stats_pipeline
+
+    frames = _tile_frames(4, seed=3)
+    avi = encode_avi_mjpeg(frames, quality=100)
+    total, sampled = frame_scan_sample(avi, every_k=2)
+    assert total == 4 and len(sampled) == 2
+    ds = ray.data.from_items([{"doc_id": 0, "video": avi}])
+    out = frame_stats_pipeline(ds, payload_col="video", every_k=2).to_pandas()
+    want_ink = sum(int(f.sum(dtype=np.int64)) for f in (frames[0], frames[2]))
+    assert out.iloc[0].n_frames == 4 and out.iloc[0].ink_sampled == want_ink
+
+
+def test_avi_typed_errors():
+    """Structural corruption -> ValueError; foreign codec -> the named
+    NotImplementedError stub; non-JPEG frame bytes -> ValueError; all
+    stay inside the stage's typed-error contract."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from rapidocr_ray.functions.avi import avi_frame_scan_sample, encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg(_tile_frames(2), quality=100)
+    # foreign codec fourcc
+    bad = bytearray(avi)
+    i = avi.find(b"vids") + 4
+    bad[i:i + 4] = b"H264"
+    with _pytest.raises(NotImplementedError, match="codec H264"):
+        avi_frame_scan_sample(bytes(bad))
+    # truncated chunk body inside movi
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        avi_frame_scan_sample(avi[:-10])
+    # no video stream: strh type flipped to auds
+    bad2 = bytearray(avi)
+    bad2[avi.find(b"vids"):avi.find(b"vids") + 4] = b"auds"
+    with _pytest.raises(ValueError, match="no video stream"):
+        avi_frame_scan_sample(bytes(bad2))
+    # frame bytes that are not JPEG
+    soi = avi.find(b"\xff\xd8\xff")
+    bad3 = bytearray(avi)
+    bad3[soi:soi + 3] = b"\x00\x00\x00"
+    with _pytest.raises(ValueError, match="SOI"):
+        avi_frame_scan_sample(bytes(bad3), every_k=1)
+    # bad signature
+    with _pytest.raises(ValueError, match="signature"):
+        avi_frame_scan_sample(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_odd_size_frame_alignment():
+    """RIFF word alignment: an odd-length JPEG chunk gets a pad byte
+    and the walk stays in sync for every following frame."""
+    from rapidocr_ray.functions.avi import avi_frame_scan_sample, encode_avi_mjpeg
+
+    # hunt a frame set with at least one odd-size encoded JPEG
+    for seed in range(20):
+        frames = _tile_frames(5, seed=seed)
+        avi = encode_avi_mjpeg(frames, quality=90)
+        total, sampled = avi_frame_scan_sample(avi, every_k=1)
+        assert total == 5 and len(sampled) == 5
+        for s, f in zip(sampled, frames):
+            assert s.shape == f.shape
+
+
 def test_audio_feature_pipeline(ray_session):
     import ray.data
 
