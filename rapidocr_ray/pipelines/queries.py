@@ -2544,6 +2544,201 @@ FROM r WHERE rn = 1
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """Hopping-window aggregate (2-hour windows sliding by 1 hour):
+    the streaming shape tumbling windows can't express — each event
+    belongs to exactly two windows, so the scan task EXPLODES the
+    assignment map-side (x2, still vectorized) and pre-aggregates
+    before the one bounded window-keyed shuffle.  Window keys grow
+    with time, never with event count."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    hour_us = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = np.asarray(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64())
+        )
+        cents = _cents(np.asarray(batch.column("value")))
+        t = pa.table(
+            {
+                "w": np.concatenate([ws, ws - hour_us]),
+                "cents": np.concatenate([cents, cents]),
+                "n": np.ones(2 * len(ws), dtype=np.int64),
+            }
+        )
+        agg = t.group_by("w").aggregate([("cents", "sum"), ("n", "sum")])
+        w = np.asarray(agg.column("w"), dtype=np.int64)
+        return pa.table(
+            {
+                "window_start": pc.cast(agg.column("w"), pa.timestamp("us")),
+                "n_events": agg.column("n_sum"),
+                "value_cents": agg.column("cents_sum"),
+                "bucket": (w // hour_us) % 64,
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("window_start", as_index=False)[
+            ["n_events", "value_cents"]
+        ].sum()
+        out["n_events"] = out.n_events.astype(np.int64)
+        out["value_cents"] = out.value_cents.astype(np.int64)
+        return out
+
+    return part.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+SQL_SLIDING_WINDOW = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) FROM events
+)
+SELECT window_start, COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM x GROUP BY window_start
+"""
+
+
+def q_events_rollup(sf_dir: str):
+    """Hierarchical (ROLLUP) aggregate: (event_type, hour-of-day),
+    per-event_type subtotals, and the grand total in one result —
+    sentinel-encoded ('ALL' / -1) instead of SQL NULLs so the driver's
+    hash compare is null-free.  The finest key space is bounded
+    (#event_types x 24), so in-task partials collapse each batch to
+    ≤120 rows and ONE single-group merge derives all three levels
+    vectorized."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+                "cents": pa.array(_cents(np.asarray(batch.column("value")))),
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        agg = t.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "hour": agg.column("hour"),
+                "cents": agg.column("cents_sum"),
+                "n": agg.column("n_sum"),
+                "bucket": np.zeros(agg.num_rows, dtype=np.int64),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        fine = g.groupby(["event_type", "hour"], as_index=False)[["n", "cents"]].sum()
+        lvl1 = fine.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+        lvl1["hour"] = -1
+        total = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "hour": [-1],
+                "n": [fine.n.sum()],
+                "cents": [fine.cents.sum()],
+            }
+        )
+        out = pd.concat([fine, lvl1, total], ignore_index=True)
+        out = out.rename(columns={"n": "n_events", "cents": "value_cents"})
+        out["hour"] = out.hour.astype(np.int64)
+        out["n_events"] = out.n_events.astype(np.int64)
+        out["value_cents"] = out.value_cents.astype(np.int64)
+        return out[["event_type", "hour", "n_events", "value_cents"]]
+
+    return part.groupby("bucket").map_groups(rollup, batch_format="pandas")
+
+
+SQL_EVENTS_ROLLUP = """
+WITH r AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         count(*) AS n, SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY ROLLUP(event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT))
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(hour, -1) AS hour,
+       CAST(n AS BIGINT) AS n_events, CAST(cents AS BIGINT) AS value_cents
+FROM r
+"""
+
+
+def q_length_outliers(sf_dir: str):
+    """Percentile-threshold filter (the 'drop the verbose tail'
+    curation gate): keep documents at or above their language's exact
+    p90 length.  Pass 1 reuses the bounded-histogram quantile operator
+    (only tiny histogram rows shuffle) and materializes ONE row per
+    language; the thresholds broadcast in the filter closure (a
+    #langs-sized dict — the LANG_ROUTES pattern) so pass 2 is a pure
+    streaming scan filter with no join shuffle."""
+    thr_rows = q_length_quantiles_per_lang(sf_dir).take_all()
+    thr = {r["lang"]: int(r["p90"]) for r in thr_rows}
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        th = batch.column("lang").to_pandas().map(thr).to_numpy()
+        keep = np.asarray(batch.column("n_chars")) >= th
+        if keep.all():
+            return batch
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH q AS (SELECT lang, quantile_disc(n_chars, 0.9) AS p90
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN q USING (lang)
+WHERE d.n_chars >= q.p90
+"""
+
+
+def q_embedding_stats(sf_dir: str):
+    """Exact per-vector stats over the list<float> embedding column —
+    the float-semantics pin for the vector family: DuckDB's
+    list_sum(list_transform(e, x -> x*x)) squares in FLOAT and
+    accumulates sequentially in DOUBLE, so the kernel squares the
+    zero-copy stacked float32 matrix and cumsums in float64 (pairwise
+    np.sum would NOT match bit-for-bit; verified 1000/1000 exact).
+    c0_bin multiplies by a power of two (exact in both engines).
+    Embarrassingly parallel — no shuffle."""
+    from rapidocr_ray.util import stack_list_column
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        m = stack_list_column(batch.column("embedding"), dtype=np.float32)
+        sq = (m * m).astype(np.float64)
+        norm2 = np.cumsum(sq, axis=1)[:, -1]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "norm_micro": np.floor(norm2 * 1e6).astype(np.int64),
+                "c0_bin": np.floor(m[:, 0].astype(np.float64) * 8.0).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_STATS = """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(floor(list_sum(list_transform(embedding, x -> x*x)) * 1000000) AS BIGINT) AS norm_micro,
+       CAST(floor(CAST(embedding[1] AS DOUBLE) * 8) AS BIGINT) AS c0_bin
+FROM embeddings
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2582,6 +2777,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "norm_dedup_groups": q_norm_dedup_groups,
     "event_funnel": q_event_funnel,
     "doc_salient_term": q_doc_salient_term,
+    "sliding_window": q_sliding_window,
+    "events_rollup": q_events_rollup,
+    "length_outliers": q_length_outliers,
+    "embedding_stats": q_embedding_stats,
     "dedup_exact": q_dedup_exact,
     "dup_groups": q_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2639,6 +2838,10 @@ ORACLE_SQL: dict[str, str] = {
     "norm_dedup_groups": SQL_NORM_DEDUP_GROUPS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "doc_salient_term": SQL_DOC_SALIENT_TERM,
+    "sliding_window": SQL_SLIDING_WINDOW,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "length_outliers": SQL_LENGTH_OUTLIERS,
+    "embedding_stats": SQL_EMBEDDING_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_dup_recall": SQL_SIMHASH_DUP_RECALL,

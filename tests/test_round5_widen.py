@@ -191,6 +191,94 @@ def test_widen_multibatch_partials_merge_exactly(ray_session, tmp_path):
     _compare(q.QUERIES["doc_salient_term"](d), _oracle(d, "doc_salient_term"))
 
 
+def _emb_dir(tmp_path, vecs, labels):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_sliding_window_double_assignment(ray_session, tmp_path):
+    """An event at 10:30 lands in BOTH the 10:00 and the 09:00 2-hour
+    hopping windows; counts and cents match the UNION-ALL oracle."""
+    rows = [
+        (0, "2024-01-01T10:30:00", 1, "view"),
+        (1, "2024-01-01T11:15:00", 1, "view"),
+    ]
+    d = _events_dir(tmp_path, rows)
+    df = _compare(
+        q.QUERIES["sliding_window"](d), _oracle(d, "sliding_window", tables=("events",))
+    )
+    counts = {str(r.window_start): int(r.n_events) for r in df.itertuples()}
+    assert counts == {
+        "2024-01-01 09:00:00": 1,
+        "2024-01-01 10:00:00": 2,
+        "2024-01-01 11:00:00": 1,
+    }
+
+
+def test_events_rollup_levels_consistent(ray_session, tmp_path):
+    """Sentinel-encoded ROLLUP: the grand total equals the sum of the
+    finest level, per-type subtotals equal their hour rows, and the
+    whole frame matches DuckDB's GROUP BY ROLLUP."""
+    rows = [
+        (0, "2024-01-01T10:30:00", 1, "view"),
+        (1, "2024-01-01T10:45:00", 1, "view"),
+        (2, "2024-01-01T11:00:00", 2, "purchase"),
+        (3, "2024-01-02T10:10:00", 3, "view"),
+    ]
+    d = _events_dir(tmp_path, rows)
+    df = _compare(
+        q.QUERIES["events_rollup"](d), _oracle(d, "events_rollup", tables=("events",))
+    )
+    total = df[(df.event_type == "ALL") & (df.hour == -1)]
+    fine = df[(df.event_type != "ALL") & (df.hour != -1)]
+    assert int(total.n_events.iloc[0]) == 4 == int(fine.n_events.sum())
+    view_sub = df[(df.event_type == "view") & (df.hour == -1)]
+    assert int(view_sub.n_events.iloc[0]) == 3
+
+
+def test_length_outliers_threshold_inclusive_per_lang(ray_session, tmp_path):
+    """The p90 gate is inclusive and per-language: a doc exactly at its
+    language's p90 survives; thresholds do not leak across languages."""
+    ids, texts, langs = [], [], []
+    i = 0
+    # quantile_disc(0.9) over 10 values picks sorted[8]
+    for ln in [10] * 8 + [100, 100]:  # en: p90 = 100
+        ids.append(i); texts.append("x" * ln); langs.append("en"); i += 1
+    for ln in [50] * 8 + [60, 60]:  # de: p90 = 60 (well under en's)
+        ids.append(i); texts.append("x" * ln); langs.append("de"); i += 1
+    d = _docs_dir(tmp_path, ids, texts, langs=langs)
+    df = _compare(q.QUERIES["length_outliers"](d), _oracle(d, "length_outliers"))
+    assert set(zip(df.lang, df.n_chars)) == {("en", 100), ("de", 60)}
+    assert len(df) == 4  # exactly the two docs at-or-above p90 per lang
+
+
+def test_embedding_stats_bit_exact_fuzz(ray_session, tmp_path):
+    """The sequential float64-over-float32-squares accumulation matches
+    DuckDB's list_sum semantics bit-for-bit over random vectors
+    (pairwise np.sum would not) — including negative first components
+    (floor toward -inf on both sides)."""
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(400, 64).astype(np.float32) * 3.0
+    labels = (np.arange(400) % 7).astype(np.int32)
+    d = _emb_dir(tmp_path, vecs, labels)
+    df = _compare(
+        q.QUERIES["embedding_stats"](d),
+        _oracle(d, "embedding_stats", tables=("embeddings",)),
+    )
+    assert (df.c0_bin < 0).any() and (df.c0_bin > 0).any()
+
+
 def test_widen_queries_match_duckdb_at_sf(ray_session):
     """All five new registry entries hash-match their oracles over the
     real sf0.001 tables (the driver-shaped comparison)."""
