@@ -359,6 +359,103 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("gif: no image data")
 
 
+def gif_frame_scan_sample(
+    data: bytes, every_k: int = 1
+) -> tuple[int, list["np.ndarray"]]:
+    """Animated-GIF temporal sampling: walk every block (descriptor +
+    sub-block SIZE hops — skipped frames are never LZW-decoded) and
+    decode every k-th frame to gray.  Honest compositing scope: sampled
+    frames must be full-canvas and opaque (the animation shape the
+    fixture muxer emits); partial-frame placement or transparency on a
+    SAMPLED frame raises a typed NotImplementedError — never a wrong
+    composite.  Structural corruption raises ValueError."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    transparent = None
+    idx_frame = 0
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                flags = data[pos + 1]
+                transparent = data[pos + 4] if flags & 1 else None
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            if pos >= len(data):
+                raise ValueError("gif: truncated extension")
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            try:
+                left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            except struct.error as exc:
+                raise ValueError(f"gif: truncated descriptor ({exc})") from exc
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    data[pos:pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if pos >= len(data):
+                raise ValueError("gif: truncated frame")
+            min_code = data[pos]
+            pos += 1
+            sampled = idx_frame % every_k == 0
+            chunks = [] if sampled else None
+            while pos < len(data) and data[pos] != 0:
+                size = data[pos]
+                if chunks is not None:
+                    chunks.append(data[pos + 1:pos + 1 + size])
+                pos += 1 + size
+            if pos >= len(data):
+                raise ValueError("gif: truncated pixel sub-blocks")
+            pos += 1
+            if sampled:
+                if (left, top, w, h) != (0, 0, sw, sh):
+                    raise NotImplementedError(
+                        "gif: partial-frame animation compositing unsupported"
+                    )
+                if transparent is not None:
+                    raise NotImplementedError(
+                        "gif: transparent animation compositing unsupported"
+                    )
+                if table is None:
+                    raise ValueError("gif: no color table")
+                idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+                if idx.size < w * h:
+                    raise ValueError("gif: truncated pixel data")
+                idx = idx[: w * h].reshape(h, w)
+                if ipacked & 0x40:
+                    deinter = np.empty_like(idx)
+                    order = np.concatenate(
+                        [np.arange(0, h, 8), np.arange(4, h, 8),
+                         np.arange(2, h, 4), np.arange(1, h, 2)]
+                    )
+                    deinter[order] = idx
+                    idx = deinter
+                frames.append(rgb_to_gray(table[np.minimum(idx, len(table) - 1)]))
+            transparent = None  # a GCE applies to the next image only
+            idx_frame += 1
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+    if idx_frame == 0:
+        raise ValueError("gif: no image data")
+    return idx_frame, frames
+
+
 def encode_gif(img: np.ndarray) -> bytes:
     """(h, w) grayscale uint8 -> GIF89a bytes with a 256-gray global
     palette and a standard growing-table LZW stream (table reset on
@@ -368,7 +465,37 @@ def encode_gif(img: np.ndarray) -> bytes:
     out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)]
     palette = np.repeat(np.arange(256, dtype=np.uint8), 3)
     out.append(palette.tobytes())
-    out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    out.append(_gif_frame_chunk(img))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Deterministic fixture muxer: same-shape (h, w) gray frames ->
+    an animated GIF89a (full-canvas opaque frames, per-frame GCE with
+    the delay, no NETSCAPE loop block) — the second real video
+    container next to AVI/MJPG; GIF is lossless so frame stats have
+    exact oracles."""
+    if not frames:
+        raise ValueError("gif: need at least one frame")
+    h, w = frames[0].shape
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)]
+    out.append(np.repeat(np.arange(256, dtype=np.uint8), 3).tobytes())
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("gif: animation frames must share the canvas size")
+        out.append(b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00")
+        out.append(_gif_frame_chunk(f))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def _gif_frame_chunk(img: np.ndarray) -> bytes:
+    """One full-canvas image descriptor + LZW-coded sub-blocks +
+    terminator (shared by the still encoder and the animation muxer)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    out = [b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)]
     min_code = 8
     out.append(bytes([min_code]))
     clear, eoi = 1 << min_code, (1 << min_code) + 1
@@ -417,7 +544,7 @@ def encode_gif(img: np.ndarray) -> bytes:
     for i in range(0, len(stream), 255):
         chunk = bytes(stream[i:i + 255])
         out.append(bytes([len(chunk)]) + chunk)
-    out.append(b"\x00\x3b")
+    out.append(b"\x00")
     return b"".join(out)
 
 
@@ -794,6 +921,101 @@ def decode_page_image(payload) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# G.711 mu-law / A-law (WAVE format tags 7 / 6) — decode tables built
+# once from the public ITU G.711 (Sun/CCITT reference) expansion
+# algorithm; decode is then a single vectorized table lookup per chunk
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = (0x84 - t) if u & 0x80 else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if a & 0x80 else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
+# MS ADPCM (WAVE format tag 2) — public Microsoft WAVE spec tables
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64,
+)
+
+
+def _trunc_div_256(x: np.ndarray) -> np.ndarray:
+    """C-style truncating /256 (toward zero) — the spec's pseudo-code
+    division; >>8 would floor negatives one off."""
+    return np.where(x >= 0, x >> 8, -((-x) >> 8))
+
+
+def _decode_ms_adpcm(raw: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """MS ADPCM 'data' chunk -> interleaved int16 frames (n_frames,
+    n_ch), vectorized across blocks.  Block layout per the Microsoft
+    WAVE spec: per channel 1-byte predictor index, int16 delta, int16
+    sample1, int16 sample2 (header 7*n_ch bytes), then 4-bit nibbles
+    high-first, round-robin across channels; output starts with
+    sample2 (older) then sample1."""
+    if n_ch not in (1, 2):
+        raise NotImplementedError(f"wav: {n_ch}-channel MS ADPCM unsupported")
+    if block_align <= 7 * n_ch:
+        raise ValueError(f"wav: bad MS ADPCM block_align {block_align}")
+    usable = (len(raw) // block_align) * block_align
+    if usable == 0:
+        raise ValueError("wav: MS ADPCM data shorter than one block")
+    blocks = np.frombuffer(raw[:usable], dtype=np.uint8).reshape(-1, block_align)
+    nb = len(blocks)
+
+    def i16(col: int) -> np.ndarray:
+        v = blocks[:, col].astype(np.int64) | (blocks[:, col + 1].astype(np.int64) << 8)
+        return np.where(v >= 32768, v - 65536, v)
+
+    pred_idx = [blocks[:, c].astype(np.int64) for c in range(n_ch)]
+    for p in pred_idx:
+        if (p >= 7).any():
+            raise ValueError("wav: MS ADPCM predictor index out of range")
+    delta = [i16(n_ch + 2 * c) for c in range(n_ch)]
+    s1 = [i16(3 * n_ch + 2 * c) for c in range(n_ch)]
+    s2 = [i16(5 * n_ch + 2 * c) for c in range(n_ch)]
+    body = blocks[:, 7 * n_ch:]
+    nib = np.empty((nb, body.shape[1] * 2), dtype=np.int64)
+    nib[:, 0::2] = body >> 4  # high nibble FIRST (spec)
+    nib[:, 1::2] = body & 0x0F
+    n_decoded = nib.shape[1] // n_ch
+    per_block = 2 + n_decoded
+    out = np.empty((nb, per_block, n_ch), dtype=np.int16)
+    c1 = [_MS_COEF1[p] for p in pred_idx]
+    c2 = [_MS_COEF2[p] for p in pred_idx]
+    for c in range(n_ch):
+        out[:, 0, c] = s2[c].astype(np.int16)
+        out[:, 1, c] = s1[c].astype(np.int16)
+    for t in range(n_decoded):
+        c = t % n_ch
+        n = nib[:, t]
+        pred = _trunc_div_256(s1[c] * c1[c] + s2[c] * c2[c])
+        signed = np.where(n < 8, n, n - 16)
+        samp = np.clip(pred + signed * delta[c], -32768, 32767)
+        s2[c] = s1[c]
+        s1[c] = samp
+        delta[c] = np.maximum(16, _trunc_div_256(_MS_ADAPT[n] * delta[c]))
+        out[:, 2 + t // n_ch, c] = samp.astype(np.int16)
+    return out.reshape(-1, n_ch)
+
+
 # IMA/DVI ADPCM (WAVE format tag 0x11) — public IMA spec tables
 _IMA_STEP = np.array(
     [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
@@ -909,10 +1131,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
             raise NotImplementedError(f"wav: {bits}-bit PCM unsupported (8/16/32)")
     elif tag == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
-    elif tag == 0x11:  # IMA/DVI ADPCM
+    elif tag in (6, 7):  # G.711 A-law / mu-law
+        if bits not in (0, 8):
+            raise NotImplementedError(f"wav: G.711 with {bits}-bit samples unsupported")
+        table = _ALAW_TABLE if tag == 6 else _ULAW_TABLE
+        x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float32) / 32768.0
+    elif tag in (2, 0x11):  # MS ADPCM / IMA-DVI ADPCM
         if bits != 4:
-            raise NotImplementedError(f"wav: IMA ADPCM with {bits}-bit samples unsupported")
-        frames = _decode_ima_adpcm(raw, max(1, n_ch), block_align)
+            raise NotImplementedError(
+                f"wav: {'MS' if tag == 2 else 'IMA'} ADPCM with {bits}-bit samples unsupported"
+            )
+        dec = _decode_ms_adpcm if tag == 2 else _decode_ima_adpcm
+        frames = dec(raw, max(1, n_ch), block_align)
         if n_fact_frames is not None:
             frames = frames[:n_fact_frames]
         x = frames.astype(np.float32).reshape(-1) / 32768.0

@@ -2082,6 +2082,48 @@ FROM documents
 """
 
 
+def q_gif_frame_stats(sf_dir: str):
+    """Second real-container video query: per-doc animated GIFs
+    (1 + doc_id%3 constant 16x16 frames) sampled every-2nd through the
+    FrameSampleStage; GIF is LOSSLESS so the DuckDB oracle re-derives
+    the sampled ink exactly from doc_id (skipped frames are walked by
+    sub-block size hops, never LZW-decoded)."""
+    from rapidocr_ray.functions import codecs as codecs_mod
+    from rapidocr_ray.stages.multimodal import frame_stats_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            frames = [
+                np.full((16, 16), (d * 13 + f * 29) % 256, dtype=np.uint8)
+                for f in range(1 + d % 3)
+            ]
+            payloads.append(codecs_mod.encode_gif_animation(frames))
+        return pa.table(
+            {"doc_id": ids, "video": pa.array(payloads, type=pa.binary())}
+        )
+
+    vids = ds.map_batches(synth, batch_format="pyarrow")
+    out = frame_stats_pipeline(vids, payload_col="video", every_k=2)
+    return out.select_columns(["doc_id", "n_frames", "n_sampled", "ink_sampled"])
+
+
+SQL_GIF_FRAME_STATS = """
+SELECT doc_id,
+       (1 + doc_id % 3) AS n_frames,
+       CAST(ceil((1 + doc_id % 3) / 2.0) AS BIGINT) AS n_sampled,
+       CAST(list_sum(list_transform(range(0, 1 + doc_id % 3),
+            f -> CASE WHEN f % 2 = 0
+                      THEN 256 * ((doc_id * 13 + f * 29) % 256)
+                      ELSE 0 END)) AS BIGINT) AS ink_sampled
+FROM documents
+"""
+
+
 def q_audio_features(sf_dir: str):
     """Audio-path plumbing with a hash-checked oracle: deterministic
     16-bit PCM square waves (amplitude 2^(9 + doc_id%4) counts, length
@@ -2796,6 +2838,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
     "avi_frame_stats": q_avi_frame_stats,
+    "gif_frame_stats": q_gif_frame_stats,
     "webp_metadata": q_webp_metadata,
     "audio_features": q_audio_features,
     "image_features": q_image_features,
@@ -2852,6 +2895,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "avi_frame_stats": SQL_AVI_FRAME_STATS,
+    "gif_frame_stats": SQL_GIF_FRAME_STATS,
     "webp_metadata": SQL_WEBP_METADATA,
     "audio_features": SQL_AUDIO_FEATURES,
     "image_features": SQL_IMAGE_FEATURES,

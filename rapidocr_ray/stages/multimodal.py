@@ -34,7 +34,11 @@ import pyarrow as pa
 # on the worker and fail when the driver's CWD is not the repo.
 from rapidocr_ray import glyphs
 from rapidocr_ray.functions.avi import avi_frame_scan_sample, is_avi
-from rapidocr_ray.functions.codecs import decode_page_image, decode_wav
+from rapidocr_ray.functions.codecs import (
+    decode_page_image,
+    decode_wav,
+    gif_frame_scan_sample,
+)
 from rapidocr_ray.glyphs import decode_rbmp, is_rbmp
 from rapidocr_ray.util import ensure_worker_importable
 
@@ -392,6 +396,11 @@ def frame_scan_sample(
         # (module-level import — a call-time absolute import would fail
         # inside by-value workers launched from a non-repo CWD)
         return avi_frame_scan_sample(payload, every_k=every_k, _decode=_decode)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF: sub-block size hops skip unsampled frames;
+        # partial/transparent animation frames are typed errors
+        # (module-level import, same by-value-worker rule as avi)
+        return gif_frame_scan_sample(payload, every_k=every_k)
     if not is_rbmp(payload):
         raise NotImplementedError(
             "video codec unavailable (only RBMP and AVI/MJPG streams decode)"

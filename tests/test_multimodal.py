@@ -91,16 +91,16 @@ def test_wav_typed_errors():
 
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not audio")
-    # valid RIFF/WAVE but ADPCM (tag 2): typed stub
+    # valid RIFF/WAVE but an mp3-in-RIFF tag (0x55): typed stub
     import struct as _s
 
-    fmt = _s.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    fmt = _s.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)
     body = (
         b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
         + b"data" + _s.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
     data = b"RIFF" + _s.pack("<I", len(body)) + body
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    with pytest.raises(NotImplementedError, match="format tag 85"):
         decode_wav(data)
 
 
@@ -293,6 +293,114 @@ def _tile_frames(n, seed=0):
     return frames
 
 
+def test_g711_decode_reference_values_and_roundtrip():
+    """mu-law / A-law (WAVE tags 7/6): decode tables match the
+    published G.711 reference points (mu 0xFF -> 0, full-scale
+    +/-32124; A-law 0xD5 -> 8, full-scale +/-32256), codes are
+    sign-symmetric, and a wav container decodes through the table."""
+    from rapidocr_ray.functions.codecs import _ALAW_TABLE, _ULAW_TABLE, decode_wav
+
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x00] == -32124
+    assert _ULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x2A] == -32256
+    for b in range(256):
+        assert _ULAW_TABLE[b] == -_ULAW_TABLE[b ^ 0x80]
+        assert _ALAW_TABLE[b] == -_ALAW_TABLE[b ^ 0x80]
+    codes = bytes(range(256))
+    mono, rate, n_ch = decode_wav(_wav_container(7, 1, 8000, 1, 8, codes))
+    assert rate == 8000 and n_ch == 1
+    assert np.array_equal(
+        np.round(mono * 32768.0).astype(np.int16), _ULAW_TABLE[np.arange(256)]
+    )
+    mono_a, _, _ = decode_wav(_wav_container(6, 1, 8000, 1, 8, codes))
+    assert np.array_equal(
+        np.round(mono_a * 32768.0).astype(np.int16), _ALAW_TABLE[np.arange(256)]
+    )
+
+
+def _ms_ref_decode_mono(raw, block_align):
+    """Scalar reference MS ADPCM decoder (spec pseudo-code, independent
+    of the vectorized implementation)."""
+    import struct as _s
+
+    from rapidocr_ray.functions.codecs import _MS_ADAPT, _MS_COEF1, _MS_COEF2
+
+    def trunc256(x):
+        return x // 256 if x >= 0 else -((-x) // 256)
+
+    out = []
+    for b0 in range(0, len(raw) - len(raw) % block_align, block_align):
+        blk = raw[b0:b0 + block_align]
+        pred = blk[0]
+        delta, s1, s2 = _s.unpack_from("<hhh", blk, 1)
+        c1, c2 = int(_MS_COEF1[pred]), int(_MS_COEF2[pred])
+        out += [s2, s1]
+        for byte in blk[7:]:
+            for n in (byte >> 4, byte & 0x0F):
+                p = trunc256(s1 * c1 + s2 * c2)
+                signed = n if n < 8 else n - 16
+                samp = max(-32768, min(32767, p + signed * delta))
+                s2, s1 = s1, samp
+                delta = max(16, trunc256(int(_MS_ADAPT[n]) * delta))
+                out.append(samp)
+    return np.array(out, dtype=np.int16)
+
+
+def test_ms_adpcm_mono_bit_exact_vs_scalar_reference():
+    """MS ADPCM (tag 2 — previously the named stub): the vectorized
+    decoder matches the scalar spec reference bit-for-bit over multiple
+    blocks encoded with a simple predictor-0 quantizer."""
+    import struct as _s
+
+    from rapidocr_ray.functions.codecs import _MS_ADAPT, decode_wav
+
+    def trunc256(x):
+        return x // 256 if x >= 0 else -((-x) // 256)
+
+    rng = np.random.RandomState(13)
+    block_align = 32  # 2 + 50 samples per block
+    per_block = 2 + (block_align - 7) * 2
+    sig = (
+        7000 * np.sin(2 * np.pi * np.arange(per_block * 4) / 60)
+        + rng.randint(-300, 300, per_block * 4)
+    ).astype(np.int16)
+    data = bytearray()
+    for b0 in range(0, len(sig), per_block):
+        blk = sig[b0:b0 + per_block]
+        s2, s1 = int(blk[0]), int(blk[1])
+        delta = 128
+        data += _s.pack("<Bhhh", 0, delta, s1, s2)  # predictor 0: coef 256/0
+        nibs = []
+        for s in blk[2:]:
+            p = trunc256(s1 * 256)
+            n = max(-8, min(7, int(round((int(s) - p) / delta)))) & 0x0F
+            signed = n if n < 8 else n - 16
+            samp = max(-32768, min(32767, p + signed * delta))
+            s2, s1 = s1, samp
+            delta = max(16, trunc256(int(_MS_ADAPT[n]) * delta))
+            nibs.append(n)
+        for i in range(0, len(nibs), 2):
+            data.append((nibs[i] << 4) | nibs[i + 1])
+    wav = _wav_container(2, 1, 8000, block_align, 4, bytes(data))
+    mono, rate, n_ch = decode_wav(wav)
+    got = np.round(mono * 32768.0).astype(np.int16)
+    ref = _ms_ref_decode_mono(bytes(data), block_align)
+    assert np.array_equal(got, ref)
+    # the predictor-0 quantizer tracks the signal reasonably
+    assert np.abs(got.astype(np.int32) - sig.astype(np.int32)).max() < 4000
+
+
+def test_ms_adpcm_typed_errors():
+    from rapidocr_ray.functions.codecs import decode_wav
+
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav(_wav_container(2, 1, 8000, 7, 4, b"\x00" * 14))
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav(_wav_container(2, 1, 8000, 32, 4, b"\x09" + b"\x00" * 31))
+    with pytest.raises(NotImplementedError, match="MS ADPCM with 8-bit"):
+        decode_wav(_wav_container(2, 1, 8000, 32, 8, b"\x00" * 32))
+
+
 def test_avi_mjpeg_roundtrip_and_sampling():
     """Mux -> demux: block-constant frames at quality=100 round-trip
     bit-exactly; every-k sampling decodes exactly the sampled indices."""
@@ -396,6 +504,59 @@ def test_avi_odd_size_frame_alignment():
         assert total == 5 and len(sampled) == 5
         for s, f in zip(sampled, frames):
             assert s.shape == f.shape
+
+
+def test_gif_animation_sampling_lossless():
+    """Animated GIF: exact (lossless) frame round-trip, every-k
+    sampling, and skipped frames never reach the LZW decoder."""
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(4)
+    frames = [rng.randint(0, 256, (24, 18), dtype=np.uint8) for _ in range(6)]
+    anim = codecs.encode_gif_animation(frames)
+    total, sampled = codecs.gif_frame_scan_sample(anim, every_k=2)
+    assert total == 6 and len(sampled) == 3
+    for i, s in enumerate(sampled):
+        assert np.array_equal(s, frames[2 * i])
+    # decode_gif (image path) still returns the FIRST frame
+    assert np.array_equal(codecs.decode_gif(anim), frames[0])
+    # skipped frames: the LZW decoder runs only for sampled indices
+    calls = []
+    orig = codecs._gif_lzw_decode
+    codecs._gif_lzw_decode = lambda *a: (calls.append(1), orig(*a))[1]
+    try:
+        codecs.gif_frame_scan_sample(anim, every_k=3)
+    finally:
+        codecs._gif_lzw_decode = orig
+    assert len(calls) == 2
+
+
+def test_gif_animation_typed_errors():
+    """Sampled partial-placement or transparent frames raise the named
+    compositing stub; structural truncation raises ValueError."""
+    import struct as _s
+
+    from rapidocr_ray.functions import codecs
+
+    frames = [np.full((8, 8), 100, dtype=np.uint8) for _ in range(2)]
+    anim = codecs.encode_gif_animation(frames)
+    # shift the second frame's descriptor to a partial placement
+    desc2 = anim.rindex(b"\x2c")
+    partial = bytearray(anim)
+    partial[desc2 + 1:desc2 + 3] = _s.pack("<H", 2)  # left=2
+    with pytest.raises(NotImplementedError, match="partial-frame"):
+        codecs.gif_frame_scan_sample(bytes(partial), every_k=1)
+    # but with every_k=2 the partial frame is skipped -> no error
+    total, sampled = codecs.gif_frame_scan_sample(bytes(partial), every_k=2)
+    assert total == 2 and len(sampled) == 1
+    # transparency flag on a sampled frame
+    gce = anim.index(b"\x21\xf9\x04")
+    trans = bytearray(anim)
+    trans[gce + 3] = 1  # transparent-color flag
+    with pytest.raises(NotImplementedError, match="transparent"):
+        codecs.gif_frame_scan_sample(bytes(trans), every_k=1)
+    with pytest.raises(ValueError):
+        codecs.gif_frame_scan_sample(anim[:-12], every_k=1)
 
 
 def test_audio_feature_pipeline(ray_session):
