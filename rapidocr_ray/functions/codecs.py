@@ -668,30 +668,129 @@ def _tiff_tag_values(data: bytes, endian: str, type_: int, count: int, raw: byte
     return list(struct.unpack(endian + fmt * count, payload))
 
 
+def _tiff_lzw_decode(raw: bytes, expected: int) -> np.ndarray:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, Clear=256, EOI=257,
+    code width 9→12 with EarlyChange (width bumps one code early, when
+    the table reaches 2^width - 1 entries)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    acc = bits = 0
+    width = 9
+    prev: bytes | None = None
+    pos = 0
+    n = len(raw)
+    while len(out) < expected:
+        while bits < width and pos < n:
+            acc = (acc << 8) | raw[pos]
+            pos += 1
+            bits += 8
+        if bits < width:
+            break
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == 256:  # Clear
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("tiff: corrupt LZW stream")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("tiff: corrupt LZW stream")
+        out += entry
+        prev = entry
+        # EarlyChange: the writer's next_code runs one ahead of this
+        # table (it assigns after the FIRST post-clear code too), so
+        # the read width bumps when len+1 hits 2^width - 1
+        if len(table) + 1 == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("tiff: LZW strip too short")
+    return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Mirror writer for fixtures: same EarlyChange width schedule, a
+    Clear whenever the table fills."""
+    out = bytearray()
+    acc = bits = 0
+    width = 9
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    buf = b""
+    for i in range(len(data)):
+        cand = buf + data[i:i + 1]
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        buf = data[i:i + 1]
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        if next_code == 4094:  # table full: restart
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if buf:
+        emit(table[buf])
+    emit(257)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Baseline TIFF bytes -> (h, w) grayscale uint8.
 
-    Supports: uncompressed (1) and PackBits (32773) strips; 1- and
-    8-bit samples; photometric WhiteIsZero/BlackIsZero/RGB/Palette;
-    RGBA flattened on white like every other codec here (reference's
-    cvt_four_to_three, utils.py:133-145).  Tiles, LZW/JPEG/deflate
-    compression and 16-bit samples raise typed NotImplementedError —
-    the crawl-triage contract (named error counts per container
-    feature) rather than a generic 'unrecognized payload'."""
+    Supports: uncompressed (1), LZW (5, incl. the horizontal-
+    differencing Predictor=2), Deflate (8/32946, via zlib) and
+    PackBits (32773) strips; 1- and 8-bit samples; photometric
+    WhiteIsZero/BlackIsZero/RGB/Palette; RGBA flattened on white like
+    every other codec here (reference's cvt_four_to_three,
+    utils.py:133-145).  Tiles, JPEG-in-TIFF and 16-bit samples raise
+    typed NotImplementedError — the crawl-triage contract (named error
+    counts per container feature) rather than a generic 'unrecognized
+    payload'."""
     if data[:4] not in TIFF_MAGICS:
         raise ValueError("tiff: bad magic")
     endian = "<" if data[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
     if ifd_off + 2 > len(data):
         raise ValueError("tiff: IFD offset out of range")
-    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
-    tags: dict[int, list] = {}
-    for e in range(n_entries):
-        base = ifd_off + 2 + 12 * e
-        tag, type_, count = struct.unpack_from(endian + "HHI", data, base)
-        tags[tag] = _tiff_tag_values(
-            data, endian, type_, count, data[base + 8:base + 12]
-        )
+    try:
+        (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+        tags: dict[int, list] = {}
+        for e in range(n_entries):
+            base = ifd_off + 2 + 12 * e
+            tag, type_, count = struct.unpack_from(endian + "HHI", data, base)
+            tags[tag] = _tiff_tag_values(
+                data, endian, type_, count, data[base + 8:base + 12]
+            )
+    except struct.error as exc:  # truncated IFD: typed contract
+        raise ValueError(f"tiff: truncated IFD ({exc})") from exc
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiff: tiled layout unsupported (strips only)")
     try:
@@ -706,10 +805,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1] * spp)
     rows_per_strip = tags.get(278, [h])[0] or h
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"tiff: compression {compression} unsupported (none/PackBits only)"
+            f"tiff: compression {compression} unsupported (none/LZW/Deflate/PackBits)"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"tiff: predictor {predictor} unsupported")
     if any(b != bits[0] for b in bits):
         raise NotImplementedError("tiff: mixed bits-per-sample unsupported")
     depth = bits[0]
@@ -733,6 +835,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if strip.size < rows * stride:
                 raise ValueError("tiff: uncompressed strip too short")
             strip = strip[: rows * stride]
+        elif compression == 5:
+            strip = _tiff_lzw_decode(raw, rows * stride)
+        elif compression in (8, 32946):
+            try:
+                inflated = zlib.decompress(bytes(raw))
+            except zlib.error as exc:
+                raise ValueError(f"tiff: corrupt deflate strip ({exc})") from exc
+            if len(inflated) < rows * stride:
+                raise ValueError("tiff: deflate strip too short")
+            strip = np.frombuffer(inflated[: rows * stride], dtype=np.uint8)
         else:
             strip = _packbits_decode(raw, rows * stride)
         chunks.append(strip)
@@ -740,6 +852,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("tiff: strips cover fewer rows than ImageLength")
     flat = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
     rows_bytes = flat.reshape(h, stride)
+    if predictor == 2:
+        if depth != 8:
+            raise NotImplementedError("tiff: predictor 2 needs 8-bit samples")
+        # horizontal differencing: undo per row per sample channel
+        # (mod-256 prefix sum — vectorized over the whole image)
+        px = rows_bytes[:, : w * spp].reshape(h, w, spp)
+        rows_bytes = rows_bytes.copy()
+        rows_bytes[:, : w * spp] = (
+            np.cumsum(px, axis=1, dtype=np.uint64) % 256
+        ).astype(np.uint8).reshape(h, w * spp)
     if depth == 1:
         bits_arr = np.unpackbits(rows_bytes, axis=1)[:, :w]
         gray = (bits_arr * np.uint8(255)).astype(np.uint8)
@@ -773,11 +895,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 
 def encode_tiff(
-    img: np.ndarray, compression: str = "none", photometric: int | None = None
+    img: np.ndarray,
+    compression: str = "none",
+    photometric: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 -> little-endian strip TIFF
     (test/debug writer; one strip per 64 rows so multi-strip reads and
-    PackBits row restarts are exercised)."""
+    PackBits row restarts are exercised).  compression: "none",
+    "packbits", "lzw" or "deflate"; predictor=2 applies horizontal
+    differencing (lzw/deflate only, per spec usage)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         spp = 1
@@ -789,12 +916,25 @@ def encode_tiff(
         raise ValueError("encode_tiff: expected (h,w) or (h,w,3|4) uint8")
     h, w = img.shape[:2]
     flat_rows = img.reshape(h, w * spp)
+    if predictor == 2:
+        if compression not in ("lzw", "deflate"):
+            raise ValueError("encode_tiff: predictor 2 needs lzw/deflate")
+        px = flat_rows.reshape(h, w, spp).astype(np.int16)
+        diff = px.copy()
+        diff[:, 1:] = px[:, 1:] - px[:, :-1]
+        flat_rows = (diff % 256).astype(np.uint8).reshape(h, w * spp)
+    elif predictor != 1:
+        raise ValueError(f"encode_tiff: unknown predictor {predictor}")
     rows_per_strip = 64
     strips = []
     for y0 in range(0, h, rows_per_strip):
         chunk = flat_rows[y0:y0 + rows_per_strip]
         if compression == "none":
             strips.append(chunk.tobytes())
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(chunk.tobytes()))
+        elif compression == "deflate":
+            strips.append(zlib.compress(chunk.tobytes(), 6))
         elif compression == "packbits":
             enc = bytearray()
             for row in chunk:  # restart per row, per spec
@@ -822,7 +962,7 @@ def encode_tiff(
             strips.append(bytes(enc))
         else:
             raise ValueError(f"encode_tiff: unknown compression {compression!r}")
-    comp_tag = 1 if compression == "none" else 32773
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
 
     def entry(tag: int, type_: int, values: list[int]) -> tuple[bytes, bytes]:
         sizes = {3: 2, 4: 4}
@@ -855,6 +995,8 @@ def encode_tiff(
         (278, 4, [rows_per_strip]),
         (279, 4, [len(s) for s in strips]),
     ]
+    if predictor == 2:
+        fields.append((317, 3, [2]))
     n = len(fields)
     overflow_base = ifd_off + 2 + 12 * n + 4
     entries = []

@@ -31,7 +31,7 @@ from rapidocr_ray.stages.cascade import (
     TextRecognizer,
     apply_most_angle,
 )
-from rapidocr_ray.stages.ray_stages import FINAL_SCHEMA, sniff_route
+from rapidocr_ray.stages.ray_stages import FINAL_SCHEMA, maybe_gunzip, sniff_route
 from rapidocr_ray.state.models import ModelRegistry
 
 
@@ -55,6 +55,10 @@ class OracleExtractor:
             "n_spans": 0, "spans": "[]",
             "det_elapse": None, "cls_elapse": None, "rec_elapse": None,
         }
+        payload, gz_err = maybe_gunzip(payload, g.max_payload_bytes)
+        if gz_err is not None:
+            row.update(route="error", err=gz_err)
+            return row
         route, err = sniff_route(payload)
         max_bytes = g.max_payload_bytes
         if payload is not None and len(payload) > max_bytes:

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import struct
 import time
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -102,6 +103,32 @@ def _blank_row() -> dict:
 def rows_to_table(rows: list[dict], schema: pa.Schema = UNIFIED_SCHEMA) -> pa.Table:
     cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
     return pa.table(cols, schema=schema)
+
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def maybe_gunzip(
+    payload: bytes | None, max_bytes: int
+) -> tuple[bytes | None, str | None]:
+    """Transparent content-encoding layer shared by the Ray stage and
+    the oracle: gzip-wrapped crawl payloads (1f 8b — Common-Crawl
+    bodies frequently arrive Content-Encoding: gzip) decompress BEFORE
+    routing, bounded by max_payload_bytes so a decompression bomb
+    becomes a typed error row, never a worker OOM.  Non-gzip payloads
+    pass through untouched."""
+    if payload is None or bytes(payload[:2]) != GZIP_MAGIC:
+        return payload, None
+    d = zlib.decompressobj(wbits=31)
+    try:
+        out = d.decompress(bytes(payload), max_bytes + 1)
+    except zlib.error as exc:
+        return None, f"corrupt gzip payload ({exc})"
+    if len(out) > max_bytes:
+        return None, f"decompressed payload exceeds max_payload_bytes ({max_bytes})"
+    if not d.eof:
+        return None, "corrupt gzip payload (truncated stream)"
+    return out, None
 
 
 def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
@@ -238,7 +265,29 @@ class DecodeRouteExtract:
         payloads = batch.column("html").combine_chunks()
         max_bytes = self.cfg.Global.max_payload_bytes
 
+        # transparent gzip layer: only batches that actually contain
+        # gzip rows pay the row materialization (the invalid-utf-8
+        # fallback pattern); inner payloads then route normally
+        gz_errs: dict[int, str] = {}
+        gz_flag = pc.fill_null(
+            pc.equal(
+                pc.binary_slice(payloads, 0, 2),
+                pa.scalar(GZIP_MAGIC, type=pa.binary()),
+            ),
+            False,
+        ).to_numpy(zero_copy_only=False)
+        if gz_flag.any():
+            vals = payloads.to_pylist()
+            for i in np.flatnonzero(gz_flag):
+                vals[i], err = maybe_gunzip(vals[i], max_bytes)
+                if err is not None:
+                    gz_errs[int(i)] = err
+            payloads = pa.array(vals, type=pa.binary())
+
         routes, errs = sniff_routes_batch(payloads)
+        for i, err in gz_errs.items():
+            routes[i] = "error"
+            errs[i] = err
         # skew guard: an oversized blob would monopolize a cascade
         # actor; surface it as a typed error row (overrides the sniff)
         lengths = pc.fill_null(pc.binary_length(payloads), 0).to_numpy(

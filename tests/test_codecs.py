@@ -523,3 +523,55 @@ def test_truncated_containers_raise_value_error():
         decode_wav(
             b"RIFF\x10\x00\x00\x00WAVE" + b"fmt " + b"\x02\x00\x00\x00" + b"\x01\x00"
         )  # 2-byte fmt chunk
+
+
+def test_tiff_lzw_stream_roundtrip_across_width_boundaries():
+    """TIFF 6.0 LZW with EarlyChange: round-trips across every code
+    width bump (511/1023/2047) and through table-full clears, on
+    low-entropy, high-entropy, run and periodic inputs."""
+    import numpy as np
+
+    from rapidocr_ray.functions.codecs import _tiff_lzw_decode, _tiff_lzw_encode
+
+    rng = np.random.RandomState(0)
+    cases = [bytes(rng.randint(0, 8, n, dtype=np.uint8)) for n in (10, 700, 6000, 70000)]
+    cases += [bytes(rng.randint(0, 256, n, dtype=np.uint8)) for n in (5000, 50000)]
+    cases += [b"A" * 10000, bytes(range(256)) * 100, b"ab" * 5000, b""]
+    for data in cases:
+        got = bytes(_tiff_lzw_decode(_tiff_lzw_encode(data), len(data)))
+        assert got == data
+
+
+def test_tiff_lzw_deflate_predictor_decode_paths():
+    """LZW (5) and Deflate (8) strips with and without the horizontal
+    predictor decode to the same pixels as the uncompressed writer;
+    the predictor genuinely shrinks smooth gradients; truncated and
+    corrupt streams raise typed ValueError."""
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(1)
+    for shape in [(100, 77), (65, 130, 3)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        want = codecs.decode_tiff(codecs.encode_tiff(img, "none"))
+        for comp in ("lzw", "deflate"):
+            for pred in (1, 2):
+                out = codecs.decode_tiff(codecs.encode_tiff(img, comp, predictor=pred))
+                assert np.array_equal(out, want), (shape, comp, pred)
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 4))
+    assert len(codecs.encode_tiff(grad, "lzw", predictor=2)) < len(
+        codecs.encode_tiff(grad, "lzw", predictor=1)
+    )
+    good = codecs.encode_tiff(grad, "lzw")
+    with pytest.raises(ValueError):  # truncated IFD stays typed
+        codecs.decode_tiff(good[:-40])
+    with pytest.raises(ValueError, match="LZW"):  # truncated LZW strip
+        from rapidocr_ray.functions.codecs import _tiff_lzw_decode, _tiff_lzw_encode
+
+        _tiff_lzw_decode(_tiff_lzw_encode(b"hello world" * 50)[:-20], 550)
+    defl = bytearray(codecs.encode_tiff(grad, "deflate"))
+    defl[20] ^= 0xFF  # corrupt a strip byte
+    with pytest.raises(ValueError):
+        codecs.decode_tiff(bytes(defl))

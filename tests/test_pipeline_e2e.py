@@ -181,6 +181,8 @@ def test_real_container_pages_match_rbmp(ray_session):
         "jpg": encode_jpeg(img, quality=95),
         "jpg-prog": encode_jpeg_progressive(img, quality=95),
         "tiff": encode_tiff(img, compression="packbits"),
+        "tiff-lzw": encode_tiff(img, compression="lzw", predictor=2),
+        "tiff-defl": encode_tiff(img, compression="deflate"),
         "webpl": encode_webp(img),
         "jpeg": b"\xff\xd8\xff\xe0fake-jpeg",  # truncated -> error row
         "webp": b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 24,  # lossy: named stub
@@ -201,12 +203,74 @@ def test_real_container_pages_match_rbmp(ray_session):
     by_url = got.set_index("url")
     expected = by_url.loc["https://t/rbmp", "extracted_text"]
     assert expected == "container codec line"
-    for k in ("png", "gif", "bmp", "jpg", "jpg-prog", "tiff", "webpl"):
+    for k in ("png", "gif", "bmp", "jpg", "jpg-prog", "tiff", "tiff-lzw", "tiff-defl", "webpl"):
         assert by_url.loc[f"https://t/{k}", "extracted_text"] == expected, k
         assert by_url.loc[f"https://t/{k}", "route"] == "bitmap"
     assert by_url.loc["https://t/jpeg", "route"] == "error"
     assert "jpeg" in by_url.loc["https://t/jpeg", "err"]
     assert "webp" in by_url.loc["https://t/webp", "err"]
+
+
+def test_gzip_payloads_transparent(ray_session):
+    """Content-Encoding layer parity: gzip-wrapped HTML and image
+    payloads extract byte-identically to their raw twins through BOTH
+    the Ray pipeline and the oracle; corrupt gzip and a decompression
+    bomb become typed error rows on both sides."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from rapidocr_ray.config import PipelineConfig
+    from rapidocr_ray.functions.codecs import encode_png
+    from rapidocr_ray.glyphs import render_page
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+
+    html = (
+        b"<html><body><div><p>"
+        + b"gzip transparent body text with enough words to win scoring. " * 4
+        + b"</p></div><div><a href='/x'>nav</a></div></body></html>"
+    )
+    img = render_page(["gzip bitmap line"], margin=12)
+    png = encode_png(img)
+    cfg = PipelineConfig.from_dict({"Global": {"max_payload_bytes": 200_000}})
+    bomb = _gzip.compress(b"\x00" * 1_000_000)  # inflates past the cap
+    now = 1_700_000_000_000_000
+    payloads = {
+        "html-raw": html,
+        "html-gz": _gzip.compress(html),
+        "png-raw": png,
+        "png-gz": _gzip.compress(png),
+        "gz-corrupt": b"\x1f\x8b\x08\x00garbage-not-deflate",
+        "gz-bomb": bomb,
+    }
+    pages = pa.table(
+        {
+            "url": [f"https://gz/{k}" for k in payloads],
+            "warc_ts": pa.array([now] * len(payloads), type=pa.timestamp("us")),
+            "html": list(payloads.values()),
+            "text": [None] * len(payloads),
+            "lang": ["en"] * len(payloads),
+        }
+    )
+    got = _to_sorted_pandas(extract_pages_table(pages, dedup=False, cfg=cfg).to_pandas())
+    want = _to_sorted_pandas(OracleExtractor(cfg).run(pages))
+    for col in COMPARE_COLS:
+        assert got[col].fillna("x").tolist() == want[col].fillna("x").tolist(), col
+    by_url = got.set_index("url")
+    assert (
+        by_url.loc["https://gz/html-gz", "extracted_text"]
+        == by_url.loc["https://gz/html-raw", "extracted_text"]
+    )
+    assert by_url.loc["https://gz/html-gz", "route"] == "html"
+    assert (
+        by_url.loc["https://gz/png-gz", "extracted_text"]
+        == by_url.loc["https://gz/png-raw", "extracted_text"]
+        == "gzip bitmap line"
+    )
+    assert by_url.loc["https://gz/gz-corrupt", "route"] == "error"
+    assert "gzip" in by_url.loc["https://gz/gz-corrupt", "err"]
+    assert by_url.loc["https://gz/gz-bomb", "route"] == "error"
+    assert "max_payload_bytes" in by_url.loc["https://gz/gz-bomb", "err"]
 
 
 def test_dedup_empty_winners_files_falls_back(ray_session):

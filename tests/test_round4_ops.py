@@ -65,7 +65,8 @@ def test_tiff_dispatches_via_decode_page_image():
 def test_tiff_typed_errors():
     g = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(encode_tiff(g))
-    # flip the Compression tag value (tag 259, inline SHORT) to LZW (5)
+    # flip the Compression tag value (tag 259, inline SHORT) to
+    # JPEG-in-TIFF (7) — LZW/Deflate decode for real since round 5
     import struct
 
     (ifd_off,) = struct.unpack_from("<I", data, 4)
@@ -74,8 +75,8 @@ def test_tiff_typed_errors():
         base = ifd_off + 2 + 12 * e
         (tag,) = struct.unpack_from("<H", data, base)
         if tag == 259:
-            struct.pack_into("<H", data, base + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            struct.pack_into("<H", data, base + 8, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(data))
     with pytest.raises(ValueError):
         decode_tiff(b"II*\x00" + b"\xff" * 16)
