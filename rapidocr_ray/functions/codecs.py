@@ -566,17 +566,27 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError("bmp: BITMAPCOREHEADER unsupported")
     w, h_raw = struct.unpack_from("<ii", data, 18)
     bpp, comp = struct.unpack_from("<HI", data, 28)[0], struct.unpack_from("<I", data, 30)[0]
-    if comp != 0:
-        raise NotImplementedError(f"bmp: compression {comp} unsupported (BI_RGB only)")
+    if comp not in (0, 1):
+        raise NotImplementedError(f"bmp: compression {comp} unsupported (BI_RGB/BI_RLE8)")
+    if comp == 1 and bpp != 8:
+        raise ValueError(f"bmp: BI_RLE8 requires 8-bit pixels (got {bpp})")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"bmp: {bpp}-bit unsupported (8/24/32)")
     top_down = h_raw < 0
     h = abs(h_raw)
     stride = ((w * bpp // 8) + 3) & ~3
-    px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=data_off)
-    rows = px.reshape(h, stride)
-    if not top_down:
-        rows = rows[::-1]
+    if comp == 1:
+        if top_down:
+            raise ValueError("bmp: BI_RLE8 must be bottom-up per spec")
+        rle_rows = _bmp_rle8_decode(data[data_off:], w, h)
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = rle_rows
+        rows = rows[::-1]  # same bottom-up flip as the raw path
+    else:
+        px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=data_off)
+        rows = px.reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
     if bpp == 8:
         (n_colors,) = struct.unpack_from("<I", data, 46)
         n_colors = n_colors or 256
@@ -589,6 +599,91 @@ def decode_bmp(data: bytes) -> np.ndarray:
     n_ch = bpp // 8
     bgr = rows[:, : w * n_ch].reshape(h, w, n_ch)
     return rgb_to_gray(bgr[:, :, [2, 1, 0]])
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> (h, w) indexed rows in STREAM order (bottom row
+    first).  Escapes per the Windows BMP spec: 00 00 = end of line,
+    00 01 = end of bitmap, 00 02 dx dy = position delta, 00 n (n>=3) =
+    n absolute pixels padded to a word boundary.  Unwritten pixels
+    (deltas/short lines) stay index 0 as Windows renders them."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt = data[pos]
+        val = data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("bmp: RLE8 run overflows row")
+            out[y, x:x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x = 0
+            y += 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("bmp: truncated RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("bmp: RLE8 delta out of range")
+        else:  # absolute mode
+            end = pos + val
+            if end > n:
+                raise ValueError("bmp: truncated RLE8 absolute run")
+            if y >= h or x + val > w:
+                raise ValueError("bmp: RLE8 absolute run overflows row")
+            out[y, x:x + val] = np.frombuffer(data, np.uint8, val, pos)
+            x += val
+            pos = end + (val & 1)  # word-aligned
+    raise ValueError("bmp: RLE8 stream missing end-of-bitmap")
+
+
+def encode_bmp_rle8(img: np.ndarray) -> bytes:
+    """(h, w) grayscale uint8 -> BI_RLE8 BMP (fixture writer: encoded
+    runs + absolute runs for literals, EOL per row, EOB at the end)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    enc = bytearray()
+    for row in img[::-1]:  # bottom-up stream order
+        i = 0
+        while i < w:
+            run = 1
+            while i + run < w and run < 255 and row[i + run] == row[i]:
+                run += 1
+            if run >= 2:
+                enc += bytes([run, int(row[i])])
+                i += run
+            else:
+                j = i + 1
+                while j < w and j - i < 255 and not (
+                    j + 1 < w and row[j] == row[j + 1]
+                ):
+                    j += 1
+                lit = row[i:j].tobytes()
+                if len(lit) >= 3:
+                    enc += bytes([0, len(lit)]) + lit
+                    if len(lit) & 1:
+                        enc += b"\x00"
+                else:  # 1-2 literals: encoded runs of length 1
+                    for b in lit:
+                        enc += bytes([1, b])
+                i = j
+        enc += b"\x00\x00"  # end of line
+    enc += b"\x00\x01"  # end of bitmap
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+    data_off = 14 + 40 + 1024
+    size = data_off + len(enc)
+    head = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(enc), 2835, 2835, 256, 0)
+    return head + dib + pal.tobytes() + bytes(enc)
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

@@ -269,10 +269,15 @@ def test_bmp_24bit_bottom_up_and_top_down():
 
 
 def test_bmp_compressed_raises_typed():
+    # BI_BITFIELDS (3) stays a named stub; RLE8 (1) decodes since r5
     head = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
-    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 3, 0, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError, match="compression"):
         C.decode_bmp(head + dib)
+    # RLE8 paired with non-8-bit pixels is structurally invalid
+    dib_rle24 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="RLE8 requires 8-bit"):
+        C.decode_bmp(head + dib_rle24)
 
 
 # ---------------------------------------------------------------------------
@@ -575,3 +580,37 @@ def test_tiff_lzw_deflate_predictor_decode_paths():
     defl[20] ^= 0xFF  # corrupt a strip byte
     with pytest.raises(ValueError):
         codecs.decode_tiff(bytes(defl))
+
+
+def test_bmp_rle8_roundtrip_and_errors():
+    """BI_RLE8: encoded runs, absolute runs (word-aligned), EOL/EOB
+    escapes round-trip exactly; glyph pages extract through the image
+    path; overflowing runs and missing EOB are typed ValueErrors."""
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+    from rapidocr_ray.glyphs import render_page
+
+    rng = np.random.RandomState(2)
+    imgs = [
+        rng.randint(0, 256, (40, 61), dtype=np.uint8),  # absolute-heavy
+        np.repeat(rng.randint(0, 4, (30, 16), dtype=np.uint8), 4, axis=1),  # runs
+        render_page(["rle bmp line"], margin=6),
+    ]
+    for img in imgs:
+        out = codecs.decode_bmp(codecs.encode_bmp_rle8(img))
+        assert np.array_equal(out, img)
+    with pytest.raises(ValueError, match="overflows"):
+        codecs._bmp_rle8_decode(b"\x05\x01", 3, 3)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        codecs._bmp_rle8_decode(b"\x01\x01", 3, 3)
+    with pytest.raises(ValueError, match="delta"):
+        codecs._bmp_rle8_decode(b"\x00\x02", 3, 3)
+    # BI_RLE4 (comp 2) stays a named stub at the container level
+    rle = bytearray(codecs.encode_bmp_rle8(imgs[0]))
+    import struct as _s
+
+    _s.pack_into("<I", rle, 30, 2)
+    with pytest.raises(NotImplementedError, match="compression 2"):
+        codecs.decode_bmp(bytes(rle))

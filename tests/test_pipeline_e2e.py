@@ -161,6 +161,7 @@ def test_real_container_pages_match_rbmp(ray_session):
 
     from rapidocr_ray.functions.codecs import (
         encode_bmp,
+        encode_bmp_rle8,
         encode_gif,
         encode_png,
         encode_tiff,
@@ -178,6 +179,7 @@ def test_real_container_pages_match_rbmp(ray_session):
         "png": encode_png(img),
         "gif": encode_gif(img),
         "bmp": encode_bmp(img),
+        "bmp-rle": encode_bmp_rle8(img),
         "jpg": encode_jpeg(img, quality=95),
         "jpg-prog": encode_jpeg_progressive(img, quality=95),
         "tiff": encode_tiff(img, compression="packbits"),
@@ -203,7 +205,7 @@ def test_real_container_pages_match_rbmp(ray_session):
     by_url = got.set_index("url")
     expected = by_url.loc["https://t/rbmp", "extracted_text"]
     assert expected == "container codec line"
-    for k in ("png", "gif", "bmp", "jpg", "jpg-prog", "tiff", "tiff-lzw", "tiff-defl", "webpl"):
+    for k in ("png", "gif", "bmp", "bmp-rle", "jpg", "jpg-prog", "tiff", "tiff-lzw", "tiff-defl", "webpl"):
         assert by_url.loc[f"https://t/{k}", "extracted_text"] == expected, k
         assert by_url.loc[f"https://t/{k}", "route"] == "bitmap"
     assert by_url.loc["https://t/jpeg", "route"] == "error"
