@@ -101,11 +101,13 @@ def avi_frame_scan_sample(
     decode = _decode or decode_jpeg
     sampled = []
     for i, (off, size) in enumerate(frames):
+        # every frame is marker-validated even when skipped (the RBMP
+        # header-scan rule: a corrupt non-sampled frame is a typed
+        # error row, never silently-wrong stats)
+        if payload[off:off + 3] != b"\xff\xd8\xff":
+            raise ValueError("avi: MJPG frame without JPEG SOI marker")
         if i % every_k == 0:
-            frame = payload[off:off + size]
-            if frame[:3] != b"\xff\xd8\xff":
-                raise ValueError("avi: MJPG frame without JPEG SOI marker")
-            sampled.append(decode(frame))
+            sampled.append(decode(payload[off:off + size]))
     return len(frames), sampled
 
 

@@ -1232,15 +1232,15 @@ def _decode_ms_adpcm(raw: bytes, n_ch: int, block_align: int) -> np.ndarray:
     nib = np.empty((nb, body.shape[1] * 2), dtype=np.int64)
     nib[:, 0::2] = body >> 4  # high nibble FIRST (spec)
     nib[:, 1::2] = body & 0x0F
-    n_decoded = nib.shape[1] // n_ch
-    per_block = 2 + n_decoded
+    total_nib = nib.shape[1]  # nibbles alternate channels per sample
+    per_block = 2 + total_nib // n_ch  # frames per block per channel
     out = np.empty((nb, per_block, n_ch), dtype=np.int16)
     c1 = [_MS_COEF1[p] for p in pred_idx]
     c2 = [_MS_COEF2[p] for p in pred_idx]
     for c in range(n_ch):
         out[:, 0, c] = s2[c].astype(np.int16)
         out[:, 1, c] = s1[c].astype(np.int16)
-    for t in range(n_decoded):
+    for t in range(total_nib):
         c = t % n_ch
         n = nib[:, t]
         pred = _trunc_div_256(s1[c] * c1[c] + s2[c] * c2[c])

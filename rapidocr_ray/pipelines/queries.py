@@ -2494,7 +2494,7 @@ def q_doc_salient_term(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def explode(batch: pa.Table) -> tuple[pd.DataFrame, pd.DataFrame]:
+    def explode(batch: pa.Table) -> pd.DataFrame:
         toks = pc.split_pattern(batch.column("text"), " ")
         lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         d = np.repeat(np.asarray(batch.column("doc_id")), lens)

@@ -390,6 +390,78 @@ def test_ms_adpcm_mono_bit_exact_vs_scalar_reference():
     assert np.abs(got.astype(np.int32) - sig.astype(np.int32)).max() < 4000
 
 
+def test_ms_adpcm_stereo_alternating_nibbles():
+    """Stereo MS ADPCM: nibbles alternate channels per sample frame
+    (high=left, low=right); the vectorized decoder matches a scalar
+    two-state reference bit-for-bit and yields the full frame count
+    (a half-length regression here means the channel loop is eating
+    the nibble budget)."""
+    import struct as _s
+
+    from rapidocr_ray.functions.codecs import _MS_ADAPT, decode_wav
+
+    def trunc256(x):
+        return x // 256 if x >= 0 else -((-x) // 256)
+
+    rng = np.random.RandomState(17)
+    block_align = 32  # 14-byte stereo header + 18 data bytes
+    frames_per_block = 2 + (block_align - 14) * 2 // 2
+    n = frames_per_block * 3
+    left = (5000 * np.sin(2 * np.pi * np.arange(n) / 30)).astype(np.int16)
+    right = rng.randint(-6000, 6000, n).astype(np.int16)
+    data = bytearray()
+    ref = {0: [], 1: []}
+    for b0 in range(0, n, frames_per_block):
+        st = {}
+        for c, sig in ((0, left), (1, right)):
+            st[c] = {"s2": int(sig[b0]), "s1": int(sig[b0 + 1]), "d": 96}
+        data += _s.pack("<BB", 0, 0)  # predictor 0 both channels
+        data += _s.pack("<hh", st[0]["d"], st[1]["d"])
+        data += _s.pack("<hh", st[0]["s1"], st[1]["s1"])
+        data += _s.pack("<hh", st[0]["s2"], st[1]["s2"])
+        for c in (0, 1):
+            ref[c] += [st[c]["s2"], st[c]["s1"]]
+        nibs = []
+        for f in range(2, frames_per_block):
+            for c, sig in ((0, left), (1, right)):
+                s = st[c]
+                p = trunc256(s["s1"] * 256)  # coef 256/0
+                nv = max(-8, min(7, int(round((int(sig[b0 + f]) - p) / s["d"])))) & 0x0F
+                signed = nv if nv < 8 else nv - 16
+                samp = max(-32768, min(32767, p + signed * s["d"]))
+                s["s2"], s["s1"] = s["s1"], samp
+                s["d"] = max(16, trunc256(int(_MS_ADAPT[nv]) * s["d"]))
+                nibs.append(nv)
+                ref[c].append(samp)
+        for i in range(0, len(nibs), 2):
+            data.append((nibs[i] << 4) | nibs[i + 1])
+    wav = _wav_container(2, 2, 8000, block_align, 4, bytes(data))
+    mono, rate, n_ch = decode_wav(wav)
+    assert n_ch == 2 and len(mono) == n  # full frame count, not half
+    want = (
+        np.stack([np.array(ref[0]), np.array(ref[1])], axis=1)
+        .astype(np.float32)
+        .mean(axis=1)
+        / 32768.0
+    )
+    assert np.allclose(mono, want, atol=0)
+
+
+def test_avi_skipped_frame_corruption_is_typed():
+    """A corrupt SOI on a NON-sampled frame still raises the typed
+    ValueError (the RBMP header-scan rule)."""
+    from rapidocr_ray.functions.avi import avi_frame_scan_sample, encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg(_tile_frames(4), quality=100)
+    # corrupt the SECOND frame's SOI (skipped at every_k=2)
+    first = avi.find(b"\xff\xd8\xff")
+    second = avi.find(b"\xff\xd8\xff", first + 3)
+    bad = bytearray(avi)
+    bad[second:second + 3] = b"\x00\x00\x00"
+    with pytest.raises(ValueError, match="SOI"):
+        avi_frame_scan_sample(bytes(bad), every_k=2)
+
+
 def test_ms_adpcm_typed_errors():
     from rapidocr_ray.functions.codecs import decode_wav
 
