@@ -279,6 +279,27 @@ def test_embedding_stats_bit_exact_fuzz(ray_session, tmp_path):
     assert (df.c0_bin < 0).any() and (df.c0_bin > 0).any()
 
 
+def test_salient_and_repetition_randomized_cross_check(ray_session, tmp_path):
+    """Randomized corpora engineered for tie storms (tiny vocab, short
+    docs → many max-tf ties and equal-df tokens): both operators must
+    match DuckDB on every seed."""
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        vocab = ["a", "b", "c", "dd", "ee"]
+        ids = list(range(120))
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.randint(1, 6))) for _ in ids
+        ]
+        sub = tmp_path / f"s{seed}"
+        sub.mkdir()
+        d = _docs_dir(sub, ids, texts)
+        _compare(q.QUERIES["doc_salient_term"](d), _oracle(d, "doc_salient_term"))
+        _compare(
+            q.QUERIES["token_repetition_stats"](d),
+            _oracle(d, "token_repetition_stats"),
+        )
+
+
 def test_widen_queries_match_duckdb_at_sf(ray_session):
     """All five new registry entries hash-match their oracles over the
     real sf0.001 tables (the driver-shaped comparison)."""
