@@ -614,3 +614,63 @@ def test_bmp_rle8_roundtrip_and_errors():
     _s.pack_into("<I", rle, 30, 2)
     with pytest.raises(NotImplementedError, match="compression 2"):
         codecs.decode_bmp(bytes(rle))
+
+
+def test_r5_decoders_typed_error_fuzz():
+    """Crawl-robustness contract for every round-5 decoder: random
+    truncations and byte corruptions of valid files must either decode
+    or raise ValueError/NotImplementedError — never struct.error,
+    IndexError, KeyError, zlib.error or a crash."""
+    import numpy as np
+
+    from rapidocr_ray.functions import codecs
+    from rapidocr_ray.functions.avi import avi_frame_scan_sample, encode_avi_mjpeg
+    from rapidocr_ray.stages.multimodal import frame_scan_sample
+
+    rng = np.random.RandomState(99)
+    frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(3)]
+    mono = (3000 * np.sin(np.arange(390) / 5)).astype(np.float32) / 32768.0
+
+    def ima_wav():
+        # reuse the public encoder via the PCM path, then a crafted
+        # ADPCM container from raw nibbles (content validity unneeded
+        # for the contract — only error TYPES matter)
+        import struct as _s
+
+        body = bytes(rng.randint(0, 256, 4 + 32, dtype=np.uint8))
+        fmt = _s.pack("<HHIIHH", 0x11, 1, 8000, 8000, 36, 4)
+        b = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+             + b"data" + _s.pack("<I", len(body)) + body)
+        return b"RIFF" + _s.pack("<I", len(b)) + b
+
+    samples = {
+        "tiff-lzw": codecs.encode_tiff(frames[0], "lzw", predictor=2),
+        "tiff-defl": codecs.encode_tiff(frames[0], "deflate"),
+        "bmp-rle": codecs.encode_bmp_rle8(frames[0]),
+        "gif-anim": codecs.encode_gif_animation(frames),
+        "avi": encode_avi_mjpeg(frames, quality=90),
+        "wav-ima": ima_wav(),
+    }
+
+    def check(payload, kind):
+        try:
+            if kind == "avi":
+                avi_frame_scan_sample(payload, every_k=1)
+            elif kind == "gif-anim":
+                frame_scan_sample(payload, every_k=1)
+            elif kind == "wav-ima":
+                codecs.decode_wav(payload)
+            else:
+                codecs.decode_page_image(payload)
+        except (ValueError, NotImplementedError):
+            pass  # the typed contract
+
+    for kind, good in samples.items():
+        check(good, kind)  # valid file must not raise at all... or typed
+        for _ in range(60):
+            cut = int(rng.randint(1, len(good)))
+            check(good[:cut], kind)  # truncation
+            b = bytearray(good)
+            for _ in range(int(rng.randint(1, 4))):
+                b[int(rng.randint(0, len(b)))] = int(rng.randint(0, 256))
+            check(bytes(b), kind)  # corruption
