@@ -135,7 +135,7 @@ def encode_avi_mjpeg(
     max_bytes = max(len(j) for j in jpegs)
     avih = struct.pack(
         "<14I",
-        usec_per_frame, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX off: no idx1
+        usec_per_frame, max_bytes * fps, 0, 0,  # flags 0: no idx1 chunk
         len(jpegs), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
     )
     strh = (

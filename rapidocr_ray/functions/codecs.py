@@ -384,9 +384,11 @@ def gif_frame_scan_sample(
     while pos < len(data):
         block = data[pos]
         if block == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise ValueError("gif: truncated extension introducer")
             label = data[pos + 1]
             pos += 2
-            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+            if label == 0xF9 and pos + 5 <= len(data) and data[pos] >= 4:
                 flags = data[pos + 1]
                 transparent = data[pos + 4] if flags & 1 else None
             while pos < len(data) and data[pos] != 0:
@@ -933,13 +935,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
         elif compression == 5:
             strip = _tiff_lzw_decode(raw, rows * stride)
         elif compression in (8, 32946):
+            # bounded inflate: the strip's decoded size is known, so a
+            # crafted deflate bomb cannot allocate past it (the same
+            # OOM class the gzip payload layer guards)
             try:
-                inflated = zlib.decompress(bytes(raw))
+                inflated = zlib.decompressobj().decompress(
+                    bytes(raw), rows * stride
+                )
             except zlib.error as exc:
                 raise ValueError(f"tiff: corrupt deflate strip ({exc})") from exc
             if len(inflated) < rows * stride:
                 raise ValueError("tiff: deflate strip too short")
-            strip = np.frombuffer(inflated[: rows * stride], dtype=np.uint8)
+            strip = np.frombuffer(inflated, dtype=np.uint8)
         else:
             strip = _packbits_decode(raw, rows * stride)
         chunks.append(strip)

@@ -2502,46 +2502,45 @@ def q_doc_salient_term(sf_dir: str):
         per = df.groupby(["d", "tok"], sort=False).size().rename("tf").reset_index()
         return per
 
-    def candidates(batch: pa.Table) -> pa.Table:
+    def cand_and_df(batch: pa.Table) -> pa.Table:
+        # ONE explode per batch feeds BOTH outputs (candidates and df
+        # partials) — the token explosion is the expensive part, and a
+        # two-scan union would pay it twice (review finding)
         per = explode(batch)
         mx = per.groupby("d", sort=False)["tf"].transform("max")
         cand = per[per.tf == mx]
-        buckets = np.fromiter(
+        cand_buckets = np.fromiter(
             (zlib.crc32(s.encode()) % 64 for s in cand.tok),
             dtype=np.int64,
             count=len(cand),
         )
-        return pa.table(
+        cand_tab = pa.table(
             {
-                "bucket": buckets,
+                "bucket": cand_buckets,
                 "token": pa.array(cand.tok, type=pa.string()),
                 "doc_id": cand.d.to_numpy().astype(np.int64),
                 "tf": cand.tf.to_numpy().astype(np.int64),
                 "df_part": np.zeros(len(cand), dtype=np.int64),
             }
         )
-
-    def df_partials(batch: pa.Table) -> pa.Table:
-        per = explode(batch)  # already DISTINCT (doc, token)
         part = per.groupby("tok", sort=False).size().rename("df").reset_index()
-        buckets = np.fromiter(
+        df_buckets = np.fromiter(
             (zlib.crc32(s.encode()) % 64 for s in part.tok),
             dtype=np.int64,
             count=len(part),
         )
-        return pa.table(
+        df_tab = pa.table(
             {
-                "bucket": buckets,
+                "bucket": df_buckets,
                 "token": pa.array(part.tok, type=pa.string()),
                 "doc_id": np.full(len(part), -1, dtype=np.int64),
                 "tf": np.zeros(len(part), dtype=np.int64),
                 "df_part": part["df"].to_numpy().astype(np.int64),
             }
         )
+        return pa.concat_tables([cand_tab, df_tab])
 
-    both = ds.map_batches(candidates, batch_format="pyarrow").union(
-        ds.map_batches(df_partials, batch_format="pyarrow")
-    )
+    both = ds.map_batches(cand_and_df, batch_format="pyarrow")
 
     def attach_df(g: pd.DataFrame) -> pd.DataFrame:
         df_tab = g[g.doc_id < 0].groupby("token", sort=False)["df_part"].sum()
@@ -2677,10 +2676,21 @@ def q_events_rollup(sf_dir: str):
             }
         )
 
+    import ray.data
+
     part = ds.map_batches(partial, batch_format="pyarrow")
+    # seed row: GROUP BY ROLLUP over an EMPTY table still emits the
+    # empty-grouping-set (grand total) row — the seed guarantees the
+    # merge group exists and contributes 0 to every sum (the oracle
+    # COALESCEs the empty-total NULL to 0 for the same reason)
+    seed = ray.data.from_items(
+        [{"event_type": "\x00seed", "hour": -1, "cents": 0, "n": 0, "bucket": 0}]
+    )
+    part = part.union(seed)
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        fine = g.groupby(["event_type", "hour"], as_index=False)[["n", "cents"]].sum()
+        real = g[g.event_type != "\x00seed"]
+        fine = real.groupby(["event_type", "hour"], as_index=False)[["n", "cents"]].sum()
         lvl1 = fine.groupby("event_type", as_index=False)[["n", "cents"]].sum()
         lvl1["hour"] = -1
         total = pd.DataFrame(
@@ -2708,7 +2718,8 @@ WITH r AS (
   FROM events GROUP BY ROLLUP(event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT))
 )
 SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(hour, -1) AS hour,
-       CAST(n AS BIGINT) AS n_events, CAST(cents AS BIGINT) AS value_cents
+       CAST(n AS BIGINT) AS n_events,
+       CAST(COALESCE(cents, 0) AS BIGINT) AS value_cents
 FROM r
 """
 

@@ -119,16 +119,28 @@ def maybe_gunzip(
     pass through untouched."""
     if payload is None or bytes(payload[:2]) != GZIP_MAGIC:
         return payload, None
-    d = zlib.decompressobj(wbits=31)
-    try:
-        out = d.decompress(bytes(payload), max_bytes + 1)
-    except zlib.error as exc:
-        return None, f"corrupt gzip payload ({exc})"
-    if len(out) > max_bytes:
-        return None, f"decompressed payload exceeds max_payload_bytes ({max_bytes})"
-    if not d.eof:
-        return None, "corrupt gzip payload (truncated stream)"
-    return out, None
+    # RFC 1952: a gzip file is a CONCATENATION of members (gzip.decompress
+    # semantics) — loop members so multi-member bodies don't silently
+    # truncate to the first one
+    remaining = bytes(payload)
+    parts: list[bytes] = []
+    total = 0
+    while remaining[:2] == GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(remaining, max_bytes + 1 - total)
+        except zlib.error as exc:
+            return None, f"corrupt gzip payload ({exc})"
+        total += len(out)
+        if total > max_bytes:
+            return None, f"decompressed payload exceeds max_payload_bytes ({max_bytes})"
+        if not d.eof:
+            return None, "corrupt gzip payload (truncated stream)"
+        parts.append(out)
+        remaining = d.unused_data
+    if remaining:
+        return None, "corrupt gzip payload (trailing garbage after member)"
+    return b"".join(parts), None
 
 
 def sniff_route(payload: bytes | None) -> tuple[str, str | None]:

@@ -674,3 +674,63 @@ def test_r5_decoders_typed_error_fuzz():
             for _ in range(int(rng.randint(1, 4))):
                 b[int(rng.randint(0, len(b)))] = int(rng.randint(0, 256))
             check(bytes(b), kind)  # corruption
+
+
+def test_gif_truncated_extension_is_typed_valueerror():
+    """Cut points inside a GCE extension block (the review repro) must
+    raise ValueError, not IndexError — FrameSampleStage catches only
+    the typed pair."""
+    from rapidocr_ray.functions import codecs
+
+    frames = [np.full((8, 8), 9, dtype=np.uint8) for _ in range(2)]
+    anim = codecs.encode_gif_animation(frames)
+    gce = anim.index(b"\x21\xf9\x04")
+    for cut in (gce + 1, gce + 2, gce + 3, gce + 4, gce + 5, gce + 6):
+        with pytest.raises(ValueError):
+            codecs.gif_frame_scan_sample(anim[:cut], every_k=1)
+
+
+def test_tiff_deflate_bomb_is_bounded():
+    """A deflate strip that inflates far past the declared strip size
+    must not allocate past rows*stride (the gzip-layer OOM class):
+    decode stays bounded and returns the declared pixels."""
+    import struct as _s
+
+    from rapidocr_ray.functions import codecs
+
+    img = np.full((64, 64), 7, dtype=np.uint8)
+    good = bytearray(codecs.encode_tiff(img, "deflate"))
+    # replace the strip with a bomb: 64 valid rows then 50 MB of junk,
+    # all zlib-compressed (tiny on disk)
+    bomb_plain = img.tobytes() + b"\x00" * (50 * 1024 * 1024)
+    bomb = zlib.compress(bomb_plain, 9)
+    # rebuild a one-strip TIFF around the bomb
+    tif = codecs.encode_tiff(img[:64], "deflate")
+    # locate strip offset/count via the decoder's own tag walk: easier
+    # to just re-encode manually with the bomb as the strip
+    import tracemalloc
+
+    def build(strip: bytes) -> bytes:
+        # minimal single-strip LE TIFF, 64x64 gray, deflate
+        def entry(tag, typ, val):
+            return _s.pack("<HHI", tag, typ, 1) + _s.pack("<I", val)
+
+        data_off = 8
+        ifd_off = data_off + len(strip)
+        fields = [
+            (256, 4, 64), (257, 4, 64), (258, 3, 8), (259, 3, 8),
+            (262, 3, 1), (273, 4, data_off), (277, 3, 1),
+            (278, 4, 64), (279, 4, len(strip)),
+        ]
+        ifd = _s.pack("<H", len(fields))
+        for t, ty, v in fields:
+            ifd += entry(t, ty, v)
+        ifd += _s.pack("<I", 0)
+        return b"II*\x00" + _s.pack("<I", ifd_off) + strip + ifd
+
+    tracemalloc.start()
+    out = codecs.decode_tiff(build(bomb))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert np.array_equal(out, img)
+    assert peak < 8 * 1024 * 1024, f"bomb inflated {peak} bytes"

@@ -287,3 +287,23 @@ def test_dedup_empty_winners_files_falls_back(ray_session):
     pages = synth_pages(20, seed=3)
     out = dedup_by_url(ray.data.from_arrow(pages), winners_files=[]).to_pandas()
     assert len(out) == len(set(pages.column("url").to_pylist()))
+
+
+def test_gzip_multi_member_concatenates():
+    """RFC 1952: a gzip body is a concatenation of members — both
+    members must decode (gzip.decompress semantics), and trailing
+    non-gzip garbage after a member is a typed error."""
+    import gzip as _gzip
+
+    from rapidocr_ray.stages.ray_stages import maybe_gunzip
+
+    a, b = b"<html>first ", b"second</html>"
+    out, err = maybe_gunzip(_gzip.compress(a) + _gzip.compress(b), 1 << 20)
+    assert err is None and out == a + b
+    out2, err2 = maybe_gunzip(_gzip.compress(a) + b"not-gzip-tail", 1 << 20)
+    assert out2 is None and "gzip" in err2
+    # bomb across members still bounded
+    out3, err3 = maybe_gunzip(
+        _gzip.compress(b"\x00" * 600) + _gzip.compress(b"\x00" * 600), 1000
+    )
+    assert out3 is None and "max_payload_bytes" in err3

@@ -317,3 +317,18 @@ def test_widen_queries_match_duckdb_at_sf(ray_session):
         "doc_salient_term",
     ):
         _compare(q.QUERIES[name](SF), con.execute(q.ORACLE_SQL[name]).df())
+
+
+def test_events_rollup_empty_input_emits_grand_total(ray_session, tmp_path):
+    """ROLLUP over an EMPTY events table still emits the
+    empty-grouping-set row ('ALL', -1, 0, 0) — matching DuckDB
+    (review finding: the kernel used to return zero rows)."""
+    d = _events_dir(tmp_path, [])
+    df = _compare(
+        q.QUERIES["events_rollup"](d), _oracle(d, "events_rollup", tables=("events",))
+    )
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert (r.event_type, int(r.hour), int(r.n_events), int(r.value_cents)) == (
+        "ALL", -1, 0, 0,
+    )
