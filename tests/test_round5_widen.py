@@ -332,3 +332,59 @@ def test_events_rollup_empty_input_emits_grand_total(ray_session, tmp_path):
     assert (r.event_type, int(r.hour), int(r.n_events), int(r.value_cents)) == (
         "ALL", -1, 0, 0,
     )
+
+
+def test_new_ops_empty_inputs_match_oracle(ray_session, tmp_path):
+    """The events_rollup bug class, swept across every new operator:
+    empty documents/events/embeddings tables must produce exactly what
+    DuckDB produces (usually zero rows; ROLLUP's grand total is the
+    exception, covered above)."""
+    docs_d = tmp_path / "docs_e"
+    docs_d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        str(docs_d / "documents.parquet"),
+    )
+    d_docs = str(docs_d)
+    d_ev = _events_dir(tmp_path, [])
+    emb_d = tmp_path / "emb_e"
+    emb_d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        str(emb_d / "embeddings.parquet"),
+    )
+    # NOTE: a zero-block Ray dataset loses its schema through
+    # map_batches (the UDF never runs), so only ROW-COUNT equality is
+    # checkable here — the property that matters is that no operator
+    # crashes or invents rows on empty input (the ROLLUP bug class).
+    doc_ops = [
+        "token_repetition_stats",
+        "stratified_sample",
+        "norm_dedup_groups",
+        "doc_salient_term",
+        "length_outliers",
+    ]
+    ev_ops = ["event_funnel", "sliding_window"]
+    for name in doc_ops:
+        got = q.QUERIES[name](d_docs).to_pandas()
+        assert len(got) == len(_oracle(d_docs, name)) == 0, name
+    for name in ev_ops:
+        got = q.QUERIES[name](d_ev).to_pandas()
+        assert len(got) == len(_oracle(d_ev, name, tables=("events",))) == 0, name
+    got = q.QUERIES["embedding_stats"](str(emb_d)).to_pandas()
+    assert len(got) == len(
+        _oracle(str(emb_d), "embedding_stats", tables=("embeddings",))
+    ) == 0
