@@ -1832,6 +1832,61 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, ids, mat, k=5)
 
 
+def q_ann_ivf_seeded_topk(sf_dir: str):
+    """IVF with a deterministic SQL-expressible quantizer: centroids
+    are the embeddings of the 16 smallest vec_ids (single assignment
+    pass, no k-means), queries probe their 4 nearest buckets.  Unlike
+    ann_ivf_topk (rows-only: RNG-seeded k-means), every step here is
+    deterministic, so the whole IVF plumbing — quantize, bucket-route,
+    probe, local scan, global reduce — is hash-checked end-to-end
+    against SQL_ANN_IVF_SEEDED."""
+    from rapidocr_ray.stages.ann import seeded_ivf_topk
+
+    ids, mat = _load_queries(sf_dir)
+    seed_ids, seed_mat = _load_queries(sf_dir, n=16)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return seeded_ivf_topk(ds, ids, mat, seed_ids, seed_mat, k=5, n_probe=4)
+
+
+SQL_ANN_IVF_SEEDED = """
+WITH seeds AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings ORDER BY vec_id LIMIT 10),
+assign AS (
+  SELECT vec_id, cidx AS bucket FROM (
+    SELECT c.vec_id, s.cidx,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(s.e, CAST(c.embedding AS DOUBLE[])) DESC,
+                      s.cidx) AS rn
+    FROM embeddings c CROSS JOIN seeds s)
+  WHERE rn = 1),
+qprobe AS (
+  SELECT query_id, cidx FROM (
+    SELECT q.query_id, s.cidx,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.e, s.e) DESC, s.cidx) AS rn
+    FROM q CROSS JOIN seeds s)
+  WHERE rn <= 4),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.e, CAST(c.embedding AS DOUBLE[])) AS sim
+  FROM q
+  JOIN qprobe p ON p.query_id = q.query_id
+  JOIN assign a ON a.bucket = p.cidx
+  JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id != q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def q_ann_ivf_invariant(sf_dir: str):
     """Hash-checked invariant pinning the approximate IVF path: for
     every query, the IVF list must return exactly k neighbors, each
@@ -2845,6 +2900,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_seeded_topk": q_ann_ivf_seeded_topk,
     "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
@@ -2903,6 +2959,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_full_probe": SQL_ANN_TOPK,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf_seeded_topk": SQL_ANN_IVF_SEEDED,
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "avi_frame_stats": SQL_AVI_FRAME_STATS,

@@ -164,3 +164,72 @@ def ivf_topk(
         return g[["query_id", "neighbor_id", "rank"]]
 
     return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+def seeded_ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    seed_ids: np.ndarray,
+    seed_mat: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+):
+    """IVF with a deterministic, SQL-expressible coarse quantizer:
+    the centroids ARE the (normalized) embeddings of the given seed
+    vectors — by convention the n_centroids smallest vec_ids — with a
+    single assignment pass and no k-means refinement.  Same scale
+    shape as ivf_topk (centroids broadcast once via ray.put, corpus
+    streams through map_batches, the shuffle carries only candidate
+    rows), but every step is deterministic, so the full query is
+    hash-checked against a DuckDB oracle (window-ranked bucket
+    assignment + probe + ranked candidates; see SQL_ANN_IVF_SEEDED).
+
+    Tie discipline (matches the oracle's ORDER BY ... , cidx ASC):
+    bucket assignment uses np.argmax (first max = lowest centroid
+    index); query probing uses lexsort on (centroid idx, -sim)."""
+    import ray
+
+    ensure_worker_importable()
+    cents = _normalize(np.asarray(seed_mat, dtype=np.float64))
+    q_mat_n = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qsims = q_mat_n @ cents.T  # [Q, C]
+    cidx = np.arange(len(cents))
+    probe = np.stack(
+        [np.lexsort((cidx, -qsims[i]))[:n_probe] for i in range(len(q_mat_n))]
+    )
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat_n, cents, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, cents_, probe_ = ray.get(ref)
+        c_ids, c_mat = _stack_embeddings(batch)
+        c_n = _normalize(c_mat)
+        buckets = np.argmax(c_n @ cents_.T, axis=1)  # first max = lowest cidx
+        sims = q_mat @ c_n.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            allowed = np.isin(buckets, probe_[qi]) & (c_ids != q_ids[qi])
+            cand_ids = c_ids[allowed]
+            if cand_ids.size == 0:
+                continue
+            cand_sims = sims[qi][allowed]
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            for j in order:
+                out_q.append(int(q_ids[qi]))
+                out_n.append(int(cand_ids[j]))
+                out_s.append(float(cand_sims[j]))
+        return pa.table(
+            {"query_id": out_q, "neighbor_id": out_n, "sim": out_s},
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+            ),
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")

@@ -83,3 +83,43 @@ def test_kmeans_lite_deterministic():
     c1 = kmeans_lite(mat, 8, seed=11)
     c2 = kmeans_lite(mat, 8, seed=11)
     assert np.array_equal(c1, c2)
+
+
+def test_seeded_ivf_full_probe_matches_brute_force(corpus_ds):
+    """With n_probe == n_centroids every bucket is scanned, so the
+    deterministic-quantizer IVF must reproduce brute force exactly."""
+    from rapidocr_ray.stages.ann import brute_force_topk, seeded_ivf_topk
+
+    ids, mat = _corpus()
+    q_ids, q_mat = ids[:6], mat[:6]
+    seed_ids, seed_mat = ids[:8], mat[:8]
+    exact = (
+        brute_force_topk(corpus_ds, q_ids, q_mat, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    full = (
+        seeded_ivf_topk(corpus_ds, q_ids, q_mat, seed_ids, seed_mat, k=5, n_probe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert exact.equals(full)
+
+
+def test_seeded_ivf_deterministic_and_self_excluding(corpus_ds):
+    from rapidocr_ray.stages.ann import seeded_ivf_topk
+
+    ids, mat = _corpus()
+    q_ids, q_mat = ids[:4], mat[:4]
+    seed_ids, seed_mat = ids[:8], mat[:8]
+    runs = [
+        seeded_ivf_topk(corpus_ds, q_ids, q_mat, seed_ids, seed_mat, k=5, n_probe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        for _ in range(2)
+    ]
+    assert runs[0].equals(runs[1])
+    assert not any(runs[0].query_id == runs[0].neighbor_id)

@@ -59,6 +59,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "props_extract_stats",
         "orders_antijoin",
         "user_running_totals",
+        "ann_ivf_seeded_topk",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):
