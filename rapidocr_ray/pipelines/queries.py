@@ -948,6 +948,48 @@ def q_top_terms_per_lang(sf_dir: str, k: int = 5):
     return counts.groupby("lang").map_groups(topk, batch_format="pandas")
 
 
+def q_heavy_hitter_tokens(sf_dir: str, fraction: float = 0.02):
+    """Distributed Misra-Gries heavy hitters + exact verify: tokens
+    with count >= fraction of all tokens.  The MG summary bounds
+    per-task memory regardless of vocabulary; the exact verification
+    pass makes the output the EXACT heavy-hitter set, so the sketch
+    plumbing (compression, decrement accounting, bucketed merge,
+    candidate broadcast) is hash-checked end-to-end."""
+    from rapidocr_ray.stages.sketches import misra_gries_heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return misra_gries_heavy_hitters(ds, fraction=fraction)
+
+
+SQL_HEAVY_HITTER_TOKENS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, n FROM (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token)
+WHERE n >= (SELECT 0.02 * COUNT(*) FROM toks)
+"""
+
+
+def q_lang_distinct_hll(sf_dir: str):
+    """Per-language distinct-token count: exact (bucketed distinct —
+    the hash-checked column) alongside a merged HyperLogLog estimate;
+    the estimate-within-tolerance boolean is the pinned invariant
+    (constant-TRUE oracle), so a broken register merge or estimator
+    flips a row."""
+    from rapidocr_ray.stages.sketches import hll_distinct_tokens_per_key
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return hll_distinct_tokens_per_key(ds, key_col="lang")
+
+
+SQL_LANG_DISTINCT_HLL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+       TRUE AS hll_ok
+FROM toks GROUP BY lang
+"""
+
+
 SQL_TOP_TERMS_PER_LANG = """
 WITH toks AS (
   SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
@@ -2901,6 +2943,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_seeded_topk": q_ann_ivf_seeded_topk,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "lang_distinct_hll": q_lang_distinct_hll,
     "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
@@ -2960,6 +3004,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf_seeded_topk": SQL_ANN_IVF_SEEDED,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
+    "lang_distinct_hll": SQL_LANG_DISTINCT_HLL,
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "avi_frame_stats": SQL_AVI_FRAME_STATS,

@@ -60,6 +60,8 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "orders_antijoin",
         "user_running_totals",
         "ann_ivf_seeded_topk",
+        "heavy_hitter_tokens",
+        "lang_distinct_hll",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

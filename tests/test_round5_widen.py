@@ -376,6 +376,8 @@ def test_new_ops_empty_inputs_match_oracle(ray_session, tmp_path):
         "norm_dedup_groups",
         "doc_salient_term",
         "length_outliers",
+        "heavy_hitter_tokens",
+        "lang_distinct_hll",
     ]
     ev_ops = ["event_funnel", "sliding_window"]
     for name in doc_ops:
