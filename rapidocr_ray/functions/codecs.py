@@ -296,6 +296,8 @@ def decode_gif(data: bytes) -> np.ndarray:
     white, matching the alpha-flatten rule)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
+    if len(data) < 13:
+        raise ValueError("gif: truncated logical screen descriptor")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
@@ -371,6 +373,8 @@ def gif_frame_scan_sample(
     composite.  Structural corruption raises ValueError."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
+    if len(data) < 13:
+        raise ValueError("gif: truncated logical screen descriptor")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
@@ -568,10 +572,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError("bmp: BITMAPCOREHEADER unsupported")
     w, h_raw = struct.unpack_from("<ii", data, 18)
     bpp, comp = struct.unpack_from("<HI", data, 28)[0], struct.unpack_from("<I", data, 30)[0]
-    if comp not in (0, 1):
-        raise NotImplementedError(f"bmp: compression {comp} unsupported (BI_RGB/BI_RLE8)")
+    if comp not in (0, 1, 3):
+        raise NotImplementedError(
+            f"bmp: compression {comp} unsupported (BI_RGB/BI_RLE8/BI_BITFIELDS)"
+        )
     if comp == 1 and bpp != 8:
         raise ValueError(f"bmp: BI_RLE8 requires 8-bit pixels (got {bpp})")
+    if comp == 3:
+        return _bmp_bitfields_decode(data, data_off, hdr_size, w, h_raw, bpp)
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"bmp: {bpp}-bit unsupported (8/24/32)")
     top_down = h_raw < 0
@@ -601,6 +609,83 @@ def decode_bmp(data: bytes) -> np.ndarray:
     n_ch = bpp // 8
     bgr = rows[:, : w * n_ch].reshape(h, w, n_ch)
     return rgb_to_gray(bgr[:, :, [2, 1, 0]])
+
+
+def _bmp_bitfields_decode(
+    data: bytes, data_off: int, hdr_size: int, w: int, h_raw: int, bpp: int
+) -> np.ndarray:
+    """BI_BITFIELDS (comp=3) 16/32-bit DIBs: per-channel masks sit
+    right after a 40-byte BITMAPINFOHEADER or inside a V4/V5 header —
+    absolute file offset 54 either way.  Channel values scale to 8 bits
+    by rounded linear scaling v*255/mask_max (the alpha mask, if any,
+    is ignored like the 32-bit BI_RGB path)."""
+    if bpp not in (16, 32):
+        raise ValueError(f"bmp: BI_BITFIELDS requires 16/32-bit pixels (got {bpp})")
+    if len(data) < 66:
+        raise ValueError("bmp: truncated BI_BITFIELDS masks")
+    rm, gm, bm = struct.unpack_from("<III", data, 54)
+    if not (rm and gm and bm):
+        raise ValueError("bmp: BI_BITFIELDS zero channel mask")
+    if rm & gm or gm & bm or rm & bm:
+        raise ValueError("bmp: BI_BITFIELDS overlapping channel masks")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = ((w * bpp // 8) + 3) & ~3
+    if data_off + h * stride > len(data):
+        raise ValueError("bmp: truncated BI_BITFIELDS pixel data")
+    raw = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=data_off)
+    rows = raw.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    if bpp == 16:
+        vals = px[:, :, 0].astype(np.uint32) | (px[:, :, 1].astype(np.uint32) << 8)
+    else:
+        vals = (
+            px[:, :, 0].astype(np.uint32)
+            | (px[:, :, 1].astype(np.uint32) << 8)
+            | (px[:, :, 2].astype(np.uint32) << 16)
+            | (px[:, :, 3].astype(np.uint32) << 24)
+        )
+    chans = []
+    for mask in (rm, gm, bm):
+        shift = (mask & -mask).bit_length() - 1
+        mx = mask >> shift
+        v = (vals & np.uint32(mask)) >> np.uint32(shift)
+        chans.append(((v * 255 + mx // 2) // mx).astype(np.uint8))
+    return rgb_to_gray(np.stack(chans, axis=-1))
+
+
+def encode_bmp_bitfields(
+    img: np.ndarray, bpp: int = 16, masks: tuple[int, int, int] = (0xF800, 0x07E0, 0x001F)
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> BI_BITFIELDS BMP
+    (fixture writer).  Channel values are scaled DOWN by the inverse of
+    the decoder's rounding scale (round(v*mx/255)), so an all-0/255
+    image round-trips exactly at any mask width."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w, _ = img.shape
+    stride = ((w * bpp // 8) + 3) & ~3
+    vals = np.zeros((h, w), dtype=np.uint32)
+    for ch, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        mx = mask >> shift
+        v = (img[:, :, ch].astype(np.uint32) * mx + 127) // 255
+        vals |= v << np.uint32(shift)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    n = bpp // 8
+    b = vals[::-1]  # bottom-up
+    for i in range(n):
+        rows[:, i : w * n : n] = ((b >> np.uint32(8 * i)) & 0xFF).astype(np.uint8)
+    data_off = 14 + 40 + 12
+    body = rows.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 3, len(body), 2835, 2835, 0, 0
+    ) + struct.pack("<III", *masks)
+    return hdr + info + body
 
 
 def _bmp_rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:

@@ -187,11 +187,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     analog); unsupported coding modes raise NotImplementedError."""
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError, KeyError) as exc:
+    except (struct.error, IndexError, KeyError, OverflowError) as exc:
         # KeyError: a scan referencing an undefined huffman/quant table
         # id (corrupt crawl bytes) must stay inside the module's
         # documented ValueError/NotImplementedError contract — stage
-        # callers catch only those two (ADVICE r4).
+        # callers catch only those two (ADVICE r4).  OverflowError: a
+        # corrupt stream can walk the DC predictor past int32 over
+        # enough blocks even with per-block size validation.
         raise ValueError(f"jpeg: truncated or corrupt stream ({exc})") from exc
 
 
@@ -397,6 +399,8 @@ def _decode_block(
     is an int32 view (zigzag order) into the component store."""
     if not progressive:  # sequential: full band, one scan
         size = huff_dc[dc_id].decode(br)
+        if size > 16:  # T.81 F.1.2.1: DC magnitude category <= 16
+            raise ValueError("jpeg: invalid DC size category")
         diff = _extend(br.read_bits(size), size)
         preds[cid] += diff
         blk[0] = preds[cid]
@@ -418,6 +422,8 @@ def _decode_block(
         return
     if ss == 0 and ah == 0:  # progressive DC first (point transform Al)
         size = huff_dc[dc_id].decode(br)
+        if size > 16:  # T.81 F.1.2.1: DC magnitude category <= 16
+            raise ValueError("jpeg: invalid DC size category")
         diff = _extend(br.read_bits(size), size)
         preds[cid] += diff
         blk[0] = preds[cid] << al

@@ -269,11 +269,16 @@ def test_bmp_24bit_bottom_up_and_top_down():
 
 
 def test_bmp_compressed_raises_typed():
-    # BI_BITFIELDS (3) stays a named stub; RLE8 (1) decodes since r5
+    # BI_JPEG (4) stays a named stub; RLE8 (1) and BITFIELDS (3)
+    # decode since r5
     head = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
-    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 3, 0, 0, 0, 0, 0)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 4, 0, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError, match="compression"):
         C.decode_bmp(head + dib)
+    # BITFIELDS paired with 24-bit pixels is structurally invalid
+    dib_bf24 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 3, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="BI_BITFIELDS requires 16/32"):
+        C.decode_bmp(head + dib_bf24 + b"\x00" * 24)
     # RLE8 paired with non-8-bit pixels is structurally invalid
     dib_rle24 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="RLE8 requires 8-bit"):
@@ -647,6 +652,10 @@ def test_r5_decoders_typed_error_fuzz():
         "tiff-lzw": codecs.encode_tiff(frames[0], "lzw", predictor=2),
         "tiff-defl": codecs.encode_tiff(frames[0], "deflate"),
         "bmp-rle": codecs.encode_bmp_rle8(frames[0]),
+        "bmp-bf16": codecs.encode_bmp_bitfields(frames[0], bpp=16),
+        "bmp-bf32": codecs.encode_bmp_bitfields(
+            frames[0], bpp=32, masks=(0xFF0000, 0xFF00, 0xFF)
+        ),
         "gif-anim": codecs.encode_gif_animation(frames),
         "avi": encode_avi_mjpeg(frames, quality=90),
         "wav-ima": ima_wav(),
@@ -734,3 +743,53 @@ def test_tiff_deflate_bomb_is_bounded():
     tracemalloc.stop()
     assert np.array_equal(out, img)
     assert peak < 8 * 1024 * 1024, f"bomb inflated {peak} bytes"
+
+
+def test_bmp_bitfields_decode_and_errors():
+    """BI_BITFIELDS: 565/555 16-bit and 8888 32-bit masks decode with
+    rounded linear channel scaling; 0/255 images (glyph pages) survive
+    any mask width exactly; malformed masks are typed ValueErrors."""
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+    from rapidocr_ray.glyphs import render_page
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (21, 13, 3), dtype=np.uint8)
+
+    # independent scalar mirror of the decode convention
+    def expect(rgb, masks):
+        chans = []
+        for ch, mask in enumerate(masks):
+            shift = (mask & -mask).bit_length() - 1
+            mx = mask >> shift
+            down = (rgb[:, :, ch].astype(np.uint64) * mx + 127) // 255
+            chans.append((down * 255 + mx // 2) // mx)
+        return codecs.rgb_to_gray(np.stack(chans, -1).astype(np.uint8))
+
+    for bpp, masks in (
+        (16, (0xF800, 0x07E0, 0x001F)),  # 565
+        (16, (0x7C00, 0x03E0, 0x001F)),  # 555
+        (32, (0x00FF0000, 0x0000FF00, 0x000000FF)),  # 8888
+    ):
+        data = codecs.encode_bmp_bitfields(rgb, bpp=bpp, masks=masks)
+        assert np.array_equal(codecs.decode_bmp(data), expect(rgb, masks))
+
+    # binary glyph pages round-trip exactly even through 5-bit channels
+    page = render_page(["bitfields bmp"], margin=6)
+    for bpp, masks in ((16, (0xF800, 0x07E0, 0x001F)), (32, (0xFF0000, 0xFF00, 0xFF))):
+        out = codecs.decode_bmp(codecs.encode_bmp_bitfields(page, bpp=bpp, masks=masks))
+        assert np.array_equal(out, page)
+
+    good = codecs.encode_bmp_bitfields(rgb)
+    zero = bytearray(good)
+    struct.pack_into("<III", zero, 54, 0xF800, 0, 0x001F)
+    with pytest.raises(ValueError, match="zero channel mask"):
+        codecs.decode_bmp(bytes(zero))
+    overlap = bytearray(good)
+    struct.pack_into("<III", overlap, 54, 0xF800, 0xFC00, 0x001F)
+    with pytest.raises(ValueError, match="overlapping"):
+        codecs.decode_bmp(bytes(overlap))
+    with pytest.raises(ValueError, match="truncated BI_BITFIELDS pixel"):
+        codecs.decode_bmp(bytes(good[: len(good) - 8]))
