@@ -256,3 +256,44 @@ def test_frame_scan_fuzz_typed_errors_only(tail, every_k):
             assert total >= len(frames)
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(2, 40),   # vocabulary size
+    st.integers(4, 64),   # MG capacity
+    st.integers(0, 2**31),
+)
+def test_misra_gries_never_drops_heavy_hitter(vocab_n, m, seed):
+    """For ANY counter set and capacity, MG compression keeps every
+    token whose weight exceeds the returned decrement, and every kept
+    weight is a lower bound undercut by at most that decrement."""
+    from rapidocr_ray.stages.sketches import mg_compress
+
+    rng = np.random.default_rng(seed)
+    tokens = np.array([f"t{i}" for i in range(vocab_n)], dtype=object)
+    weights = rng.integers(1, 500, vocab_n).astype(np.int64)
+    t, w, dec = mg_compress(tokens, weights, m)
+    assert len(t) < max(m, vocab_n + 1)
+    kept = dict(zip(t, w))
+    for tok, n in zip(tokens, weights):
+        assert kept.get(tok, 0) >= n - dec
+        if tok in kept:
+            assert 0 < kept[tok] <= n
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 4000), st.integers(0, 2**31), st.integers(1, 8))
+def test_hll_merge_and_monotonicity(n, seed, parts):
+    """Register merge equals single-pass on any split, and adding
+    hashes never lowers any register (monotone sketch)."""
+    from rapidocr_ray.stages.sketches import hll_registers
+
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    chunks = np.array_split(h, min(parts, n))
+    merged = np.maximum.reduce([hll_registers(c, 10) for c in chunks])
+    full = hll_registers(h, 10)
+    assert np.array_equal(merged, full)
+    more = hll_registers(np.concatenate([h, rng.integers(0, 1 << 64, 16, dtype=np.uint64)]), 10)
+    assert np.all(more >= full)
