@@ -628,6 +628,14 @@ def _bmp_bitfields_decode(
         raise ValueError("bmp: BI_BITFIELDS zero channel mask")
     if rm & gm or gm & bm or rm & bm:
         raise ValueError("bmp: BI_BITFIELDS overlapping channel masks")
+    for mask in (rm, gm, bm):
+        shifted = mask >> ((mask & -mask).bit_length() - 1)
+        # the spec requires CONTIGUOUS masks; a sparse mask would also
+        # make the uint32 v*255 scaling below overflow silently
+        if shifted & (shifted + 1):
+            raise ValueError("bmp: BI_BITFIELDS non-contiguous channel mask")
+        if mask >= (1 << bpp):
+            raise ValueError("bmp: BI_BITFIELDS mask wider than pixel")
     top_down = h_raw < 0
     h = abs(h_raw)
     stride = ((w * bpp // 8) + 3) & ~3
@@ -651,7 +659,8 @@ def _bmp_bitfields_decode(
     for mask in (rm, gm, bm):
         shift = (mask & -mask).bit_length() - 1
         mx = mask >> shift
-        v = (vals & np.uint32(mask)) >> np.uint32(shift)
+        # uint64: v*255 overflows uint32 for masks wider than 24 bits
+        v = ((vals & np.uint32(mask)) >> np.uint32(shift)).astype(np.uint64)
         chans.append(((v * 255 + mx // 2) // mx).astype(np.uint8))
     return rgb_to_gray(np.stack(chans, axis=-1))
 
@@ -672,8 +681,9 @@ def encode_bmp_bitfields(
     for ch, mask in enumerate(masks):
         shift = (mask & -mask).bit_length() - 1
         mx = mask >> shift
-        v = (img[:, :, ch].astype(np.uint32) * mx + 127) // 255
-        vals |= v << np.uint32(shift)
+        # uint64 intermediate: v*mx overflows uint32 past 24-bit masks
+        v = (img[:, :, ch].astype(np.uint64) * mx + 127) // 255
+        vals |= (v << np.uint64(shift)).astype(np.uint32)
     rows = np.zeros((h, stride), dtype=np.uint8)
     n = bpp // 8
     b = vals[::-1]  # bottom-up

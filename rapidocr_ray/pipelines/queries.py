@@ -1884,10 +1884,12 @@ def q_ann_ivf_seeded_topk(sf_dir: str):
     against SQL_ANN_IVF_SEEDED."""
     from rapidocr_ray.stages.ann import seeded_ivf_topk
 
-    ids, mat = _load_queries(sf_dir)
+    # queries are by construction the first 10 of the 16 seeds: one
+    # pruned read serves both
     seed_ids, seed_mat = _load_queries(sf_dir, n=16)
+    ids, mat = seed_ids[:10], seed_mat[:10]
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return seeded_ivf_topk(ds, ids, mat, seed_ids, seed_mat, k=5, n_probe=4)
+    return seeded_ivf_topk(ds, ids, mat, seed_mat, k=5, n_probe=4)
 
 
 SQL_ANN_IVF_SEEDED = """

@@ -105,30 +105,18 @@ def kmeans_lite(mat: np.ndarray, n_centroids: int, n_iter: int = 5, seed: int = 
     return cents
 
 
-def ivf_topk(
-    ds,
-    query_ids: np.ndarray,
-    query_mat: np.ndarray,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    train_sample: int = 2048,
-    seed: int = 11,
-):
-    """IVF-style bucketed ANN: corpus bucketed by nearest centroid;
-    each query scans only its n_probe nearest buckets.  Approximate —
-    recall depends on (n_centroids, n_probe)."""
+def _bucketed_topk(ds, query_ids: np.ndarray, q_mat_n: np.ndarray,
+                   cents: np.ndarray, probe: np.ndarray, k: int):
+    """Shared IVF scan+reduce: corpus batches assign to their nearest
+    centroid (np.argmax — first max = lowest centroid index), each
+    query scans only its probed buckets, local top-k candidates go
+    through one small (query_id, candidate) reduce.  Centroids/probe
+    are broadcast ONCE via ray.put; the shuffle carries only
+    n_queries*k rows per batch.  Ties everywhere: sim desc, id asc."""
     import ray
 
     ensure_worker_importable()
-    sample = ds.limit(train_sample).to_pandas()
-    train = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    cents = kmeans_lite(train, n_centroids, seed=seed)
-    q_mat_n = _normalize(np.asarray(query_mat, dtype=np.float64))
-    probe = np.argsort(-(q_mat_n @ cents.T), axis=1)[:, :n_probe]  # [Q, n_probe]
-    ref = ray.put(
-        (np.asarray(query_ids, dtype=np.int64), q_mat_n, cents, probe)
-    )
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat_n, cents, probe))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat, cents_, probe_ = ray.get(ref)
@@ -165,11 +153,32 @@ def ivf_topk(
 
     return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
+
+def ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 11,
+):
+    """IVF-style bucketed ANN: corpus bucketed by nearest centroid;
+    each query scans only its n_probe nearest buckets.  Approximate —
+    recall depends on (n_centroids, n_probe)."""
+    sample = ds.limit(train_sample).to_pandas()
+    train = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_lite(train, n_centroids, seed=seed)
+    q_mat_n = _normalize(np.asarray(query_mat, dtype=np.float64))
+    probe = np.argsort(-(q_mat_n @ cents.T), axis=1)[:, :n_probe]  # [Q, n_probe]
+    return _bucketed_topk(ds, query_ids, q_mat_n, cents, probe, k)
+
+
 def seeded_ivf_topk(
     ds,
     query_ids: np.ndarray,
     query_mat: np.ndarray,
-    seed_ids: np.ndarray,
     seed_mat: np.ndarray,
     k: int = 5,
     n_probe: int = 4,
@@ -178,18 +187,14 @@ def seeded_ivf_topk(
     the centroids ARE the (normalized) embeddings of the given seed
     vectors — by convention the n_centroids smallest vec_ids — with a
     single assignment pass and no k-means refinement.  Same scale
-    shape as ivf_topk (centroids broadcast once via ray.put, corpus
-    streams through map_batches, the shuffle carries only candidate
-    rows), but every step is deterministic, so the full query is
-    hash-checked against a DuckDB oracle (window-ranked bucket
-    assignment + probe + ranked candidates; see SQL_ANN_IVF_SEEDED).
+    shape as ivf_topk (shared _bucketed_topk scan+reduce), but every
+    step is deterministic, so the full query is hash-checked against a
+    DuckDB oracle (window-ranked bucket assignment + probe + ranked
+    candidates; see SQL_ANN_IVF_SEEDED).
 
     Tie discipline (matches the oracle's ORDER BY ... , cidx ASC):
     bucket assignment uses np.argmax (first max = lowest centroid
     index); query probing uses lexsort on (centroid idx, -sim)."""
-    import ray
-
-    ensure_worker_importable()
     cents = _normalize(np.asarray(seed_mat, dtype=np.float64))
     q_mat_n = _normalize(np.asarray(query_mat, dtype=np.float64))
     qsims = q_mat_n @ cents.T  # [Q, C]
@@ -197,39 +202,4 @@ def seeded_ivf_topk(
     probe = np.stack(
         [np.lexsort((cidx, -qsims[i]))[:n_probe] for i in range(len(q_mat_n))]
     )
-    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat_n, cents, probe))
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        q_ids, q_mat, cents_, probe_ = ray.get(ref)
-        c_ids, c_mat = _stack_embeddings(batch)
-        c_n = _normalize(c_mat)
-        buckets = np.argmax(c_n @ cents_.T, axis=1)  # first max = lowest cidx
-        sims = q_mat @ c_n.T
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(q_ids)):
-            allowed = np.isin(buckets, probe_[qi]) & (c_ids != q_ids[qi])
-            cand_ids = c_ids[allowed]
-            if cand_ids.size == 0:
-                continue
-            cand_sims = sims[qi][allowed]
-            order = np.lexsort((cand_ids, -cand_sims))[:k]
-            for j in order:
-                out_q.append(int(q_ids[qi]))
-                out_n.append(int(cand_ids[j]))
-                out_s.append(float(cand_sims[j]))
-        return pa.table(
-            {"query_id": out_q, "neighbor_id": out_n, "sim": out_s},
-            schema=pa.schema(
-                [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
-            ),
-        )
-
-    cand = ds.map_batches(local_topk, batch_format="pyarrow")
-
-    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return _bucketed_topk(ds, query_ids, q_mat_n, cents, probe, k)

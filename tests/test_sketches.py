@@ -134,3 +134,19 @@ def test_hll_distinct_per_key_dataset(ray_session):
     }
     assert got == expect
     assert bool(out.hll_ok.all())
+
+
+def test_mg_heavy_hitters_refuses_unsafe_fraction(ray_session):
+    """Review finding: when fraction*N <= global decrement the MG
+    candidate set can silently drop a true heavy hitter; the operator
+    must refuse loudly instead of returning a wrong 'exact' answer."""
+    import ray.data
+
+    from rapidocr_ray.stages.sketches import misra_gries_heavy_hitters
+
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = [" ".join(rng.choice(vocab, 40)) for _ in range(100)]
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(4)
+    with pytest.raises(ValueError, match="global decrement"):
+        misra_gries_heavy_hitters(ds, m=8, fraction=1e-4).to_pandas()
