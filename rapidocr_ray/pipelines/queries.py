@@ -75,6 +75,20 @@ FROM documents
 """
 
 
+def q_warc_extract_pages(sf_dir: str):
+    """Same extraction flow as extract_pages but the input rides the
+    REAL Common-Crawl container: per-doc payloads are wrapped as
+    per-record-gzipped WARC response records and parsed back by the
+    from-scratch WARC reader INSIDE each map task (sources/warc.py), so
+    record framing, HTTP block split and multi-member gzip are all
+    pinned by the same plain-SQL oracle."""
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline
+    from rapidocr_ray.sources.warc import warc_pages_ds_from_documents
+
+    ds = build_extract_pipeline(warc_pages_ds_from_documents(sf_dir), dedup=False)
+    return ds.select_columns(["url", "route", "extracted_text"])
+
+
 def q_extract_metrics(sf_dir: str):
     """A6/A7 analog: per-route run metrics over the extraction output."""
     from ray.data.aggregate import Count, Sum
@@ -2947,6 +2961,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_seeded_topk": q_ann_ivf_seeded_topk,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "lang_distinct_hll": q_lang_distinct_hll,
+    "warc_extract_pages": q_warc_extract_pages,
     "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
@@ -3008,6 +3023,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_seeded_topk": SQL_ANN_IVF_SEEDED,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "lang_distinct_hll": SQL_LANG_DISTINCT_HLL,
+    "warc_extract_pages": SQL_EXTRACT_PAGES,
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "avi_frame_stats": SQL_AVI_FRAME_STATS,
