@@ -145,10 +145,26 @@ def main() -> None:
         "minhash_lsh_pairs",
         "ann_topk",
         "quality_scores",
+        # apples-to-apples container-cost pair: both lines synthesize
+        # pages per batch and run the full cascade single-shot; their
+        # delta is the WARC encode+parse layer (the flagship
+        # extract_pages line above reads pre-materialized parquet
+        # best-of-2, so it is NOT the comparator for warc)
+        "extract_pages_synth",
+        "warc_extract_pages",
     ):
-        t0 = time.perf_counter()
-        _consume(q.QUERIES[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn = q.QUERIES["extract_pages"] if name == "extract_pages_synth" else q.QUERIES[name]
+        # the two cascade-heavy pair lines run best-of-2 (same
+        # discipline as the flagship lines) so the actor-pool cold
+        # ramp lands on the first iteration, not on whichever of the
+        # pair happens to run first
+        iters = 2 if name.endswith("extract_pages") or name == "extract_pages_synth" else 1
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _consume(fn(SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # exact all-pairs jaccard over the FULL corpus — the ppjoin-style
     # prefix+positional filtering keeps candidate cost ~ sum of
