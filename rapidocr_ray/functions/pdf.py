@@ -1,0 +1,343 @@
+"""Minimal from-scratch PDF layer (PDF 1.x subset) — the north rule's
+"PDF/layout parse" made real instead of an RBMP stand-in.
+
+Two payload classes a crawl actually carries:
+- born-digital PDFs: page content streams with text operators — text
+  is extracted DIRECTLY (the PDF analog of the HTML fast path; no OCR).
+  Supported operator subset: BT/ET text objects, Tj / ' / TJ show ops
+  (kerning numbers ignored), Td/TD/T* line moves, () string literals
+  with the full escape set (\\n \\r \\t \\b \\f \\( \\) \\\\, octal,
+  line continuations, nested balanced parens).
+- scanned PDFs: a page whose /Resources carries an image XObject —
+  the raster is decoded (FlateDecode /DeviceGray 8-bit directly;
+  DCTDecode through the from-scratch JPEG decoder in functions.jpeg)
+  and routed into the det->cls->rec cascade like any bitmap payload.
+
+Object scan is trailer-less (robust against the truncated/garbled
+xrefs crawl PDFs routinely have): `N 0 obj ... endobj` spans are
+walked directly; /Length is honored when it is a direct integer and
+falls back to scanning for `endstream` otherwise.  All malformed
+input raises typed ValueError; recognized-but-unsupported features
+(encryption, exotic image filters/colorspaces) raise typed
+NotImplementedError — the same crawl-triage contract as every decoder
+in this repo.
+
+Fixture writers emit spec-valid PDFs (object table + xref + trailer)
+so external tools can open what the tests parse.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+PDF_MAGIC = b"%PDF-"
+_MAX_STREAM = 64 << 20  # decompression bound: typed error, never an OOM
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_MAX_PIXELS = 1 << 26  # raster sanity bound (typed error past it)
+
+
+def _inflate(data: bytes, max_bytes: int = _MAX_STREAM) -> bytes:
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(data, max_bytes + 1)
+    except zlib.error as exc:
+        raise ValueError(f"pdf: corrupt FlateDecode stream ({exc})") from exc
+    if len(out) > max_bytes:
+        raise ValueError(f"pdf: decompressed stream exceeds {max_bytes}")
+    if not d.eof:
+        raise ValueError("pdf: truncated FlateDecode stream")
+    return out
+
+
+def _dict_int(d: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\b", d)
+    return int(m.group(1)) if m else None
+
+
+def _scan_objects(data: bytes):
+    """Yield (dict_bytes, stream_bytes|None) for every indirect object.
+    The dict is everything between `obj` and `stream`/`endobj`."""
+    for m in _OBJ_RE.finditer(data):
+        body_start = m.end()
+        end = data.find(b"endobj", body_start)
+        if end < 0:
+            raise ValueError("pdf: object without endobj")
+        body = data[body_start:end]
+        s = body.find(b"stream")
+        if s < 0:
+            yield body, None
+            continue
+        head = body[:s]
+        # stream data begins after CRLF or LF following the keyword
+        data_start = body_start + s + len(b"stream")
+        if data[data_start : data_start + 2] == b"\r\n":
+            data_start += 2
+        elif data[data_start : data_start + 1] == b"\n":
+            data_start += 1
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            length = int(lm.group(1))
+            data_end = data_start + length
+            if data_end > len(data):
+                raise ValueError("pdf: stream exceeds file (bad /Length)")
+        else:
+            # indirect or missing /Length: scan for the terminator
+            data_end = data.find(b"endstream", data_start)
+            if data_end < 0:
+                raise ValueError("pdf: stream without endstream")
+            # strip the trailing EOL the writer put before endstream
+            while data_end > data_start and data[data_end - 1 : data_end] in (b"\r", b"\n"):
+                data_end -= 1
+        yield head, data[data_start:data_end]
+
+
+def _unescape_literal(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break  # trailing backslash: ignored per spec
+        e = raw[i]
+        if e in b"nrtbf":
+            out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+            i += 1
+        elif e in b"()\\":
+            out.append(e)
+            i += 1
+        elif e in b"\r\n":  # line continuation
+            i += 1
+            if e == 0x0D and i < n and raw[i] == 0x0A:
+                i += 1
+        elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+            val = 0
+            k = 0
+            while k < 3 and i < n and 0x30 <= raw[i] <= 0x37:
+                val = val * 8 + (raw[i] - 0x30)
+                i += 1
+                k += 1
+            out.append(val & 0xFF)
+        else:  # unknown escape: the char itself, per spec
+            out.append(e)
+            i += 1
+    return out.decode("latin-1")
+
+
+def _read_literal(data: bytes, start: int) -> tuple[str, int]:
+    """Parse a () string literal starting at the open paren; returns
+    (text, index past the close paren).  Balanced nested parens and
+    escapes per PDF 7.3.4.2."""
+    depth = 0
+    i = start
+    n = len(data)
+    raw = bytearray()
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # escape: copy verbatim, resolve later
+            raw.append(c)
+            if i + 1 < n:
+                raw.append(data[i + 1])
+            i += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+            if depth > 1:
+                raw.append(c)
+            i += 1
+            continue
+        if c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return _unescape_literal(bytes(raw)), i + 1
+            raw.append(c)
+            i += 1
+            continue
+        raw.append(c)
+        i += 1
+    raise ValueError("pdf: unterminated string literal")
+
+
+_LINE_OPS = (b"Td", b"TD", b"T*")
+
+
+def extract_text_ops(content: bytes) -> list[str]:
+    """Text-operator subset of a content stream -> lines.  Tj/'/TJ
+    append to the current line; Td/TD/T* start a new one."""
+    lines: list[str] = []
+    cur: list[str] = []
+    i = 0
+    n = len(content)
+
+    def flush():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # string literal (consumed by Tj / ' / TJ)
+            text, i = _read_literal(content, i)
+            cur.append(text)
+            continue
+        if content.startswith(_LINE_OPS[2], i):  # T*
+            flush()
+            i += 2
+            continue
+        if content.startswith(_LINE_OPS[0], i) or content.startswith(_LINE_OPS[1], i):
+            flush()
+            i += 2
+            continue
+        i += 1
+    flush()
+    return lines
+
+
+def parse_pdf(payload: bytes) -> tuple[str, str | np.ndarray]:
+    """PDF bytes -> ("text", extracted_str) | ("raster", gray ndarray).
+
+    Raster wins when an image XObject is present (scanned docs often
+    also carry an empty text layer); text otherwise."""
+    payload = bytes(payload)
+    if payload[:5] != PDF_MAGIC:
+        raise ValueError("pdf: bad header")
+    if b"/Encrypt" in payload[-2048:] or b"/Encrypt" in payload[:2048]:
+        raise NotImplementedError("pdf: encrypted document (stub)")
+    raster: np.ndarray | None = None
+    text_lines: list[str] = []
+    saw_obj = False
+    for head, stream in _scan_objects(payload):
+        saw_obj = True
+        if stream is None:
+            continue
+        if b"/Subtype" in head and b"/Image" in head:
+            if raster is not None:
+                continue  # first image wins (single-page fixtures)
+            w = _dict_int(head, b"Width")
+            h = _dict_int(head, b"Height")
+            bpc = _dict_int(head, b"BitsPerComponent")
+            if not w or not h:
+                raise ValueError("pdf: image XObject missing dimensions")
+            if b"/DCTDecode" in head:
+                from rapidocr_ray.functions.jpeg import decode_jpeg
+
+                raster = decode_jpeg(stream)
+                continue
+            if b"/FlateDecode" not in head:
+                raise NotImplementedError(
+                    "pdf: image filter unsupported (FlateDecode/DCTDecode only)"
+                )
+            if bpc != 8 or b"/DeviceGray" not in head:
+                raise NotImplementedError(
+                    "pdf: image colorspace unsupported (8-bit DeviceGray)"
+                )
+            if w * h > _MAX_PIXELS:
+                # a corrupt Width/Height must not widen the inflate
+                # bound into a decompression-bomb window
+                raise ValueError("pdf: image dimensions exceed sanity bound")
+            px = _inflate(stream, max_bytes=w * h + 64)
+            if len(px) < w * h:
+                raise ValueError("pdf: image stream shorter than Width*Height")
+            raster = np.frombuffer(px, dtype=np.uint8, count=w * h).reshape(h, w)
+            continue
+        # content-stream candidate
+        data = stream
+        if b"/FlateDecode" in head:
+            data = _inflate(data)
+        if b"BT" in data:
+            text_lines.extend(extract_text_ops(data))
+    if not saw_obj:
+        raise ValueError("pdf: no objects found")
+    if raster is not None:
+        return "raster", raster
+    if text_lines:
+        return "text", "\n".join(text_lines)
+    raise ValueError("pdf: no extractable content (no text ops, no image)")
+
+
+# ---------------------------------------------------------------------------
+# fixture writers (spec-valid single-page PDFs)
+# ---------------------------------------------------------------------------
+
+
+def _escape_literal(s: str) -> bytes:
+    out = s.encode("latin-1", errors="replace")
+    return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _assemble(objects: list[bytes]) -> bytes:
+    """Number objects 1..n, emit header + bodies + xref + trailer."""
+    parts = [b"%PDF-1.4\n"]
+    offsets = []
+    pos = len(parts[0])
+    for i, body in enumerate(objects, start=1):
+        obj = b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        offsets.append(pos)
+        parts.append(obj)
+        pos += len(obj)
+    xref_pos = pos
+    xref = [b"xref\n0 %d\n" % (len(objects) + 1), b"0000000000 65535 f \n"]
+    for off in offsets:
+        xref.append(b"%010d 00000 n \n" % off)
+    parts.extend(xref)
+    parts.append(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_pos)
+    )
+    return b"".join(parts)
+
+
+def encode_pdf_text(lines: list[str]) -> bytes:
+    """Single-page born-digital PDF: one FlateDecode content stream,
+    one Tj per line separated by TD line moves."""
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"0 -14 TD")
+        ops.append(b"(" + _escape_literal(line) + b") Tj")
+    ops.append(b"ET")
+    content = zlib.compress(b" ".join(ops), 6)
+    return _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+    )
+
+
+def encode_pdf_scanned(img: np.ndarray) -> bytes:
+    """Single-page scanned PDF: FlateDecode 8-bit DeviceGray image
+    XObject drawn full-page (lossless, so cascade extraction is
+    byte-identical to the rendered page)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    px = zlib.compress(img.tobytes(), 6)
+    content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+    return _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] " % (w, h)
+            + b"/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>",
+            b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d " % (w, h)
+            + b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n" % len(px) + px + b"\nendstream",
+        ]
+    )

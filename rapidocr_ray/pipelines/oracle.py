@@ -31,7 +31,14 @@ from rapidocr_ray.stages.cascade import (
     TextRecognizer,
     apply_most_angle,
 )
-from rapidocr_ray.stages.ray_stages import FINAL_SCHEMA, maybe_gunzip, sniff_route
+from rapidocr_ray.functions.pdf import parse_pdf
+from rapidocr_ray.glyphs import encode_rbmp
+from rapidocr_ray.stages.ray_stages import (
+    CASCADE_ROUTES,
+    FINAL_SCHEMA,
+    maybe_gunzip,
+    sniff_route,
+)
 from rapidocr_ray.state.models import ModelRegistry
 
 
@@ -69,7 +76,21 @@ class OracleExtractor:
                 payload.decode("utf-8", errors="replace"), self.cfg.Html
             )
             return row
-        if route != "bitmap":
+        if route == "pdf":
+            # same fan-out as DecodeRouteExtract: born-digital -> text,
+            # scanned -> RBMP-wrapped raster into the cascade below
+            try:
+                kind, content = parse_pdf(payload)
+            except (ValueError, NotImplementedError) as exc:
+                row.update(route="error", err=str(exc))
+                return row
+            if kind == "text":
+                row.update(route="pdf_text", extracted_text=content)
+                return row
+            route = "pdf_raster"
+            row["route"] = route
+            payload = encode_rbmp(content)
+        if route not in CASCADE_ROUTES:
             return row
         t0 = time.perf_counter()
         try:

@@ -89,6 +89,29 @@ def q_warc_extract_pages(sf_dir: str):
     return ds.select_columns(["url", "route", "extracted_text"])
 
 
+def q_pdf_extract_pages(sf_dir: str):
+    """The PDF layer end-to-end: born-digital PDFs (text operators)
+    extract directly, scanned PDFs (FlateDecode DeviceGray XObject)
+    rasterize into the det->cls->rec cascade, contentless PDFs become
+    typed error rows — all pinned by a plain-SQL oracle because both
+    PDF classes must reproduce documents.text byte-for-byte."""
+    from rapidocr_ray.pipelines.extract import build_extract_pipeline
+    from rapidocr_ray.sources.pages import pdf_pages_ds_from_documents
+
+    ds = build_extract_pipeline(pdf_pages_ds_from_documents(sf_dir), dedup=False)
+    return ds.select_columns(["url", "route", "extracted_text"])
+
+
+SQL_PDF_EXTRACT_PAGES = """
+SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE doc_id % 3 WHEN 0 THEN 'pdf_text'
+            WHEN 1 THEN 'pdf_raster'
+            ELSE 'error' END AS route,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN text END AS extracted_text
+FROM documents
+"""
+
+
 def q_extract_metrics(sf_dir: str):
     """A6/A7 analog: per-route run metrics over the extraction output."""
     from ray.data.aggregate import Count, Sum
@@ -2962,6 +2985,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "lang_distinct_hll": q_lang_distinct_hll,
     "warc_extract_pages": q_warc_extract_pages,
+    "pdf_extract_pages": q_pdf_extract_pages,
     "ann_ivf_invariant": q_ann_ivf_invariant,
     "image_metadata": q_image_metadata,
     "video_frame_stats": q_video_frame_stats,
@@ -3024,6 +3048,7 @@ ORACLE_SQL: dict[str, str] = {
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "lang_distinct_hll": SQL_LANG_DISTINCT_HLL,
     "warc_extract_pages": SQL_EXTRACT_PAGES,
+    "pdf_extract_pages": SQL_PDF_EXTRACT_PAGES,
     "image_metadata": SQL_IMAGE_METADATA,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "avi_frame_stats": SQL_AVI_FRAME_STATS,

@@ -32,6 +32,10 @@ import pyarrow as pa
 
 from rapidocr_ray import glyphs
 from rapidocr_ray.functions.html import make_page_html
+# module-level (not lazy inside the builder): workers receive this
+# module by VALUE via ensure_worker_importable, where a runtime
+# `import rapidocr_ray...` inside a function body cannot resolve
+from rapidocr_ray.functions.pdf import encode_pdf_scanned, encode_pdf_text
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -211,3 +215,56 @@ def write_pages_parquet(
         pq.write_table(shard, path, row_group_size=row_group_size)
         paths.append(path)
     return paths
+
+
+def pdf_pages_from_documents(doc_table: pa.Table) -> pa.Table:
+    """documents -> pages whose payloads are REAL PDFs (functions/pdf):
+    doc_id % 3 == 0 -> born-digital (text operators; the pdf_text fast
+    path), 1 -> scanned (FlateDecode DeviceGray raster of the rendered
+    glyph page; rides the cascade as pdf_raster), 2 -> a well-formed
+    but contentless PDF (typed error route).  Extraction must equal
+    ``documents.text`` byte-for-byte on routes 0/1 — the plain-SQL
+    oracle for the PDF layer."""
+    doc_ids = doc_table.column("doc_id").to_pylist()
+    texts = doc_table.column("text").to_pylist()
+    langs = doc_table.column("lang").to_pylist()
+    urls, tss, payloads = [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        urls.append(doc_url(doc_id))
+        tss.append(_ts(doc_id))
+        m = doc_id % 3
+        if m == 0:
+            payloads.append(encode_pdf_text([text]))
+        elif m == 1:
+            page = glyphs.render_page([text], margin=8, line_gap=32)
+            payloads.append(encode_pdf_scanned(page))
+        else:
+            payloads.append(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n")
+    return pa.table(
+        {
+            "url": urls,
+            "warc_ts": tss,
+            "html": payloads,
+            "text": texts,
+            "lang": langs,
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
+def pdf_pages_ds_from_documents(sf_dir: str, rows_per_block: int = 128):
+    """Distributed variant of pdf_pages_from_documents (same shape as
+    pages_ds_from_documents: pruned read, synthesis inside the task)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rapidocr_ray.util import ensure_worker_importable
+
+    ensure_worker_importable()
+    path = f"{sf_dir}/documents.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    n_blocks = max(1, total // max(1, rows_per_block))
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text", "lang"], override_num_blocks=n_blocks
+    )
+    return ds.map_batches(pdf_pages_from_documents, batch_format="pyarrow")

@@ -39,7 +39,13 @@ from rapidocr_ray.functions.imgproc import (
     whole_image_box,
 )
 from rapidocr_ray.functions.codecs import decode_page_image
+from rapidocr_ray.functions.pdf import PDF_MAGIC, parse_pdf
 from rapidocr_ray.glyphs import MAGIC, decode_rbmp, encode_rbmp, is_rbmp
+
+# routes whose payload column carries a decodable page bitmap for the
+# det->cls->rec cascade (pdf_raster = scanned-PDF raster re-wrapped as
+# RBMP by DecodeRouteExtract)
+CASCADE_ROUTES = ("bitmap", "pdf_raster")
 
 # known BITMAPINFOHEADER-family sizes at offset 14 — the extra check
 # that keeps the weak 2-byte "BM" magic from swallowing text payloads
@@ -169,6 +175,12 @@ def sniff_route(payload: bytes | None) -> tuple[str, str | None]:
         return "bitmap", None
     if payload[:2] == b"BM" and len(payload) >= 54 and payload[14:18] in _DIB_SIZES:
         return "bitmap", None
+    if payload[:5] == PDF_MAGIC:
+        # PDF payloads split downstream: born-digital (text operators)
+        # extract directly like html; scanned (image XObject) rasters
+        # re-enter the cascade as bitmap payloads (north rule: "routes
+        # PDF/binary payloads through rasterize -> det -> cls -> rec")
+        return "pdf", None
     head = payload[:4096]
     try:
         snippet = head.decode("utf-8")
@@ -232,7 +244,10 @@ def sniff_routes_batch(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         bitmap |= bm & dib_ok
     routes[bitmap] = "bitmap"
     errs[bitmap] = None
-    rest = ~(empty | bitmap)
+    pdf = _magic(PDF_MAGIC) & ~bitmap
+    routes[pdf] = "pdf"
+    errs[pdf] = None
+    rest = ~(empty | bitmap | pdf)
     rest_idx = np.flatnonzero(rest)
     if len(rest_idx):
         heads = pc.binary_slice(payloads.take(pa.array(rest_idx)), 0, 4096)
@@ -318,7 +333,34 @@ class DecodeRouteExtract:
                     payload.decode("utf-8", errors="replace"), self.cfg.Html
                 )
 
-        bitmap_mask = routes == "bitmap"
+        # PDF fan-out: born-digital -> inline text extraction
+        # (pdf_text, the html-fast-path analog); scanned -> the raster
+        # re-wraps as an RBMP payload and rides the cascade route
+        # (pdf_raster); malformed/unsupported -> typed error rows
+        pdf_idx = np.flatnonzero(routes == "pdf")
+        if len(pdf_idx):
+            rewrapped: dict[int, bytes] = {}
+            pdf_payloads = payloads.take(pa.array(pdf_idx)).to_pylist()
+            for i, payload in zip(pdf_idx, pdf_payloads):
+                try:
+                    kind, content = parse_pdf(payload)
+                except (ValueError, NotImplementedError) as exc:
+                    routes[i] = "error"
+                    errs[i] = str(exc)
+                    continue
+                if kind == "text":
+                    routes[i] = "pdf_text"
+                    extracted[i] = content
+                else:
+                    routes[i] = "pdf_raster"
+                    rewrapped[int(i)] = encode_rbmp(content)
+            if rewrapped:
+                vals = payloads.to_pylist()
+                for i, b in rewrapped.items():
+                    vals[i] = b
+                payloads = pa.array(vals, type=pa.binary())
+
+        bitmap_mask = np.isin(routes, CASCADE_ROUTES)
         if bitmap_mask.all():
             payload_col = payloads  # zero-copy pass-through (det corpora)
         else:
@@ -363,7 +405,7 @@ class DetStage:
         out: list[dict] = []
         for i, row in enumerate(rows):
             row["payload"] = None
-            if row["route"] != "bitmap" or row["err"] is not None:
+            if row["route"] not in CASCADE_ROUTES or row["err"] is not None:
                 out.append(row)
                 continue
             t0 = time.perf_counter()
@@ -519,7 +561,7 @@ class CascadeStage:
                 "cls_elapse": None,
                 "rec_elapse": None,
             }
-            if row["route"] != "bitmap" or row["err"] is not None:
+            if row["route"] not in CASCADE_ROUTES or row["err"] is not None:
                 docs.append(final)
                 continue
             t0 = time.perf_counter()

@@ -1,0 +1,145 @@
+"""PDF layer (functions/pdf.py): text-operator extraction, scanned
+raster decode, typed error contract, routing integration, and Ray-vs-
+oracle byte-identical e2e."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rapidocr_ray.functions import pdf as P
+
+
+def test_pdf_text_roundtrip_multiline_and_escapes():
+    lines = [
+        "hello (nested (parens)) world",
+        "back\\slash and tab\tchar",
+        "octal \x07 bell and newline-in-line\ninside",
+        "",
+        "last",
+    ]
+    kind, text = P.parse_pdf(P.encode_pdf_text(lines))
+    assert kind == "text"
+    # exact round trip: empty lines emit an empty Tj, so they survive
+    assert text == "\n".join(lines)
+
+
+def test_pdf_literal_escape_forms():
+    # hand-built content stream exercising octal, continuation, unknown
+    content = rb"BT (a\101\12b) Tj (one\
+two) Tj 0 -14 Td (\q) Tj ET"
+    lines = P.extract_text_ops(content)
+    assert lines == ["aA\nbonetwo", "q"]
+
+
+def test_pdf_scanned_raster_exact():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (33, 57), dtype=np.uint8)
+    kind, out = P.parse_pdf(P.encode_pdf_scanned(img))
+    assert kind == "raster" and np.array_equal(out, img)
+
+
+def test_pdf_scanned_dctdecode_via_jpeg_decoder():
+    """A DCTDecode image XObject decodes through functions.jpeg: an
+    8x8-block-constant image at q=100 round-trips bit-exactly."""
+    from rapidocr_ray.functions.jpeg import encode_jpeg
+
+    blocks = np.random.RandomState(5).randint(0, 256, (3, 4), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    jpg = encode_jpeg(img, quality=100)
+    h, w = img.shape
+    pdf = P._assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] " % (w, h)
+            + b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d " % (w, h)
+            + b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length %d >>\nstream\n" % len(jpg) + jpg + b"\nendstream",
+        ]
+    )
+    kind, out = P.parse_pdf(pdf)
+    assert kind == "raster" and np.array_equal(out, img)
+
+
+def test_pdf_typed_errors():
+    with pytest.raises(ValueError, match="bad header"):
+        P.parse_pdf(b"not a pdf")
+    with pytest.raises(ValueError, match="no objects"):
+        P.parse_pdf(b"%PDF-1.4\nnothing here")
+    with pytest.raises(ValueError, match="no extractable content"):
+        P.parse_pdf(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        P.parse_pdf(b"%PDF-1.4\n/Encrypt 1 0 obj\n<< >>\nendobj\n")
+    good = P.encode_pdf_scanned(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="filter"):
+        P.parse_pdf(good.replace(b"/FlateDecode", b"/CCITTFaxDecode"))
+    with pytest.raises(ValueError, match="sanity bound"):
+        P.parse_pdf(good.replace(b"/Width 8", b"/Width 99999999"))
+    txt = P.encode_pdf_text(["abc"])
+    with pytest.raises(ValueError):
+        P.parse_pdf(txt[: len(txt) // 2])
+
+
+def test_pdf_fuzz_typed_errors_only():
+    rng = np.random.RandomState(17)
+    fixtures = [
+        P.encode_pdf_text(["fuzz line one", "two"]),
+        P.encode_pdf_scanned(rng.randint(0, 256, (16, 16), dtype=np.uint8)),
+    ]
+    for good in fixtures:
+        for _ in range(80):
+            cut = int(rng.randint(6, len(good)))
+            b = bytearray(good)
+            for _ in range(int(rng.randint(1, 4))):
+                b[int(rng.randint(0, len(b)))] = int(rng.randint(0, 256))
+            for payload in (good[:cut], bytes(b)):
+                try:
+                    P.parse_pdf(payload)
+                except (ValueError, NotImplementedError):
+                    pass
+
+
+def test_pdf_routing_sniff():
+    from rapidocr_ray.stages.ray_stages import sniff_route, sniff_routes_batch
+
+    pdfs = [P.encode_pdf_text(["x"]), P.encode_pdf_scanned(np.zeros((4, 4), np.uint8))]
+    for p in pdfs:
+        assert sniff_route(p) == ("pdf", None)
+    routes, errs = sniff_routes_batch(pa.array(pdfs + [b"<html>"], type=pa.binary()))
+    assert list(routes) == ["pdf", "pdf", "html"]
+    assert errs[0] is None and errs[1] is None
+
+
+def test_pdf_pages_ray_matches_oracle(ray_session):
+    """Byte-identical per url: the Ray pipeline and the single-process
+    oracle agree on all three PDF routes (text / raster / error)."""
+    import pyarrow.parquet as pq
+
+    from rapidocr_ray.pipelines.extract import extract_pages_table
+    from rapidocr_ray.pipelines.oracle import OracleExtractor
+    from rapidocr_ray.sources.pages import pdf_pages_from_documents
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 90)
+    pages = pdf_pages_from_documents(docs)
+    cols = ["url", "route", "err", "extracted_text", "n_spans", "spans"]
+    got = (
+        extract_pages_table(pages, dedup=False)
+        .to_pandas()[cols]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        OracleExtractor()
+        .run(pages, dedup=False)
+        .to_pandas()[cols]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert set(got.route) == {"pdf_text", "pdf_raster", "error"}
+    # text/raster rows must reproduce documents.text byte-for-byte
+    texts = {f"https://docs.example/{i}": t for i, t in
+             zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())}
+    ok = got[got.route.isin(["pdf_text", "pdf_raster"])]
+    assert all(texts[u] == t for u, t in zip(ok.url, ok.extracted_text))
