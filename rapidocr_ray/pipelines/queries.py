@@ -2929,6 +2929,413 @@ FROM embeddings
 
 
 # ===========================================================================
+# web-curation widening: PII redaction, paragraph-level dedup,
+# URL canonicalization, PSL-lite domain rollup.  Each synthesizes its
+# web-shaped input deterministically from `documents` INSIDE the query
+# (both Ray and SQL sides compute the identical augmentation), the same
+# round-trip discipline as warc_extract_pages / pdf_extract_pages.
+# ===========================================================================
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def _ids_str(ids: np.ndarray, mod: int | None = None) -> pa.Array:
+    v = ids % mod if mod is not None else ids
+    return pc.cast(pa.array(v, type=pa.int64()), pa.string())
+
+
+def q_pii_redaction(sf_dir: str):
+    """PII scrub — the curation stage every crawl corpus runs before
+    training: RE2 email + IPv4 redaction (Arrow's replace_substring_regex
+    and DuckDB's regexp_replace share the RE2 engine, so match spans are
+    identical by construction).  PII-bearing text is synthesized
+    deterministically per doc on BOTH sides (emails/IPs vary by doc_id
+    residues) so the regexes are exercised on real matches; the value
+    pin is md5 of the fully redacted text.  Embarrassingly parallel —
+    one vectorized map_batches, no shuffle; the only per-row Python is
+    the oracle-pinned md5."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        empty = pa.array([""] * len(ids), type=pa.string())
+        email2 = pc.if_else(
+            pa.array(ids % 3 == 0),
+            pc.binary_join_element_wise(
+                pa.array([" backup admin."] * len(ids)), _ids_str(ids),
+                pa.array(["@example.org"] * len(ids)), "",
+            ),
+            empty,
+        )
+        ip2 = pc.if_else(
+            pa.array(ids % 2 == 0),
+            pc.binary_join_element_wise(
+                pa.array([" and 192.168."] * len(ids)), _ids_str(ids, 256),
+                pa.array([".1"] * len(ids)), "",
+            ),
+            empty,
+        )
+        aug = pc.binary_join_element_wise(
+            batch.column("text"),
+            pa.array([" contact user"] * len(ids)), _ids_str(ids),
+            pa.array(["@mail"] * len(ids)), _ids_str(ids, 7),
+            pa.array([".example.com"] * len(ids)), email2,
+            pa.array([" from 10."] * len(ids)), _ids_str(ids, 200),
+            pa.array(["."] * len(ids)), _ids_str(ids, 251),
+            pa.array(["."] * len(ids)), _ids_str(ids, 13),
+            ip2, "",
+        )
+        n_emails = pc.cast(pc.count_substring_regex(aug, pattern=_PII_EMAIL), pa.int64())
+        t1 = pc.replace_substring_regex(aug, pattern=_PII_EMAIL, replacement="<EMAIL>")
+        n_ips = pc.cast(pc.count_substring_regex(t1, pattern=_PII_IPV4), pa.int64())
+        t2 = pc.replace_substring_regex(t1, pattern=_PII_IPV4, replacement="<IP>")
+        # INTENTIONAL to_pylist: oracle-pinned per-doc md5 of the
+        # redacted text (no Arrow kernel for md5).
+        md5s = [hashlib.md5(s.encode()).hexdigest() for s in t2.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "redacted_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+SQL_PII_REDACTION = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      || CASE WHEN doc_id % 3 = 0 THEN ' backup admin.' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END
+      || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 251 AS VARCHAR) || '.' || CAST(doc_id % 13 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN ' and 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+    AS t FROM documents),
+red AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug),
+red2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips,
+    regexp_replace(t1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t2
+  FROM red)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ips AS BIGINT) AS n_ips,
+       md5(t2) AS redacted_md5
+FROM red2
+"""
+
+
+def _paragraphs(text: str, k: int = 8) -> list[str]:
+    """Deterministic paragraphization: consecutive k-word chunks (the
+    corpus has no newlines; both sides chunk identically)."""
+    w = text.split(" ")
+    return [" ".join(w[i : i + k]) for i in range(0, len(w), k)]
+
+
+def q_paragraph_dedup(sf_dir: str, n_buckets: int = 64):
+    """Paragraph-level exact dedup (the RefinedWeb/CCNet staple): a
+    paragraph instance survives iff it is the globally-first occurrence
+    of its text, ordered by (doc_id, pidx).  Scale shape: shuffle 1
+    carries (md5, doc_id, pidx) ONLY — never paragraph text — bucketed
+    by md5 prefix; winners (the kept instances) shuffle 2 by doc bucket
+    alongside a pruned re-read of documents, so text crosses the wire
+    zero times and is re-paragraphized locally for the kept-concat md5
+    pin.  Output per doc: n_paras, n_kept, md5 of the newline-joined
+    kept paragraphs."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        # INTENTIONAL to_pylist: oracle-pinned per-doc string chunking
+        # + md5 (no Arrow kernel family for either).
+        texts = batch.column("text").to_pylist()
+        out_doc, out_pidx, out_h = [], [], []
+        for d, t in zip(ids, texts):
+            for i, para in enumerate(_paragraphs(t)):
+                out_doc.append(int(d))
+                out_pidx.append(i)
+                out_h.append(hashlib.md5(para.encode()).hexdigest())
+        h = pa.array(out_h, type=pa.string())
+        bucket = np.frombuffer(
+            b"".join(bytes.fromhex(s[:8]) for s in out_h), dtype=">u4"
+        ).astype(np.int64) % n_buckets
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "pidx": pa.array(out_pidx, type=pa.int64()),
+                "h": h,
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+
+    def winners(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "doc_id", "pidx"]).drop_duplicates("h")
+        return g[["doc_id", "pidx"]]
+
+    won = ex.groupby("bucket").map_groups(winners, batch_format="pandas")
+
+    def won_tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pidx": batch.column("pidx"),
+                "text": pa.nulls(len(ids), pa.string()),
+                "dbucket": pa.array(ids * 2654435761 % 2**32 % n_buckets, type=pa.int64()),
+            }
+        )
+
+    def doc_tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pidx": pa.array(np.full(len(ids), -1), type=pa.int64()),
+                "text": batch.column("text"),
+                "dbucket": pa.array(ids * 2654435761 % 2**32 % n_buckets, type=pa.int64()),
+            }
+        )
+
+    both = won.map_batches(won_tag, batch_format="pyarrow").union(
+        ds.map_batches(doc_tag, batch_format="pyarrow")
+    )
+
+    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        docs = group[group.pidx < 0]
+        kept = group[group.pidx >= 0]
+        kept_sets = kept.groupby("doc_id")["pidx"].agg(set)
+        rows = {"doc_id": [], "n_paras": [], "n_kept": [], "kept_md5": []}
+        for d, t in zip(docs.doc_id.to_numpy(), docs.text):
+            paras = _paragraphs(t)
+            ks = kept_sets.get(d, set())
+            kept_text = "\n".join(p for i, p in enumerate(paras) if i in ks)
+            rows["doc_id"].append(int(d))
+            rows["n_paras"].append(len(paras))
+            rows["n_kept"].append(len(ks))
+            rows["kept_md5"].append(hashlib.md5(kept_text.encode()).hexdigest())
+        return pd.DataFrame(rows)
+
+    return both.groupby("dbucket").map_groups(per_doc, batch_format="pandas")
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (SELECT doc_id, unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS pidx, w FROM t),
+q AS (SELECT doc_id, pidx, array_to_string(w[(pidx*8+1):(pidx*8+8)], ' ') AS para FROM p),
+r AS (SELECT doc_id, pidx, para,
+        ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn FROM q)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pidx), '')) AS kept_md5
+FROM r GROUP BY doc_id
+"""
+
+
+_DOMAIN_URL_PIECES = True  # marker: url synthesis mirrored in SQL below
+
+
+def q_domain_stats(sf_dir: str, n_buckets: int = 64):
+    """Per-registrable-domain rollup with a PSL-lite suffix rule (the
+    real public-suffix algorithm over an embedded {com,org,net,io,co.uk}
+    list — 'a.b.co.uk' rolls up to 'b.co.uk', not 'co.uk').  URLs are
+    synthesized deterministically (hosts vary by doc_id residue; ~4% are
+    'www.').  Scale shape: per-batch partial group_by on (domain, host,
+    lang) collapses each batch to its distinct triples, then ONE bounded
+    shuffle on crc32(domain) merges exact distinct-host / distinct-lang
+    counts — the user_distinct_types mergeable-partial pattern."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    tlds = ["com", "org", "net", "io", "co.uk"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        n = len(ids)
+        www = pc.if_else(
+            pa.array(ids % 4 == 0),
+            pa.array(["www."] * n),
+            pc.binary_join_element_wise(
+                pa.array(["w"] * n), _ids_str(ids, 23), pa.array(["."] * n), ""
+            ),
+        )
+        tld = pa.array(np.asarray(tlds, dtype=object)[ids % 5], type=pa.string())
+        host = pc.binary_join_element_wise(
+            www, batch.column("source"), pa.array(["-site."] * n), tld, ""
+        )
+        # PSL-lite registrable domain
+        uk = pc.ends_with(host, pattern=".co.uk")
+        reg_uk = pc.struct_field(
+            pc.extract_regex(host, pattern=r"(?P<d>[^.]+\.co\.uk)$"), "d"
+        )
+        reg2 = pc.struct_field(
+            pc.extract_regex(host, pattern=r"(?P<d>[^.]+\.[^.]+)$"), "d"
+        )
+        domain = pc.if_else(uk, reg_uk, reg2)
+        t = pa.table(
+            {
+                "domain": domain,
+                "host": host,
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+            }
+        )
+        agg = t.group_by(["domain", "host", "lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        # stable string bucket on the DISTINCT domains only
+        bucket = pa.array(
+            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("domain").to_pylist()),
+            type=pa.int64(),
+        )
+        return agg.append_column("bucket", bucket)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("domain", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_docs": g["n_chars_count"].sum().astype(np.int64),
+                "n_hosts": g["host"].nunique().astype(np.int64),
+                "sum_chars": g["n_chars_sum"].sum().astype(np.int64),
+                "n_langs": g["lang"].nunique().astype(np.int64),
+            }
+        )
+        return out.reset_index()
+
+    return part.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+SQL_DOMAIN_STATS = r"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+    'https://' ||
+      CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE 'w' || CAST(doc_id % 23 AS VARCHAR) || '.' END
+      || source || '-site.'
+      || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' WHEN 3 THEN 'io' ELSE 'co.uk' END
+      || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (SELECT doc_id, lang, n_chars, regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host FROM u),
+d AS (SELECT doc_id, lang, n_chars, host,
+        CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+             ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+      FROM h)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM d GROUP BY domain
+"""
+
+
+def q_url_canonical_dedup(sf_dir: str, n_buckets: int = 64):
+    """URL canonicalization + latest-wins dedup — the crawl-side
+    normalization exact url-dedup misses: lowercase scheme+host, strip
+    the https default port, drop query+fragment, trim one trailing
+    slash.  Messy URLs are synthesized deterministically (mixed-case
+    host ~50%, ':443' ~20%, utm query ~33%, fragment ~14%, trailing
+    slash ~25%; path collides on doc_id%97 so groups are real).  Scale
+    shape: canonicalization is one vectorized map_batches; the winner
+    pick is ONE bounded shuffle on crc32(canon) with a vectorized
+    per-bucket sort/first (no per-url Python)."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        n = len(ids)
+        empty = pa.array([""] * n, type=pa.string())
+        url = pc.binary_join_element_wise(
+            pc.if_else(pa.array(ids % 3 == 0), pa.array(["HTTPS://"] * n), pa.array(["https://"] * n)),
+            pc.if_else(pa.array(ids % 2 == 0), pa.array(["Docs.Example"] * n), pa.array(["docs.example"] * n)),
+            pc.if_else(pa.array(ids % 5 == 0), pa.array([":443"] * n), empty),
+            pa.array(["/a/"] * n), _ids_str(ids, 97),
+            pc.if_else(pa.array(ids % 4 == 0), pa.array(["/"] * n), empty),
+            pc.if_else(
+                pa.array(ids % 3 == 1),
+                pc.binary_join_element_wise(
+                    pa.array(["?utm_source=x&id="] * n), _ids_str(ids), ""
+                ),
+                empty,
+            ),
+            pc.if_else(pa.array(ids % 7 == 0), pa.array(["#frag"] * n), empty),
+            "",
+        )
+        scheme = pc.utf8_lower(
+            pc.struct_field(pc.extract_regex(url, pattern=r"^(?P<s>[A-Za-z]+)://"), "s")
+        )
+        hostport = pc.struct_field(
+            pc.extract_regex(url, pattern=r"^[A-Za-z]+://(?P<h>[^/?#]+)"), "h"
+        )
+        host = pc.utf8_lower(pc.replace_substring_regex(hostport, pattern=r":443$", replacement=""))
+        path = pc.struct_field(
+            pc.extract_regex(url, pattern=r"^[A-Za-z]+://[^/?#]+(?P<p>[^?#]*)"), "p"
+        )
+        is_root = pc.or_(pc.equal(path, ""), pc.equal(path, "/"))
+        # '/$' matches at most once, so this trims exactly one slash
+        trimmed = pc.replace_substring_regex(path, pattern="/$", replacement="")
+        path2 = pc.if_else(is_root, pa.array(["/"] * n), trimmed)
+        c = pc.binary_join_element_wise(scheme, pa.array(["://"] * n), host, path2, "")
+        bucket = pa.array(
+            (zlib.crc32(s.encode()) % n_buckets for s in c.to_pylist()),
+            type=pa.int64(),
+        )
+        return pa.table(
+            {"canon_url": c, "doc_id": batch.column("doc_id"), "bucket": bucket}
+        )
+
+    part = ds.map_batches(canon, batch_format="pyarrow")
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("canon_url", sort=False)["doc_id"]
+        mx = g.max()
+        return pd.DataFrame(
+            {
+                "canon_url": mx.index,
+                "doc_id": mx.to_numpy().astype(np.int64),
+                "n_dups": g.count().to_numpy().astype(np.int64),
+            }
+        )
+
+    return part.groupby("bucket").map_groups(pick, batch_format="pandas")
+
+
+SQL_URL_CANONICAL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+    CASE WHEN doc_id % 2 = 0 THEN 'Docs.Example' ELSE 'docs.example' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+    '/a/' || CAST(doc_id % 97 AS VARCHAR) ||
+    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 3 = 1 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+    lower(regexp_replace(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), ':443$', '')) ||
+    CASE WHEN p = '' OR p = '/' THEN '/'
+         WHEN p LIKE '%/' THEN left(p, len(p)-1)
+         ELSE p END AS canon
+  FROM (SELECT doc_id, url, regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p FROM u)),
+r AS (SELECT doc_id, canon, ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY canon) AS n_dups FROM c)
+SELECT canon AS canon_url, doc_id, CAST(n_dups AS BIGINT) AS n_dups FROM r WHERE rn = 1
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -2994,6 +3401,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "webp_metadata": q_webp_metadata,
     "audio_features": q_audio_features,
     "image_features": q_image_features,
+    "pii_redaction": q_pii_redaction,
+    "paragraph_dedup": q_paragraph_dedup,
+    "domain_stats": q_domain_stats,
+    "url_canonical_dedup": q_url_canonical_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3057,4 +3468,8 @@ ORACLE_SQL: dict[str, str] = {
     "audio_features": SQL_AUDIO_FEATURES,
     "image_features": SQL_IMAGE_FEATURES,
     "ann_ivf_invariant": SQL_ANN_IVF_INVARIANT,
+    "pii_redaction": SQL_PII_REDACTION,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "domain_stats": SQL_DOMAIN_STATS,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
 }

@@ -1,0 +1,149 @@
+"""Round-5 web-curation widening: PII redaction, paragraph-level exact
+dedup, PSL-lite domain rollup, URL canonicalization dedup."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rapidocr_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+NEW = ["pii_redaction", "paragraph_dedup", "domain_stats", "url_canonical_dedup"]
+
+
+def _docs_dir(tmp_path, ids, texts, langs=None, sources=None, name="docs"):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs or ["en"] * len(ids), type=pa.string()),
+            "source": pa.array(sources or ["src0"] * len(ids), type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _oracle(sf_dir, name):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(q.ORACLE_SQL[name]).df()
+
+
+def _compare(got_ds, want_df):
+    df = got_ds.to_pandas()
+    cols = sorted(df.columns)
+    assert cols == sorted(want_df.columns), (cols, sorted(want_df.columns))
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = want_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return df
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_curation_queries_match_duckdb_at_sf(ray_session, name):
+    _compare(q.QUERIES[name](SF), _oracle(SF, name))
+
+
+def test_pii_redaction_adversarial_text(ray_session, tmp_path):
+    """Text that ALREADY carries pii-looking strings (emails with dotted
+    local parts, boundary-adjacent IPs, too-long octets): counts and the
+    redacted-text md5 must still match the RE2 oracle exactly."""
+    d = _docs_dir(
+        tmp_path,
+        [0, 1, 2, 3],
+        [
+            "reach a.b-c@sub.domain.co or x@y.io now",
+            "ip 1.2.3.4 and weird 999.999.999.999 plus 1.2.3.4.5",
+            "not-an-email @nope.com and trailing dot a@b.com.",
+            "plain words only",
+        ],
+    )
+    df = _compare(q.QUERIES["pii_redaction"](d), _oracle(d, "pii_redaction"))
+    # doc 0 text contributes 2 extra emails on top of the synthesized ones
+    base = df[df.doc_id == 3]
+    assert int(df[df.doc_id == 0].n_emails.iloc[0]) == int(base.n_emails.iloc[0]) + 2
+
+
+def test_paragraph_dedup_within_and_cross_doc(ray_session, tmp_path):
+    """A paragraph repeated INSIDE one doc keeps only its first
+    instance; a later doc repeating an earlier doc's paragraph drops
+    it; double spaces / short tails chunk identically to the SQL."""
+    p = "a b c d e f g h"  # exactly one 8-word paragraph
+    d = _docs_dir(
+        tmp_path,
+        [0, 1, 2],
+        [
+            p + " " + p,  # self-dup: second instance dropped
+            p + " unique tail words here",  # cross-doc dup of p
+            "x  y z",  # double space -> empty token, 1 short paragraph
+        ],
+    )
+    df = _compare(q.QUERIES["paragraph_dedup"](d), _oracle(d, "paragraph_dedup"))
+    by = df.set_index("doc_id")
+    assert (int(by.loc[0].n_paras), int(by.loc[0].n_kept)) == (2, 1)
+    assert int(by.loc[1].n_kept) == int(by.loc[1].n_paras) - 1
+    assert (int(by.loc[2].n_paras), int(by.loc[2].n_kept)) == (1, 1)
+
+
+def test_domain_stats_psl_rollup(ray_session, tmp_path):
+    """PSL-lite: hosts under .co.uk roll up to label.co.uk (three
+    labels), the rest to the last two labels; www and wN hosts under
+    one registrable domain count as distinct hosts."""
+    # doc_ids chosen so %5 residues hit com (0,5) and co.uk (4,9,14)
+    d = _docs_dir(
+        tmp_path,
+        [0, 5, 4, 9, 14],
+        ["t"] * 5,
+        langs=["en", "de", "en", "en", "fr"],
+        sources=["s"] * 5,
+    )
+    df = _compare(q.QUERIES["domain_stats"](d), _oracle(d, "domain_stats"))
+    by = df.set_index("domain")
+    assert set(by.index) == {"s-site.com", "s-site.co.uk"}
+    assert int(by.loc["s-site.com"].n_docs) == 2
+    assert int(by.loc["s-site.com"].n_hosts) == 2  # www. and w5.
+    assert int(by.loc["s-site.co.uk"].n_langs) == 2
+
+
+def test_url_canonical_dedup_latest_wins(ray_session, tmp_path):
+    """Groups collide on doc_id%97: the max doc_id in each canonical
+    group wins and n_dups counts every messy variant."""
+    ids = list(range(300))
+    d = _docs_dir(tmp_path, ids, ["t"] * len(ids))
+    df = _compare(
+        q.QUERIES["url_canonical_dedup"](d), _oracle(d, "url_canonical_dedup")
+    )
+    assert len(df) == 97
+    assert int(df.n_dups.sum()) == len(ids)
+    # every canonical url is scheme://lower-host/path with no junk
+    assert df.canon_url.str.match(r"^https://docs\.example/a/\d+$").all()
+    g12 = df[df.canon_url == "https://docs.example/a/12"]
+    assert int(g12.doc_id.iloc[0]) == 206  # max id with id%97==12 under 300
+
+
+def test_curation_ops_empty_inputs(ray_session, tmp_path):
+    """Empty documents table: every new op returns exactly what DuckDB
+    returns (zero rows), never crashing (the ROLLUP bug class)."""
+    d = _docs_dir(tmp_path, [], [])
+    for name in NEW:
+        got = q.QUERIES[name](d).to_pandas()
+        assert len(got) == len(_oracle(d, name)) == 0, name
+
+
+def test_paragraph_dedup_multibatch_shuffle(ray_session, tmp_path):
+    """Force many batches/buckets: winners must be GLOBAL minima, not
+    per-batch minima — 200 docs all sharing one paragraph keep exactly
+    one instance corpus-wide."""
+    ids = list(range(200))
+    d = _docs_dir(tmp_path, ids, ["same eight word text for all docs here"] * 200)
+    df = _compare(q.QUERIES["paragraph_dedup"](d), _oracle(d, "paragraph_dedup"))
+    assert int(df.n_kept.sum()) == 1
+    assert int(df[df.doc_id == 0].n_kept.iloc[0]) == 1
