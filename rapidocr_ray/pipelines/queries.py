@@ -3335,6 +3335,312 @@ SELECT canon AS canon_url, doc_id, CAST(n_dups AS BIGINT) AS n_dups FROM r WHERE
 """
 
 
+_UNIGRAM_CACHE: dict = {}
+_BLOOM_CACHE: dict = {}
+
+
+def q_unigram_logprob(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: int = 64):
+    """Unigram-LM quality score (the CCNet/KenLM-style perplexity
+    filter, self-trained): pass 1 builds exact corpus token counts
+    (per-batch `pa.Table.group_by` partials, ONE crc32(token)-bucketed
+    merge — the top_terms shape); pass 2 broadcasts the per-token
+    logprob table once (`ray.put` + worker LRU, the decontam shape) and
+    scores every doc in one streaming map_batches with a vectorized
+    Series.map + offset-cumsum segment sum.  Determinism pin: per-token
+    score = floor(log10(c/N)*1e6) as int64 — Python/numpy/DuckDB libm
+    log10 verified bit-identical on a 200k fuzz, and the per-doc SUM is
+    integer so accumulation order cannot diverge.  Past
+    ``broadcast_limit`` vocab rows the score attaches through a
+    token-bucketed shuffle instead (equality-pinned by test)."""
+    import zlib
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), pattern=" "))
+        agg = pa.table({"t": flat}).group_by(["t"]).aggregate([("t", "count")])
+        bucket = pa.array(
+            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("t").to_pylist()),
+            type=pa.int64(),
+        )
+        return agg.append_column("bucket", bucket)
+
+    def merge_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("t", sort=False)["t_count"].sum()
+        return pd.DataFrame({"t": g.index, "c": g.to_numpy().astype(np.int64)})
+
+    vocab_ds = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_counts, batch_format="pandas")
+    )
+    # vocab is bounded by VOCABULARY size, not corpus size — the
+    # driver-side collect is the documented broadcast build
+    vocab = vocab_ds.to_pandas()
+    if len(vocab) == 0:  # zero-block input loses its schema entirely
+        vocab = pd.DataFrame({"t": pd.Series([], dtype=object), "c": pd.Series([], dtype=np.int64)})
+    n = float(vocab.c.sum()) if len(vocab) else 1.0
+    lp = np.floor(np.log10(vocab.c.to_numpy().astype(np.float64) / n) * 1e6).astype(
+        np.int64
+    ) if len(vocab) else np.array([], dtype=np.int64)
+
+    def doc_sums(batch: pa.Table, lookup: pd.Series) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_pandas()
+        lpv = flat.map(lookup).to_numpy(dtype=np.int64)
+        cs = np.concatenate([[0], np.cumsum(lpv)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "logprob_micro_sum": pa.array(cs[ends] - cs[starts], type=pa.int64()),
+            }
+        )
+
+    if len(vocab) <= broadcast_limit:
+        lookup = pd.Series(lp, index=vocab.t)
+        ref = ray.put(lookup)
+
+        def score(batch: pa.Table) -> pa.Table:
+            lk = lru_cache_get(_UNIGRAM_CACHE, ref.hex(), lambda: ray.get(ref))
+            return doc_sums(batch, lk)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # large-vocab fallback: attach logprobs through a token-bucketed
+    # shuffle (doc token instances + vocab rows meet in the same
+    # crc32 bucket), then ONE doc-bucketed merge of the partial sums.
+    lp_ds = vocab_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "t": b.column("t"),
+                "lp": pa.array(
+                    np.floor(
+                        np.log10(np.asarray(b.column("c"), dtype=np.float64) / n) * 1e6
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "doc_id": pa.array(np.full(len(b), -1), type=pa.int64()),
+                "bucket": pa.array(
+                    [zlib.crc32(s.encode()) % n_buckets for s in b.column("t").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(np.asarray(batch.column("doc_id")), lens)
+        return pa.table(
+            {
+                "t": flat,
+                "lp": pa.array(np.zeros(len(ids)), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(
+                    [zlib.crc32(s.encode()) % n_buckets for s in flat.to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    both = lp_ds.union(ds.map_batches(explode_tokens, batch_format="pyarrow"))
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        vv = group[group.doc_id < 0]
+        inst = group[group.doc_id >= 0]
+        lk = pd.Series(vv.lp.to_numpy(), index=vv.t)
+        lpv = inst.t.map(lk).to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"doc_id": inst.doc_id.to_numpy(), "lp": lpv}).groupby(
+            "doc_id", sort=False
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": g["lp"].sum().index.to_numpy().astype(np.int64),
+                "n_tokens": g["lp"].count().to_numpy().astype(np.int64),
+                "logprob_micro_sum": g["lp"].sum().to_numpy().astype(np.int64),
+            }
+        )
+        out["dbucket"] = out.doc_id.to_numpy() * 2654435761 % 2**32 % n_buckets
+        return out
+
+    partial_docs = both.groupby("bucket").map_groups(attach, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("doc_id", sort=False)
+        return pd.DataFrame(
+            {
+                "doc_id": g["n_tokens"].sum().index.to_numpy().astype(np.int64),
+                "n_tokens": g["n_tokens"].sum().to_numpy().astype(np.int64),
+                "logprob_micro_sum": g["logprob_micro_sum"].sum().to_numpy().astype(np.int64),
+            }
+        )
+
+    return partial_docs.groupby("dbucket").map_groups(final, batch_format="pandas")
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+j AS (SELECT doc_id, CAST(floor(log10(CAST(c AS DOUBLE)/n)*1000000) AS BIGINT) AS lp
+      FROM tok JOIN cnt USING (t), tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp) AS BIGINT) AS logprob_micro_sum
+FROM j GROUP BY doc_id
+"""
+
+
+def _lead_key(text: str) -> str:
+    """Leading-content fingerprint: first 8 words (crawl-dedup proxy
+    for shared boilerplate headers; mirrors SQL list slice [1:8])."""
+    return " ".join(text.split(" ")[:8])
+
+
+def q_incremental_dedup(sf_dir: str, n_bits_log2: int = 20, n_buckets: int = 64):
+    """Incremental (cross-snapshot) dedup — the shape every recurring
+    crawl ingest needs: flag each NEW document whose leading-content
+    fingerprint already appeared in the PRIOR snapshot (doc_id%3==0,
+    the deterministic stand-in).  Scale shape: the prior side builds a
+    mergeable Bloom filter (per-batch 128 KB bit partials, OR-reduced,
+    broadcast once via ray.put + worker LRU); new docs stream through
+    the probe and ONLY Bloom candidates enter the exact-verify
+    bucketed semi-join — false positives are removed there, so the
+    output is EXACT (hash-checked) while non-candidates never shuffle.
+    The probe's key computation is recomputed for the two branches
+    (hash-only recompute beats materializing the corpus)."""
+    import hashlib
+    import zlib
+    import ray
+
+    m = 1 << n_bits_log2
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _keys(batch: pa.Table) -> tuple[np.ndarray, list[bytes]]:
+        ids = np.asarray(batch.column("doc_id"))
+        # INTENTIONAL to_pylist: oracle-pinned per-doc md5 of the key
+        texts = batch.column("text").to_pylist()
+        return ids, [hashlib.md5(_lead_key(t).encode()).digest() for t in texts]
+
+    def _positions(digests: list[bytes]) -> np.ndarray:
+        """4 Bloom positions per key from the md5 digest (rows x 4)."""
+        if not digests:
+            return np.zeros((0, 4), dtype=np.int64)
+        raw = np.frombuffer(b"".join(digests), dtype="<u4").reshape(-1, 4)
+        return (raw % m).astype(np.int64)
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        ids, digs = _keys(batch)
+        prior = [d for i, d in zip(ids, digs) if i % 3 == 0]
+        bits = np.zeros(m, dtype=bool)
+        bits[_positions(prior).ravel()] = True
+        # bitorder='little' so the probe's (byte >> (pos & 7)) & 1 is bit pos
+        return pa.table(
+            {"bloom": pa.array([np.packbits(bits, bitorder="little").tobytes()])}
+        )
+
+    parts = ds.map_batches(bloom_partial, batch_format="pyarrow").take_all()
+    bloom = np.zeros(m // 8, dtype=np.uint8)
+    for r in parts:
+        bloom |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    ref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bl = lru_cache_get(_BLOOM_CACHE, ref.hex(), lambda: ray.get(ref))
+        ids, digs = _keys(batch)
+        new_mask = ids % 3 != 0
+        nids = ids[new_mask]
+        ndigs = [d for d, k in zip(digs, new_mask) if k]
+        pos = _positions(ndigs)
+        hit = (
+            ((bl[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+            if len(ndigs)
+            else np.zeros(0, dtype=bool)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(nids, type=pa.int64()),
+                "key": pa.array([d.hex() for d in ndigs], type=pa.string()),
+                "cand": pa.array(hit, type=pa.bool_()),
+            }
+        )
+
+    def resolved(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.invert(batch.column("cand")))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "is_dup": pa.array(np.zeros(len(b), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(batch.column("cand"))
+        keys = b.column("key").to_pylist()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "key": b.column("key"),
+                "bucket": pa.array(
+                    [zlib.crc32(k.encode()) % n_buckets for k in keys], type=pa.int64()
+                ),
+            }
+        )
+
+    def prior_rows(batch: pa.Table) -> pa.Table:
+        ids, digs = _keys(batch)
+        sel = ids % 3 == 0
+        keys = [d.hex() for d, k in zip(digs, sel) if k]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(sum(sel), -1), type=pa.int64()),
+                "key": pa.array(keys, type=pa.string()),
+                "bucket": pa.array(
+                    [zlib.crc32(k.encode()) % n_buckets for k in keys], type=pa.int64()
+                ),
+            }
+        )
+
+    probe_ds = ds.map_batches(probe, batch_format="pyarrow")
+    easy = probe_ds.map_batches(resolved, batch_format="pyarrow")
+    cand = ds.map_batches(probe, batch_format="pyarrow").map_batches(
+        cand_rows, batch_format="pyarrow"
+    )
+    prior = ds.map_batches(prior_rows, batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        pset = set(group[group.doc_id < 0].key)
+        c = group[group.doc_id >= 0]
+        return pd.DataFrame(
+            {
+                "doc_id": c.doc_id.to_numpy().astype(np.int64),
+                "is_dup": c.key.isin(pset).to_numpy().astype(np.int64),
+            }
+        )
+
+    checked = cand.union(prior).groupby("bucket").map_groups(
+        verify, batch_format="pandas"
+    )
+    return easy.union(checked)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH k AS (SELECT doc_id, array_to_string(string_split(text, ' ')[1:8], ' ') AS key
+           FROM documents)
+SELECT d.doc_id,
+       CAST(CASE WHEN EXISTS(SELECT 1 FROM k p WHERE p.doc_id % 3 = 0 AND p.key = d.key)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM k d WHERE d.doc_id % 3 <> 0
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3405,6 +3711,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "domain_stats": q_domain_stats,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "unigram_logprob": q_unigram_logprob,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3472,4 +3780,6 @@ ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "domain_stats": SQL_DOMAIN_STATS,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

@@ -10,7 +10,14 @@ import pytest
 from rapidocr_ray.pipelines import queries as q
 
 SF = "/root/testdata/sf0.001"
-NEW = ["pii_redaction", "paragraph_dedup", "domain_stats", "url_canonical_dedup"]
+NEW = [
+    "pii_redaction",
+    "paragraph_dedup",
+    "domain_stats",
+    "url_canonical_dedup",
+    "unigram_logprob",
+    "incremental_dedup",
+]
 
 
 def _docs_dir(tmp_path, ids, texts, langs=None, sources=None, name="docs"):
@@ -136,6 +143,71 @@ def test_curation_ops_empty_inputs(ray_session, tmp_path):
     for name in NEW:
         got = q.QUERIES[name](d).to_pandas()
         assert len(got) == len(_oracle(d, name)) == 0, name
+
+
+def test_unigram_logprob_fallback_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the token-bucketed attach shuffle; the
+    result must equal the broadcast plan bit-for-bit."""
+    from rapidocr_ray.pipelines.queries import q_unigram_logprob
+
+    a = (
+        q_unigram_logprob(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_unigram_logprob(SF, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_unigram_logprob_planted_counts(ray_session, tmp_path):
+    """Known vocabulary: 'a' appears 3x, 'b' 1x across 2 docs (N=4) —
+    per-token scores are floor(log10(3/4)*1e6) and floor(log10(1/4)*1e6),
+    summed per doc as exact int64."""
+    import math
+
+    d = _docs_dir(tmp_path, [0, 1], ["a a b", "a"])
+    df = _compare(q.QUERIES["unigram_logprob"](d), _oracle(d, "unigram_logprob"))
+    la = math.floor(math.log10(3 / 4) * 1e6)
+    lb = math.floor(math.log10(1 / 4) * 1e6)
+    by = df.set_index("doc_id")
+    assert int(by.loc[0].logprob_micro_sum) == 2 * la + lb
+    assert int(by.loc[1].logprob_micro_sum) == la
+    assert (int(by.loc[0].n_tokens), int(by.loc[1].n_tokens)) == (3, 1)
+
+
+def test_incremental_dedup_planted_and_tiny_bloom(ray_session, tmp_path):
+    """A new doc sharing its first 8 words with a prior-snapshot doc is
+    flagged; differing word 8 is not.  A 64-bit Bloom (false positives
+    near-certain) must STILL produce the exact output — the verify
+    join, not the sketch, owns correctness."""
+    from rapidocr_ray.pipelines.queries import q_incremental_dedup
+
+    head = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d = _docs_dir(
+        tmp_path,
+        [0, 1, 2, 3],  # 0, 3 are prior (doc_id%3==0)
+        [head + " prior tail", head + " new tail", "w1 w2 w3 w4 w5 w6 w7 DIFF x", "other prior"],
+    )
+    df = _compare(q.QUERIES["incremental_dedup"](d), _oracle(d, "incremental_dedup"))
+    by = df.set_index("doc_id")
+    assert int(by.loc[1].is_dup) == 1
+    assert int(by.loc[2].is_dup) == 0
+    tiny = (
+        q_incremental_dedup(d, n_bits_log2=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True), tiny[df.columns],
+        check_dtype=False,
+    )
 
 
 def test_paragraph_dedup_multibatch_shuffle(ray_session, tmp_path):
