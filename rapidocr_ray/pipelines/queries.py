@@ -3641,6 +3641,79 @@ FROM k d WHERE d.doc_id % 3 <> 0
 """
 
 
+def q_range_join(sf_dir: str, window_us: int = 3_600_000_000, n_buckets: int = 64):
+    """Interval non-equi self-join (the brief's named 'range join'
+    custom operator): for every purchase event, count and cents-sum the
+    same user's events in the half-open hour [ts-1h, ts).  Scale shape:
+    ONE user-bucketed shuffle (no all-pairs blowup — the range
+    predicate is resolved per user by sorting once and binary-searching
+    both interval ends against a prefix-sum, so a bucket costs
+    O(n log n) not O(n^2)).  All arithmetic in int64 microseconds and
+    exact cents, so no float accumulation can diverge from the SQL."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "t_us": pa.array(
+                    np.asarray(batch.column("ts")).astype("datetime64[us]").astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "user_id": batch.column("user_id"),
+                "is_p": pc.equal(batch.column("event_type"), "purchase"),
+                "cents": pa.array(_cents(np.asarray(batch.column("value"))), type=pa.int64()),
+                "bucket": pa.array(uid * 2654435761 % 2**32 % n_buckets, type=pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(prep, batch_format="pyarrow")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "t_us", "event_id"], kind="mergesort")
+        t = g.t_us.to_numpy()
+        cents = g.cents.to_numpy()
+        out_id, out_n, out_c = [], [], []
+        # per-user slices: events per user are bounded, vectorized inside
+        starts = np.flatnonzero(
+            np.concatenate([[True], g.user_id.to_numpy()[1:] != g.user_id.to_numpy()[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(g)]])
+        for s, e in zip(starts, ends):
+            ts = t[s:e]
+            cs = np.concatenate([[0], np.cumsum(cents[s:e])])
+            pm = g.is_p.to_numpy()[s:e]
+            if not pm.any():
+                continue
+            pt = ts[pm]
+            lo = np.searchsorted(ts, pt - window_us, side="left")
+            hi = np.searchsorted(ts, pt, side="left")
+            out_id.extend(g.event_id.to_numpy()[s:e][pm].tolist())
+            out_n.extend((hi - lo).tolist())
+            out_c.extend((cs[hi] - cs[lo]).tolist())
+        return pd.DataFrame(
+            {
+                "event_id": np.asarray(out_id, dtype=np.int64),
+                "n_prior": np.asarray(out_n, dtype=np.int64),
+                "prior_value_cents": np.asarray(out_c, dtype=np.int64),
+            }
+        )
+
+    return part.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_prior,
+       CAST(COALESCE(SUM(CAST(floor(e.value*100+0.5) AS BIGINT)), 0) AS BIGINT) AS prior_value_cents
+FROM events p LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3713,6 +3786,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "unigram_logprob": q_unigram_logprob,
     "incremental_dedup": q_incremental_dedup,
+    "range_join": q_range_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3782,4 +3856,5 @@ ORACLE_SQL: dict[str, str] = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "range_join": SQL_RANGE_JOIN,
 }

@@ -210,6 +210,61 @@ def test_incremental_dedup_planted_and_tiny_bloom(ray_session, tmp_path):
     )
 
 
+def _events_dir(tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    import numpy as np
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def _oracle_events(sf_dir, name):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.execute(q.ORACLE_SQL[name]).df()
+
+
+def test_range_join_matches_duckdb_at_sf(ray_session):
+    _compare(q.QUERIES["range_join"](SF), _oracle_events(SF, "range_join"))
+
+
+def test_range_join_boundary_semantics(ray_session, tmp_path):
+    """Half-open [ts-1h, ts): an event exactly 1h before IS counted, an
+    event at the same instant is NOT, other users never leak in, and a
+    purchase with no user history emits (0, 0)."""
+    d = _events_dir(
+        tmp_path,
+        [
+            (0, "2024-01-01T11:00:00", 1, "view", 10.0),      # exactly -1h: in
+            (1, "2024-01-01T11:30:00", 1, "view", 20.0),      # in window
+            (2, "2024-01-01T12:00:00", 1, "view", 40.0),      # same instant: out
+            (3, "2024-01-01T12:00:00", 1, "purchase", 99.0),  # probe
+            (4, "2024-01-01T11:45:00", 2, "view", 80.0),      # other user
+            (5, "2024-01-01T10:00:00", 3, "purchase", 5.0),   # no history
+        ],
+    )
+    df = _compare(q.QUERIES["range_join"](d), _oracle_events(d, "range_join"))
+    by = df.set_index("event_id")
+    assert (int(by.loc[3].n_prior), int(by.loc[3].prior_value_cents)) == (2, 3000)
+    assert (int(by.loc[5].n_prior), int(by.loc[5].prior_value_cents)) == (0, 0)
+
+
 def test_paragraph_dedup_multibatch_shuffle(ray_session, tmp_path):
     """Force many batches/buckets: winners must be GLOBAL minima, not
     per-batch minima — 200 docs all sharing one paragraph keep exactly
