@@ -3085,30 +3085,26 @@ def q_paragraph_dedup(sf_dir: str, n_buckets: int = 64):
     won = ex.groupby("bucket").map_groups(winners, batch_format="pandas")
 
     def won_tag(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "pidx": batch.column("pidx"),
-                "text": pa.nulls(len(ids), pa.string()),
-                "dbucket": pa.array(ids * 2654435761 % 2**32 % n_buckets, type=pa.int64()),
+                "text": pa.nulls(batch.num_rows, pa.string()),
             }
         )
 
     def doc_tag(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "pidx": pa.array(np.full(len(ids), -1), type=pa.int64()),
+                "pidx": pa.array(np.full(batch.num_rows, -1), type=pa.int64()),
                 "text": batch.column("text"),
-                "dbucket": pa.array(ids * 2654435761 % 2**32 % n_buckets, type=pa.int64()),
             }
         )
 
-    both = won.map_batches(won_tag, batch_format="pyarrow").union(
-        ds.map_batches(doc_tag, batch_format="pyarrow")
-    )
+    both = _bucket_by(
+        won.map_batches(won_tag, batch_format="pyarrow"), "doc_id", n_buckets
+    ).union(_bucket_by(ds.map_batches(doc_tag, batch_format="pyarrow"), "doc_id", n_buckets))
 
     def per_doc(group: pd.DataFrame) -> pd.DataFrame:
         docs = group[group.pidx < 0]
@@ -3125,7 +3121,7 @@ def q_paragraph_dedup(sf_dir: str, n_buckets: int = 64):
             rows["kept_md5"].append(hashlib.md5(kept_text.encode()).hexdigest())
         return pd.DataFrame(rows)
 
-    return both.groupby("dbucket").map_groups(per_doc, batch_format="pandas")
+    return both.groupby("bucket").map_groups(per_doc, batch_format="pandas")
 
 
 SQL_PARAGRAPH_DEDUP = """
@@ -3142,15 +3138,12 @@ FROM r GROUP BY doc_id
 """
 
 
-_DOMAIN_URL_PIECES = True  # marker: url synthesis mirrored in SQL below
-
-
 def q_domain_stats(sf_dir: str, n_buckets: int = 64):
     """Per-registrable-domain rollup with a PSL-lite suffix rule (the
     real public-suffix algorithm over an embedded {com,org,net,io,co.uk}
     list — 'a.b.co.uk' rolls up to 'b.co.uk', not 'co.uk').  URLs are
-    synthesized deterministically (hosts vary by doc_id residue; ~4% are
-    'www.').  Scale shape: per-batch partial group_by on (domain, host,
+    synthesized deterministically, mirrored in the SQL below (hosts
+    vary by doc_id residue; 1 in 4 is 'www.').  Scale shape: per-batch partial group_by on (domain, host,
     lang) collapses each batch to its distinct triples, then ONE bounded
     shuffle on crc32(domain) merges exact distinct-host / distinct-lang
     counts — the user_distinct_types mergeable-partial pattern."""
@@ -3375,15 +3368,28 @@ def q_unigram_logprob(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: 
         .groupby("bucket")
         .map_groups(merge_counts, batch_format="pandas")
     )
-    # vocab is bounded by VOCABULARY size, not corpus size — the
-    # driver-side collect is the documented broadcast build
-    vocab = vocab_ds.to_pandas()
-    if len(vocab) == 0:  # zero-block input loses its schema entirely
-        vocab = pd.DataFrame({"t": pd.Series([], dtype=object), "c": pd.Series([], dtype=np.int64)})
-    n = float(vocab.c.sum()) if len(vocab) else 1.0
-    lp = np.floor(np.log10(vocab.c.to_numpy().astype(np.float64) / n) * 1e6).astype(
-        np.int64
-    ) if len(vocab) else np.array([], dtype=np.int64)
+    # branch on the vocab SIZE before collecting anything, so the
+    # driver heap never sees a vocabulary past broadcast_limit
+    vocab_rows = vocab_ds.count()
+
+    if vocab_rows <= broadcast_limit:
+        # vocab is bounded by VOCABULARY size, not corpus size — the
+        # driver-side collect is the documented broadcast build
+        vocab = vocab_ds.to_pandas()
+        if len(vocab) == 0:  # zero-block input loses its schema entirely
+            vocab = pd.DataFrame(
+                {"t": pd.Series([], dtype=object), "c": pd.Series([], dtype=np.int64)}
+            )
+        n = float(vocab.c.sum()) if len(vocab) else 1.0
+        lp = (
+            np.floor(np.log10(vocab.c.to_numpy().astype(np.float64) / n) * 1e6).astype(
+                np.int64
+            )
+            if len(vocab)
+            else np.array([], dtype=np.int64)
+        )
+    else:
+        n = float(vocab_ds.sum("c"))  # distributed scalar, no collect
 
     def doc_sums(batch: pa.Table, lookup: pd.Series) -> pa.Table:
         toks = pc.split_pattern(batch.column("text"), pattern=" ")
@@ -3401,7 +3407,7 @@ def q_unigram_logprob(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: 
             }
         )
 
-    if len(vocab) <= broadcast_limit:
+    if vocab_rows <= broadcast_limit:
         lookup = pd.Series(lp, index=vocab.t)
         ref = ray.put(lookup)
 
@@ -3608,11 +3614,12 @@ def q_incremental_dedup(sf_dir: str, n_bits_log2: int = 20, n_buckets: int = 64)
             }
         )
 
+    # NOTE: consuming probe_ds from two branches re-executes the
+    # (narrow, hash-only) probe per consumer — at corpus scale that
+    # recompute beats materializing a per-doc intermediate.
     probe_ds = ds.map_batches(probe, batch_format="pyarrow")
     easy = probe_ds.map_batches(resolved, batch_format="pyarrow")
-    cand = ds.map_batches(probe, batch_format="pyarrow").map_batches(
-        cand_rows, batch_format="pyarrow"
-    )
+    cand = probe_ds.map_batches(cand_rows, batch_format="pyarrow")
     prior = ds.map_batches(prior_rows, batch_format="pyarrow")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
@@ -3653,7 +3660,6 @@ def q_range_join(sf_dir: str, window_us: int = 3_600_000_000, n_buckets: int = 6
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        uid = np.asarray(batch.column("user_id"))
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
@@ -3664,11 +3670,10 @@ def q_range_join(sf_dir: str, window_us: int = 3_600_000_000, n_buckets: int = 6
                 "user_id": batch.column("user_id"),
                 "is_p": pc.equal(batch.column("event_type"), "purchase"),
                 "cents": pa.array(_cents(np.asarray(batch.column("value"))), type=pa.int64()),
-                "bucket": pa.array(uid * 2654435761 % 2**32 % n_buckets, type=pa.int64()),
             }
         )
 
-    part = ds.map_batches(prep, batch_format="pyarrow")
+    part = _bucket_by(ds.map_batches(prep, batch_format="pyarrow"), "user_id", n_buckets)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "t_us", "event_id"], kind="mergesort")
