@@ -265,6 +265,32 @@ def test_range_join_boundary_semantics(ray_session, tmp_path):
     assert (int(by.loc[5].n_prior), int(by.loc[5].prior_value_cents)) == (0, 0)
 
 
+def test_curation_randomized_cross_check(ray_session, tmp_path):
+    """Randomized corpus (seeded): texts mix plain words, pii-shaped
+    fragments (emails/IPs/near-misses), tiny shared vocab (forces
+    paragraph + leading-key collisions), and weird spacing — every new
+    operator must still match DuckDB exactly."""
+    import numpy as np
+
+    r = np.random.default_rng(20260818)
+    vocab = ["alpha", "beta", "gamma", "x", "9.9.9.9", "a@b.io", "dot.", "@", "1.2",
+             "u.v@w.example.net", "999.1.1.1", "co", "uk"]
+    texts = []
+    for _ in range(200):
+        k = int(r.integers(1, 30))
+        words = [vocab[int(i)] for i in r.integers(0, len(vocab), k)]
+        t = " ".join(words)
+        if r.random() < 0.2:
+            t += "  "  # trailing double space -> empty tokens
+        texts.append(t)
+    ids = list(range(200))
+    langs = [["en", "de", "fr"][int(i)] for i in r.integers(0, 3, 200)]
+    srcs = [f"s{int(i)}" for i in r.integers(0, 4, 200)]
+    d = _docs_dir(tmp_path, ids, texts, langs=langs, sources=srcs)
+    for name in NEW:
+        _compare(q.QUERIES[name](d), _oracle(d, name)), name
+
+
 def test_paragraph_dedup_multibatch_shuffle(ray_session, tmp_path):
     """Force many batches/buckets: winners must be GLOBAL minima, not
     per-batch minima — 200 docs all sharing one paragraph keep exactly
