@@ -145,6 +145,13 @@ def main() -> None:
         "minhash_lsh_pairs",
         "ann_topk",
         "quality_scores",
+        # round-5 curation family: the three shuffle-bearing members
+        # (paragraph hash shuffle; Bloom build + verify semi-join;
+        # vocab merge + broadcast scoring) — the vectorized no-shuffle
+        # members (pii/domain/canon/range) track quality_scores' cost
+        "paragraph_dedup",
+        "incremental_dedup",
+        "unigram_logprob",
         # apples-to-apples container-cost pair: both lines synthesize
         # pages per batch and run the full cascade single-shot; their
         # delta is the WARC encode+parse layer (the flagship

@@ -3622,13 +3622,18 @@ def q_incremental_dedup(sf_dir: str, n_bits_log2: int = 20, n_buckets: int = 64)
     cand = probe_ds.map_batches(cand_rows, batch_format="pyarrow")
     prior = ds.map_batches(prior_rows, batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    def verify(group: pd.DataFrame) -> pa.Table:
+        # emit ARROW so the union with the (arrow-block) resolved
+        # branch is homogeneous — iter_batches consumers assert on
+        # mixed block types even though to_pandas() tolerates them
         pset = set(group[group.doc_id < 0].key)
         c = group[group.doc_id >= 0]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": c.doc_id.to_numpy().astype(np.int64),
-                "is_dup": c.key.isin(pset).to_numpy().astype(np.int64),
+                "doc_id": pa.array(c.doc_id.to_numpy().astype(np.int64), type=pa.int64()),
+                "is_dup": pa.array(
+                    c.key.isin(pset).to_numpy().astype(np.int64), type=pa.int64()
+                ),
             }
         )
 
