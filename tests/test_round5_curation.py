@@ -291,6 +291,21 @@ def test_curation_randomized_cross_check(ray_session, tmp_path):
         _compare(q.QUERIES[name](d), _oracle(d, name)), name
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["incremental_dedup", "events_rollup", "sliding_window", "paragraph_dedup"],
+)
+def test_union_queries_survive_strict_iter(ray_session, name):
+    """Every union-bearing query must yield through iter_batches —
+    the strict consumer path asserts on mixed arrow/pandas block types
+    that to_pandas() silently tolerates (incremental_dedup shipped
+    with exactly this bug; the driver comparison could not see it)."""
+    n = 0
+    for b in q.QUERIES[name](SF).iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    assert n > 0
+
+
 def test_paragraph_dedup_multibatch_shuffle(ray_session, tmp_path):
     """Force many batches/buckets: winners must be GLOBAL minima, not
     per-batch minima — 200 docs all sharing one paragraph keep exactly
