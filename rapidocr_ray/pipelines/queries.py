@@ -3724,6 +3724,85 @@ GROUP BY p.event_id
 """
 
 
+def q_doc_embedding_join(sf_dir: str, n_buckets: int = 64):
+    """Cross-modal curation join (documents ⋈ embeddings on
+    doc_id = vec_id) with the keep-gate computed post-join.  The scale
+    pattern on display: the WIDE column (the 256-byte embedding) is
+    reduced to its 8-byte exact norm BEFORE the shuffle, so the
+    bucketed join moves only scalars; norm_micro reuses the
+    embedding_stats float pin (float32 squares, sequential float64
+    cumsum — matches DuckDB's list_sum(list_transform(...)) exactly;
+    the corpus's unit vectors split 999999/1000000 micro, so any
+    accumulation-order drift fails the hash immediately)."""
+    from rapidocr_ray.util import stack_list_column
+
+    docs = _bucket_by(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+                    "label": pa.array(np.full(b.num_rows, -1), type=pa.int64()),
+                    "norm_micro": pa.array(np.full(b.num_rows, -1), type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "doc_id",
+        n_buckets,
+    )
+
+    def emb_side(batch: pa.Table) -> pa.Table:
+        m = stack_list_column(batch.column("embedding"), dtype=np.float32)
+        sq = (m * m).astype(np.float64)
+        norm2 = np.cumsum(sq, axis=1)[:, -1] if m.size else np.zeros(0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("vec_id"), pa.int64()),
+                "n_chars": pa.array(np.full(batch.num_rows, -1), type=pa.int64()),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "norm_micro": pa.array(
+                    np.floor(norm2 * 1e6).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    emb = _bucket_by(
+        _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"]).map_batches(
+            emb_side, batch_format="pyarrow"
+        ),
+        "doc_id",
+        n_buckets,
+    )
+
+    def join(group: pd.DataFrame) -> pa.Table:
+        d = group[group.label < 0][["doc_id", "n_chars"]]
+        e = group[group.label >= 0][["doc_id", "label", "norm_micro"]]
+        m = d.merge(e, on="doc_id")
+        keep = ((m.label % 2 == 0) & (m.n_chars >= 200)).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(m.doc_id.to_numpy(), type=pa.int64()),
+                "n_chars": pa.array(m.n_chars.to_numpy(), type=pa.int64()),
+                "label": pa.array(m.label.to_numpy(), type=pa.int64()),
+                "norm_micro": pa.array(m.norm_micro.to_numpy(), type=pa.int64()),
+                "keep": pa.array(keep, type=pa.int64()),
+            }
+        )
+
+    return docs.union(emb).groupby("bucket").map_groups(join, batch_format="pandas")
+
+
+SQL_DOC_EMBEDDING_JOIN = """
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  CAST(floor(list_sum(list_transform(embedding, x -> x*x)) * 1000000) AS BIGINT) AS norm_micro
+           FROM embeddings)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, e.label, e.norm_micro,
+       CAST(CASE WHEN e.label % 2 = 0 AND d.n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d JOIN e ON e.vec_id = d.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3797,6 +3876,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "unigram_logprob": q_unigram_logprob,
     "incremental_dedup": q_incremental_dedup,
     "range_join": q_range_join,
+    "doc_embedding_join": q_doc_embedding_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3867,4 +3947,5 @@ ORACLE_SQL: dict[str, str] = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "range_join": SQL_RANGE_JOIN,
+    "doc_embedding_join": SQL_DOC_EMBEDDING_JOIN,
 }

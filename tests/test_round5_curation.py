@@ -244,6 +244,23 @@ def test_range_join_matches_duckdb_at_sf(ray_session):
     _compare(q.QUERIES["range_join"](SF), _oracle_events(SF, "range_join"))
 
 
+def test_doc_embedding_join_matches_duckdb_at_sf(ray_session):
+    """Cross-modal bucketed join: the embedding is reduced to its exact
+    norm BEFORE the shuffle; the corpus's unit vectors split
+    999999/1000000 micro so both float-pin branches are exercised."""
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    df = _compare(
+        q.QUERIES["doc_embedding_join"](SF),
+        con.execute(q.ORACLE_SQL["doc_embedding_join"]).df(),
+    )
+    assert set(df.norm_micro.unique()) == {999999, 1000000}
+    assert 0 < int(df.keep.sum()) < len(df)
+
+
 def test_range_join_boundary_semantics(ray_session, tmp_path):
     """Half-open [ts-1h, ts): an event exactly 1h before IS counted, an
     event at the same instant is NOT, other users never leak in, and a
