@@ -323,6 +323,30 @@ def test_union_queries_survive_strict_iter(ray_session, name):
     assert n > 0
 
 
+def test_range_join_randomized_cross_check(ray_session, tmp_path):
+    """Seeded random events: few users (dense windows), second-scale
+    ts jitter with deliberate same-instant storms, purchases mixed
+    through — every window count and cents sum must match DuckDB."""
+    import numpy as np
+
+    r = np.random.default_rng(55_2026)
+    rows = []
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    for eid in range(600):
+        uid = int(r.integers(0, 6))
+        # cluster timestamps so [ts-1h, ts) windows overlap heavily;
+        # 10% land on an exact shared second (tie storm)
+        sec = int(r.integers(0, 7200))
+        if r.random() < 0.1:
+            sec = (sec // 600) * 600
+        ts = base + np.timedelta64(sec, "s")
+        et = "purchase" if r.random() < 0.3 else "view"
+        rows.append((eid, str(ts), uid, et, float(r.integers(1, 10000)) / 100.0))
+    d = _events_dir(tmp_path, rows)
+    df = _compare(q.QUERIES["range_join"](d), _oracle_events(d, "range_join"))
+    assert df.n_prior.max() > 10  # dense windows actually exercised
+
+
 def test_paragraph_dedup_multibatch_shuffle(ray_session, tmp_path):
     """Force many batches/buckets: winners must be GLOBAL minima, not
     per-batch minima — 200 docs all sharing one paragraph keep exactly
