@@ -145,6 +145,46 @@ def test_curation_ops_empty_inputs(ray_session, tmp_path):
         assert len(got) == len(_oracle(d, name)) == 0, name
 
 
+def test_join_ops_empty_inputs(ray_session, tmp_path):
+    """range_join over an empty events table and doc_embedding_join
+    over empty documents+embeddings: zero rows, no crash."""
+    d_ev = _events_dir(tmp_path, [])
+    got = q.QUERIES["range_join"](d_ev).to_pandas()
+    assert len(got) == len(_oracle_events(d_ev, "range_join")) == 0
+
+    d = tmp_path / "both"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    got = q.QUERIES["doc_embedding_join"](str(d)).to_pandas()
+    assert len(got) == len(con.execute(q.ORACLE_SQL["doc_embedding_join"]).df()) == 0
+
+
 def test_unigram_logprob_fallback_matches_broadcast(ray_session):
     """broadcast_limit=0 forces the token-bucketed attach shuffle; the
     result must equal the broadcast plan bit-for-bit."""
