@@ -3803,6 +3803,73 @@ FROM documents d JOIN e ON e.vec_id = d.doc_id
 """
 
 
+def q_link_graph_stats(sf_dir: str):
+    """Weighted domain link-graph edge list (src, dst, w) derived from
+    documents by the deterministic outlink rule (stages/graph.py) —
+    pins the edge-derivation bucketed join + weight merge on its own,
+    separately from the pagerank that consumes it."""
+    from rapidocr_ray.stages.graph import derive_domain_edges
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return derive_domain_edges(ds, n_docs=ds.count())
+
+
+SQL_LINK_GRAPH_STATS = """
+WITH docs AS (SELECT doc_id, source FROM documents),
+n AS (SELECT COUNT(*) AS nd FROM docs),
+tgt AS (SELECT a.source AS src, (a.doc_id * 48271 + j.j) % (SELECT nd FROM n) AS t
+        FROM docs a CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) AS j)
+SELECT t.src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+FROM tgt t JOIN docs b ON b.doc_id = t.t
+GROUP BY 1, 2
+"""
+
+
+def q_domain_pagerank(sf_dir: str, n_iter: int = 5):
+    """Iterative integer PageRank over the derived domain graph —
+    rank_nano is int64 nano-units of a 10^12 total mass, every step
+    integer arithmetic, so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit with no float pin (stages/graph.py docstring)."""
+    from rapidocr_ray.stages.graph import derive_domain_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    edges = derive_domain_edges(ds, n_docs=ds.count())
+    return pagerank_int(edges, n_iter=n_iter)
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """Unrolled-iteration DuckDB oracle for q_domain_pagerank: same
+    integer semantics — share = r // out_weight (floor), damped sum
+    floored once on the TOTAL in-sum, teleport floored once."""
+    head = """
+WITH docs AS (SELECT doc_id, source FROM documents),
+n AS (SELECT COUNT(*) AS nd FROM docs),
+tgt AS (SELECT a.source AS src, (a.doc_id * 48271 + j.j) % (SELECT nd FROM n) AS t
+        FROM docs a CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) AS j),
+edges AS (SELECT t.src, b.source AS dst, COUNT(*) AS w
+          FROM tgt t JOIN docs b ON b.doc_id = t.t GROUP BY 1, 2),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS c FROM nodes),
+r0 AS (SELECT node, CAST(1000000000000 // (SELECT c FROM nn) AS BIGINT) AS r
+       FROM nodes)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+r{i} AS (SELECT nodes.node,
+         CAST((1000000000000 * 15) // (100 * (SELECT c FROM nn))
+              + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS r
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS node, SUM((r.r // o.ow) * e.w) AS insum
+           FROM edges e JOIN r{i - 1} r ON r.node = e.src
+                        JOIN outw o ON o.src = e.src
+           GROUP BY 1) s ON s.node = nodes.node)""")
+    return head + "".join(steps) + f"\nSELECT node, r AS rank_nano FROM r{n_iter}"
+
+
+SQL_DOMAIN_PAGERANK = _pagerank_sql(5)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3877,6 +3944,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "incremental_dedup": q_incremental_dedup,
     "range_join": q_range_join,
     "doc_embedding_join": q_doc_embedding_join,
+    "link_graph_stats": q_link_graph_stats,
+    "domain_pagerank": q_domain_pagerank,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3948,4 +4017,6 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "range_join": SQL_RANGE_JOIN,
     "doc_embedding_join": SQL_DOC_EMBEDDING_JOIN,
+    "link_graph_stats": SQL_LINK_GRAPH_STATS,
+    "domain_pagerank": SQL_DOMAIN_PAGERANK,
 }

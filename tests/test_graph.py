@@ -1,0 +1,154 @@
+"""Link-graph stage: deterministic integer PageRank + edge derivation.
+
+The integer-nano-unit semantics make every assertion EXACT: a plain
+Python dict reference loop with the same floor divisions must agree
+bit-for-bit with both the broadcast path and the bucketed fallback,
+at any block split."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rapidocr_ray.stages.graph import (
+    DAMP_DEN,
+    DAMP_NUM,
+    TOTAL_NANO,
+    derive_domain_edges,
+    pagerank_int,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def ref_pagerank(edges, n_iter, total=TOTAL_NANO, damp=DAMP_NUM, den=DAMP_DEN):
+    """Straight-line reference with the exact integer semantics."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    ow: dict[str, int] = {}
+    for s, _, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    tele = (total * (den - damp)) // (den * n)
+    r = {v: total // n for v in nodes}
+    for _ in range(n_iter):
+        ins = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            ins[d] += (r[s] // ow[s]) * w
+        r = {v: tele + (damp * ins[v]) // den for v in nodes}
+    return r
+
+
+def _edges_ds(ray, edges, n_splits=1):
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], type=pa.string()),
+            "dst": pa.array([e[1] for e in edges], type=pa.string()),
+            "w": pa.array([e[2] for e in edges], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(n_splits) if n_splits > 1 else ds
+
+
+HAND_EDGES = [
+    ("a", "b", 1),
+    ("b", "a", 1),
+    ("c", "b", 2),
+    ("c", "c", 1),  # self-loop
+    ("b", "d", 3),  # d has no out-edges (dangling: mass leaks, by design)
+]
+
+
+@pytest.mark.parametrize("n_splits", [1, 5])
+def test_pagerank_matches_reference_broadcast(ray_session, n_splits):
+    out = (
+        pagerank_int(_edges_ds(ray_session, HAND_EDGES, n_splits), n_iter=4)
+        .to_pandas()
+        .set_index("node")["rank_nano"]
+        .to_dict()
+    )
+    assert out == ref_pagerank(HAND_EDGES, n_iter=4)
+
+
+def test_pagerank_bucketed_path_identical(ray_session):
+    bc = (
+        pagerank_int(_edges_ds(ray_session, HAND_EDGES), n_iter=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    bk = (
+        pagerank_int(_edges_ds(ray_session, HAND_EDGES, 3), n_iter=3, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, bk)
+
+
+def test_pagerank_teleport_only_for_no_inlink_node(ray_session):
+    edges = [("a", "b", 1), ("c", "b", 1)]  # a and c have no in-links
+    out = (
+        pagerank_int(_edges_ds(ray_session, edges), n_iter=3)
+        .to_pandas()
+        .set_index("node")["rank_nano"]
+        .to_dict()
+    )
+    n = 3
+    tele = (TOTAL_NANO * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
+    assert out["a"] == tele and out["c"] == tele
+    assert out == ref_pagerank(edges, n_iter=3)
+
+
+def test_pagerank_mass_conserved_without_dangling(ray_session):
+    # every node has out-edges -> total mass stays within floor slack:
+    # each of the n teleports and n damped sums floors away <1 unit,
+    # and each src's share loses <ow units to floor division.
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "a", 1), ("c", "b", 1)]
+    out = pagerank_int(_edges_ds(ray_session, edges), n_iter=5).to_pandas()
+    total = int(out.rank_nano.sum())
+    slack = 2 * len(out) + sum(w for _, _, w in edges)
+    assert TOTAL_NANO - slack * 6 <= total <= TOTAL_NANO
+
+
+def test_pagerank_empty_edges(ray_session):
+    out = pagerank_int(_edges_ds(ray_session, [("x", "y", 1)]).filter(lambda r: False))
+    assert out.count() == 0
+
+
+def test_derive_edges_total_weight(ray_session):
+    ds = ray_session.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    n_docs = ds.count()
+    edges = derive_domain_edges(ds, n_docs).to_pandas()
+    # every doc emits exactly 3 outlinks, all resolved by the join
+    assert int(edges.w.sum()) == 3 * n_docs
+    assert (edges.w > 0).all()
+    assert edges.groupby(["src", "dst"]).size().max() == 1  # fully merged
+
+
+def test_derive_edges_block_split_invariant(ray_session):
+    ds = ray_session.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    n_docs = ds.count()
+    a = (
+        derive_domain_edges(ds, n_docs, n_buckets=64)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    b = (
+        derive_domain_edges(ds.repartition(11), n_docs, n_buckets=7)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_int64_no_overflow_headroom():
+    # worst case per-edge contribution sum is <= total mass; damped
+    # numerator 85 * 10^12 must stay far inside int64
+    assert DAMP_NUM * TOTAL_NANO < 2**62

@@ -62,6 +62,8 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "ann_ivf_seeded_topk",
         "heavy_hitter_tokens",
         "lang_distinct_hll",
+        "link_graph_stats",
+        "domain_pagerank",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

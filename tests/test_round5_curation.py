@@ -350,7 +350,8 @@ def test_curation_randomized_cross_check(ray_session, tmp_path):
 
 @pytest.mark.parametrize(
     "name",
-    ["incremental_dedup", "events_rollup", "sliding_window", "paragraph_dedup"],
+    ["incremental_dedup", "events_rollup", "sliding_window", "paragraph_dedup",
+     "link_graph_stats"],
 )
 def test_union_queries_survive_strict_iter(ray_session, name):
     """Every union-bearing query must yield through iter_batches —
