@@ -152,6 +152,10 @@ def main() -> None:
         "paragraph_dedup",
         "incremental_dedup",
         "unigram_logprob",
+        # link-graph family: edge derivation is two bounded shuffles
+        # (the real cost at toy scale); the 5-round rank loop
+        # auto-selects the driver-local tier on this 60-edge graph
+        "domain_pagerank",
         # apples-to-apples container-cost pair: both lines synthesize
         # pages per batch and run the full cascade single-shot; their
         # delta is the WARC encode+parse layer (the flagship

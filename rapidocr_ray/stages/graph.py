@@ -110,6 +110,15 @@ def derive_domain_edges(ds, n_docs: int, out_links: int = 3, n_buckets: int = 64
         .union(ds.map_batches(doc_side, batch_format="pyarrow"))
         .map_batches(bucket_key, batch_format="pyarrow")
     )
+    # tiny-input guard: sort-shuffle cost scales with INPUT BLOCK COUNT
+    # (sample + partition task per block), and a small parquet read
+    # fans out to ~2x-CPU near-empty blocks.  Row count is known a
+    # priori from n_docs, so coalesce only when the whole union is
+    # under 64 full blocks — the condition is provably false at real
+    # scale, where Ray's natural blocking stands and no extra pass runs.
+    union_rows = n_docs * (out_links + 1)
+    if union_rows < 64 * 65536:
+        both = both.repartition(max(4, (union_rows + 65535) // 65536))
 
     def join_and_partial(group: pd.DataFrame) -> pa.Table:
         # resolve target doc -> its domain, collapse to partial weights
@@ -162,6 +171,46 @@ def derive_domain_edges(ds, n_docs: int, out_links: int = 3, n_buckets: int = 64
         partials.map_batches(edge_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(merge_w, batch_format="pandas")
+    )
+
+
+def _pagerank_local(edges_raw, n_iter: int, total: int, damp_num: int, damp_den: int):
+    """Edge list under edge_local_limit: run the loop driver-side in
+    vectorized numpy (out-weights and the node set come free from the
+    local frame — no attach/node shuffles).  Node labels factorize to
+    positions once; each iteration is two gathers, one integer
+    divide/multiply, and one np.add.at scatter — the same floor
+    semantics as the distributed tiers (pinned equal by tests)."""
+    import ray.data
+
+    e = edges_raw.to_pandas()
+    if e.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], type=pa.string()),
+                 "rank_nano": pa.array([], type=pa.int64())}
+            )
+        )
+    node_arr = np.sort(pd.unique(pd.concat([e["src"], e["dst"]])))
+    idx = pd.Index(node_arr)
+    n_nodes = len(node_arr)
+    tele = (total * (damp_den - damp_num)) // (damp_den * n_nodes)
+    src_pos = idx.get_indexer(e["src"])
+    dst_pos = idx.get_indexer(e["dst"])
+    w = e["w"].to_numpy(np.int64)
+    ow = e.groupby("src")["w"].transform("sum").to_numpy(np.int64)
+    ranks = np.full(n_nodes, total // n_nodes, dtype=np.int64)
+    for _ in range(n_iter):
+        insums = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(insums, dst_pos, (ranks[src_pos] // ow) * w)
+        ranks = tele + (damp_num * insums) // damp_den
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_arr, type=pa.string()),
+                "rank_nano": pa.array(ranks.astype(np.int64), type=pa.int64()),
+            }
+        )
     )
 
 
@@ -232,21 +281,33 @@ def pagerank_int(
     damp_den: int = DAMP_DEN,
     n_buckets: int = 64,
     broadcast_limit: int = 2_000_000,
+    edge_local_limit: int = 2_000_000,
 ):
     """Integer PageRank over a weighted edge Dataset (src, dst, w) ->
     Dataset (node:string, rank_nano:int64).  See module docstring for
     the exactness and scale arguments.
 
-    Two execution paths, same integer semantics (a test pins them
-    equal): when the NODE table fits under ``broadcast_limit`` rows the
-    rank vector lives on the driver — each iteration is one streaming
+    Three execution tiers, identical integer semantics (tests pin them
+    equal): when the COLLAPSED edge list fits under
+    ``edge_local_limit`` rows the whole loop runs driver-side in
+    vectorized numpy (the graph is the small side — paying 5 rounds of
+    cluster scheduling to move 60 rows is wrong at any scale); when
+    only the NODE table fits under ``broadcast_limit`` the rank vector
+    lives on the driver — each iteration is one streaming
     ``map_batches`` pass over the materialized edges (ranks ``ray.put``
     once per round, per-batch contributions pre-aggregated by dst
     before leaving the task) plus a driver merge bounded by the node
-    count; past the limit it falls back to the fully-distributed
+    count; past both limits it falls back to the fully-distributed
     bucketed-join loop (two bounded shuffles per iteration) — the
     dedup_by_url auto-fallback discipline."""
     ensure_worker_importable()
+
+    # tier 0: collapsed edge list fits on the driver — skip the
+    # attach-ow and node shuffles entirely and loop in numpy
+    edges_raw = edges_ds.materialize()
+    if edges_raw.count() <= edge_local_limit:
+        return _pagerank_local(edges_raw, n_iter, total, damp_num, damp_den)
+    edges_ds = edges_raw
 
     def src_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -70,20 +70,36 @@ def test_pagerank_matches_reference_broadcast(ray_session, n_splits):
     assert out == ref_pagerank(HAND_EDGES, n_iter=4)
 
 
-def test_pagerank_bucketed_path_identical(ray_session):
-    bc = (
+def test_pagerank_all_tiers_identical(ray_session):
+    """local (edge list on driver), broadcast (rank vector on driver),
+    and bucketed (fully distributed) must agree bit-for-bit."""
+    local = (
         pagerank_int(_edges_ds(ray_session, HAND_EDGES), n_iter=3)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
     )
-    bk = (
-        pagerank_int(_edges_ds(ray_session, HAND_EDGES, 3), n_iter=3, broadcast_limit=0)
+    bc = (
+        pagerank_int(
+            _edges_ds(ray_session, HAND_EDGES, 2), n_iter=3, edge_local_limit=0
+        )
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
     )
-    pd.testing.assert_frame_equal(bc, bk)
+    bk = (
+        pagerank_int(
+            _edges_ds(ray_session, HAND_EDGES, 3),
+            n_iter=3,
+            edge_local_limit=0,
+            broadcast_limit=0,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, bc)
+    pd.testing.assert_frame_equal(local, bk)
 
 
 def test_pagerank_teleport_only_for_no_inlink_node(ray_session):
