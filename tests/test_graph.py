@@ -164,6 +164,34 @@ def test_derive_edges_block_split_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pagerank_randomized_cross_check(ray_session):
+    """Seeded random multigraph (hub skew, self-loops, dangling sinks,
+    weights up to 50): broadcast and bucketed tiers must both equal the
+    dict reference bit-for-bit across 6 iterations."""
+    rng = np.random.default_rng(20260818)
+    n_nodes = 40
+    names = [f"n{i:02d}" for i in range(n_nodes)]
+    # skewed out-degree: node i emits ~Zipf-ish edges toward low ids
+    raw = {}
+    for i in range(n_nodes):
+        if i % 7 == 3:
+            continue  # dangling node (appears only as dst)
+        for _ in range(int(rng.integers(1, 6))):
+            j = int(rng.zipf(1.6)) % n_nodes
+            w = int(rng.integers(1, 50))
+            raw[(names[i], names[j])] = raw.get((names[i], names[j]), 0) + w
+    edges = [(s, d, w) for (s, d), w in sorted(raw.items())]
+    expected = ref_pagerank(edges, n_iter=6)
+    for kw in ({}, {"edge_local_limit": 0}, {"edge_local_limit": 0, "broadcast_limit": 0}):
+        out = (
+            pagerank_int(_edges_ds(ray_session, edges, 4), n_iter=6, **kw)
+            .to_pandas()
+            .set_index("node")["rank_nano"]
+            .to_dict()
+        )
+        assert out == expected, kw
+
+
 def test_pagerank_int64_no_overflow_headroom():
     # worst case per-edge contribution sum is <= total mass; damped
     # numerator 85 * 10^12 must stay far inside int64
