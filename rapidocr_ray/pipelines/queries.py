@@ -3837,10 +3837,9 @@ def q_domain_pagerank(sf_dir: str, n_iter: int = 5):
     return pagerank_int(edges, n_iter=n_iter)
 
 
-def _pagerank_sql(n_iter: int = 5) -> str:
-    """Unrolled-iteration DuckDB oracle for q_domain_pagerank: same
-    integer semantics — share = r // out_weight (floor), damped sum
-    floored once on the TOTAL in-sum, teleport floored once."""
+def _pagerank_ctes(n_iter: int = 5) -> str:
+    """The WITH-chain for the pagerank oracle, reusable as a prefix by
+    composition queries (rank_weighted_sample)."""
     head = """
 WITH docs AS (SELECT doc_id, source FROM documents),
 n AS (SELECT COUNT(*) AS nd FROM docs),
@@ -3864,10 +3863,73 @@ r{i} AS (SELECT nodes.node,
            FROM edges e JOIN r{i - 1} r ON r.node = e.src
                         JOIN outw o ON o.src = e.src
            GROUP BY 1) s ON s.node = nodes.node)""")
-    return head + "".join(steps) + f"\nSELECT node, r AS rank_nano FROM r{n_iter}"
+    return head + "".join(steps)
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """Unrolled-iteration DuckDB oracle for q_domain_pagerank: same
+    integer semantics — share = r // out_weight (floor), damped sum
+    floored once on the TOTAL in-sum, teleport floored once."""
+    return _pagerank_ctes(n_iter) + f"\nSELECT node, r AS rank_nano FROM r{n_iter}"
 
 
 SQL_DOMAIN_PAGERANK = _pagerank_sql(5)
+
+
+def q_rank_weighted_sample(sf_dir: str, n_iter: int = 5):
+    """Rank-aware curation gate — the composition a real corpus sweep
+    runs: the domain PageRank signal (small: one row per domain)
+    broadcasts back into a STREAMING per-doc filter; a doc survives
+    when its deterministic 32-bit hash falls under a threshold
+    proportional to its domain's rank (domains with 2x the rank keep
+    ~2x the docs).  All integer: threshold = rank_nano * n_nodes * 2^31
+    // 10^12, hash = doc_id * 2654435761 mod 2^32 — bit-identical in
+    SQL.  Scale shape: pagerank's own tiers handle the graph; the doc
+    pass is one map_batches with the rank lookup ray.put once."""
+    import ray
+
+    from rapidocr_ray.stages.graph import TOTAL_NANO, derive_domain_edges, pagerank_int
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    edges = derive_domain_edges(ds, n_docs=ds.count())
+    ranks_df = pagerank_int(edges, n_iter=n_iter).to_pandas()
+    n_nodes = len(ranks_df)
+    # Python-int product: rank_nano * n_nodes * 2^31 exceeds int64 —
+    # exact arbitrary-precision division here, HUGEINT in the SQL
+    thresh = np.array(
+        [int(r) * n_nodes * 2**31 // TOTAL_NANO for r in ranks_df["rank_nano"]],
+        dtype=np.int64,
+    )
+    lookup_ref = ray.put(pd.Series(thresh, index=ranks_df["node"].to_numpy()))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        th = lk.reindex(batch.column("source").to_pandas()).fillna(0).to_numpy(np.int64)
+        keep = (ids * 2654435761 % 2**32) < th
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "source": pc.cast(batch.column("source"), pa.string()).filter(
+                    pa.array(keep)
+                ),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()).filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_RANK_WEIGHTED_SAMPLE = _pagerank_ctes(5) + """
+, ranks AS (SELECT node, r AS rank_nano FROM r5)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN ranks ON ranks.node = d.source
+WHERE (d.doc_id * 2654435761) % 4294967296
+      < (CAST(ranks.rank_nano AS HUGEINT) * (SELECT c FROM nn) * 2147483648)
+        // 1000000000000
+"""
 
 
 # ===========================================================================
@@ -3946,6 +4008,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_embedding_join": q_doc_embedding_join,
     "link_graph_stats": q_link_graph_stats,
     "domain_pagerank": q_domain_pagerank,
+    "rank_weighted_sample": q_rank_weighted_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4019,4 +4082,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_embedding_join": SQL_DOC_EMBEDDING_JOIN,
     "link_graph_stats": SQL_LINK_GRAPH_STATS,
     "domain_pagerank": SQL_DOMAIN_PAGERANK,
+    "rank_weighted_sample": SQL_RANK_WEIGHTED_SAMPLE,
 }

@@ -64,6 +64,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "lang_distinct_hll",
         "link_graph_stats",
         "domain_pagerank",
+        "rank_weighted_sample",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):
