@@ -302,9 +302,19 @@ def pagerank_int(
     dedup_by_url auto-fallback discipline."""
     ensure_worker_importable()
 
+    def drop_nonpositive(batch: pa.Table) -> pa.Table:
+        # w <= 0 would make a zero out-weight possible (integer
+        # division by zero in the share) and carries no rank mass;
+        # filter uniformly so all three tiers see the same graph
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch.column("w"), 0))
+
     # tier 0: collapsed edge list fits on the driver — skip the
     # attach-ow and node shuffles entirely and loop in numpy
-    edges_raw = edges_ds.materialize()
+    edges_raw = edges_ds.map_batches(
+        drop_nonpositive, batch_format="pyarrow"
+    ).materialize()
     if edges_raw.count() <= edge_local_limit:
         return _pagerank_local(edges_raw, n_iter, total, damp_num, damp_den)
     edges_ds = edges_raw

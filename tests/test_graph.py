@@ -192,6 +192,26 @@ def test_pagerank_randomized_cross_check(ray_session):
         assert out == expected, kw
 
 
+def test_pagerank_drops_nonpositive_weights(ray_session):
+    """w<=0 rows carry no mass and would allow a zero out-weight
+    (integer division by zero) — they must be filtered identically in
+    every tier before out-weights are computed."""
+    dirty = HAND_EDGES + [("a", "c", 0), ("zz", "a", 0)]
+    clean = (
+        pagerank_int(_edges_ds(ray_session, HAND_EDGES), n_iter=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = (
+        pagerank_int(_edges_ds(ray_session, dirty), n_iter=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(clean, got)
+
+
 def test_pagerank_int64_no_overflow_headroom():
     # worst case per-edge contribution sum is <= total mass; damped
     # numerator 85 * 10^12 must stay far inside int64
