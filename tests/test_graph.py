@@ -192,6 +192,40 @@ def test_pagerank_randomized_cross_check(ray_session):
         assert out == expected, kw
 
 
+def test_pagerank_broadcast_tier_at_size(ray_session):
+    """5k-node / ~30k-edge seeded graph: the broadcast tier (rank
+    vector on driver, streaming edge passes, positional np.add.at
+    merge) must equal the local tier exactly — positional-index bugs
+    in the partial merge only surface at size."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    src = rng.integers(0, n, 30000)
+    dst = (src * 131 + rng.integers(1, 97, 30000)) % n
+    w = rng.integers(1, 9, 30000)
+    agg: dict[tuple[str, str], int] = {}
+    for s, d, ww in zip(src, dst, w):
+        k = (f"d{s:04d}", f"d{d:04d}")
+        agg[k] = agg.get(k, 0) + int(ww)
+    edges = [(s, d, ww) for (s, d), ww in sorted(agg.items())]
+    local = (
+        pagerank_int(_edges_ds(ray_session, edges, 8), n_iter=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    bc = (
+        pagerank_int(_edges_ds(ray_session, edges, 8), n_iter=3, edge_local_limit=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, bc)
+    # mass sanity: no dangling nodes were constructed only if every
+    # node has out-edges; with random construction some lack them, so
+    # just require a strictly positive total within the frame mass
+    assert 0 < local.rank_nano.sum() <= 10**12
+
+
 def test_pagerank_drops_nonpositive_weights(ray_session):
     """w<=0 rows carry no mass and would allow a zero out-weight
     (integer division by zero) — they must be filtered identically in
