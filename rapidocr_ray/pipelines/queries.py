@@ -3905,7 +3905,9 @@ def q_rank_weighted_sample(sf_dir: str, n_iter: int = 5):
     def gate(batch: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        th = lk.reindex(batch.column("source").to_pandas()).fillna(0).to_numpy(np.int64)
+        th = lk.reindex(
+            batch.column("source").to_pandas(), fill_value=0
+        ).to_numpy(np.int64)
         keep = (ids * 2654435761 % 2**32) < th
         return pa.table(
             {

@@ -301,6 +301,14 @@ def pagerank_int(
     bucketed-join loop (two bounded shuffles per iteration) — the
     dedup_by_url auto-fallback discipline."""
     ensure_worker_importable()
+    if total <= 0 or damp_num * total >= 2**63:
+        # damp_num * insum (insum <= total) must fit int64 in every
+        # tier; past this bound the numpy math would wrap while a
+        # big-int reference would not
+        raise ValueError(
+            f"pagerank_int: total={total} out of int64 headroom "
+            f"(need 0 < damp_num*total < 2^63)"
+        )
 
     def drop_nonpositive(batch: pa.Table) -> pa.Table:
         # w <= 0 would make a zero out-weight possible (integer
@@ -315,7 +323,8 @@ def pagerank_int(
     edges_raw = edges_ds.map_batches(
         drop_nonpositive, batch_format="pyarrow"
     ).materialize()
-    if edges_raw.count() <= edge_local_limit:
+    n_edges = edges_raw.count()
+    if n_edges <= edge_local_limit:
         return _pagerank_local(edges_raw, n_iter, total, damp_num, damp_den)
     edges_ds = edges_raw
 
@@ -325,6 +334,8 @@ def pagerank_int(
         )
 
     def attach_ow(group: pd.DataFrame) -> pa.Table:
+        # the group's bucket IS crc32(src) — carry it through so the
+        # static edge table never needs re-hashing inside the loop
         ow = group.groupby("src", sort=False)["w"].sum().rename("ow")
         m = group.merge(ow, on="src")
         return pa.table(
@@ -334,6 +345,7 @@ def pagerank_int(
                 "w": pa.array(m.w.to_numpy(np.int64), type=pa.int64()),
                 "ow": pa.array(m.ow.to_numpy(np.int64), type=pa.int64()),
                 "r": pa.array(np.full(len(m), -1, dtype=np.int64), type=pa.int64()),
+                "bucket": pa.array(m.bucket.to_numpy(np.int64), type=pa.int64()),
             }
         )
 
@@ -347,15 +359,15 @@ def pagerank_int(
         target = max(4, min(512, (n_rows + 65535) // 65536))
         return ds.repartition(target)
 
-    # materialized ONCE, reused every iteration (the per-iteration
-    # shuffles re-read these blocks from the object store, no recompute)
-    edges_w = (
+    # materialized ONCE (single pass — row count is already known from
+    # the tier check, so the coalesce chains before the materialize),
+    # reused every iteration with its bucket column baked in
+    edges_w = _coalesce(
         edges_ds.map_batches(src_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(attach_ow, batch_format="pandas")
-        .materialize()
-    )
-    edges_w = _coalesce(edges_w, edges_w.count()).materialize()
+        .map_groups(attach_ow, batch_format="pandas"),
+        n_edges,
+    ).materialize()
 
     def node_partial(batch: pa.Table) -> pa.Table:
         u = np.unique(
@@ -375,6 +387,8 @@ def pagerank_int(
             {"node": pa.array(group.node.drop_duplicates(), type=pa.string())}
         )
 
+    # n_edges > edge_local_limit >= 0 here, so the graph is non-empty
+    # and n_nodes >= 1 (the empty case returned from tier 0 above)
     nodes = (
         edges_w.map_batches(node_partial, batch_format="pyarrow")
         .map_batches(node_bucket, batch_format="pyarrow")
@@ -383,15 +397,6 @@ def pagerank_int(
         .materialize()
     )
     n_nodes = nodes.count()
-    nodes = _coalesce(nodes, n_nodes).materialize()
-    if n_nodes == 0:
-        return nodes.map_batches(
-            lambda b: pa.table(
-                {"node": pa.array([], type=pa.string()),
-                 "rank_nano": pa.array([], type=pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
 
     tele = (total * (damp_den - damp_num)) // (damp_den * n_nodes)
     r0 = total // n_nodes
@@ -410,11 +415,13 @@ def pagerank_int(
                 "w": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
                 "ow": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
                 "r": pa.array(np.full(n, r0, dtype=np.int64), type=pa.int64()),
+                "bucket": _crc_bucket(batch.column("node").to_pylist(), n_buckets),
             }
         )
 
-    ranks = nodes.map_batches(seed_rank, batch_format="pyarrow").materialize()
-    ranks = _coalesce(ranks, n_nodes).materialize()
+    ranks = _coalesce(
+        nodes.map_batches(seed_rank, batch_format="pyarrow"), n_nodes
+    ).materialize()
 
     def contribs(group: pd.DataFrame) -> pa.Table:
         rk = group[group.r >= 0][["node", "r"]].rename(columns={"r": "rank"})
@@ -424,7 +431,8 @@ def pagerank_int(
             return pa.table(
                 {"node": pa.array([], type=pa.string()),
                  "insum": pa.array([], type=pa.int64()),
-                 "is_node": pa.array([], type=pa.int8())}
+                 "is_node": pa.array([], type=pa.int8()),
+                 "bucket": pa.array([], type=pa.int64())}
             )
         c = (m["rank"].to_numpy(np.int64) // m.ow.to_numpy(np.int64)) * m.w.to_numpy(
             np.int64
@@ -439,6 +447,10 @@ def pagerank_int(
                 "node": pa.array(part.index, type=pa.string()),
                 "insum": pa.array(part.to_numpy(np.int64), type=pa.int64()),
                 "is_node": pa.array(np.zeros(len(part), dtype=np.int8), type=pa.int8()),
+                # dst rows hash to THEIR node's bucket for stage 2 —
+                # the only per-round hashing left (bounded by the
+                # group's distinct dst count, not the edge count)
+                "bucket": _crc_bucket(part.index, n_buckets),
             }
         )
 
@@ -449,13 +461,22 @@ def pagerank_int(
                 "node": pa.array(batch.column("node"), type=pa.string()),
                 "insum": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
                 "is_node": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
+                "bucket": _crc_bucket(batch.column("node").to_pylist(), n_buckets),
             }
         )
+
+    # static per-iteration union sides are built and hashed ONCE
+    node_tag_b = _coalesce(
+        nodes.map_batches(node_tag, batch_format="pyarrow"), n_nodes
+    ).materialize()
 
     def new_rank(group: pd.DataFrame) -> pa.Table:
         node_rows = group[group.is_node == 1]
         s = group[group.is_node == 0].groupby("node", sort=False)["insum"].sum()
-        insum = node_rows.node.map(s).fillna(0).to_numpy(np.int64)
+        # reindex with fill_value stays int64 — Series.map + fillna
+        # promotes to float64 when any node lacks contributions and
+        # silently rounds in-sums above 2^53 (total is a parameter)
+        insum = s.reindex(node_rows.node, fill_value=0).to_numpy(np.int64)
         r = tele + (damp_num * insum) // damp_den
         n = len(node_rows)
         return pa.table(
@@ -465,19 +486,18 @@ def pagerank_int(
                 "w": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
                 "ow": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
                 "r": pa.array(r.astype(np.int64), type=pa.int64()),
+                "bucket": pa.array(node_rows.bucket.to_numpy(np.int64), type=pa.int64()),
             }
         )
 
     for _ in range(n_iter):
         contrib = (
             edges_w.union(ranks)
-            .map_batches(node_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(contribs, batch_format="pandas")
         )
         ranks = _coalesce(
-            contrib.union(nodes.map_batches(node_tag, batch_format="pyarrow"))
-            .map_batches(node_bucket, batch_format="pyarrow")
+            contrib.union(node_tag_b)
             .groupby("bucket")
             .map_groups(new_rank, batch_format="pandas"),
             n_nodes,

@@ -60,9 +60,12 @@ HAND_EDGES = [
 
 
 @pytest.mark.parametrize("n_splits", [1, 5])
-def test_pagerank_matches_reference_broadcast(ray_session, n_splits):
+@pytest.mark.parametrize("tier_kw", [{}, {"edge_local_limit": 0}])
+def test_pagerank_matches_reference(ray_session, n_splits, tier_kw):
+    """{} selects the driver-local tier; edge_local_limit=0 forces the
+    broadcast tier, where the split parametrization actually matters."""
     out = (
-        pagerank_int(_edges_ds(ray_session, HAND_EDGES, n_splits), n_iter=4)
+        pagerank_int(_edges_ds(ray_session, HAND_EDGES, n_splits), n_iter=4, **tier_kw)
         .to_pandas()
         .set_index("node")["rank_nano"]
         .to_dict()
@@ -244,6 +247,35 @@ def test_pagerank_drops_nonpositive_weights(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(clean, got)
+
+
+def test_pagerank_bucketed_exact_above_2_53(ray_session):
+    """Regression: the bucketed tier's in-sum fill once went through
+    Series.map + fillna, promoting to float64 whenever a node lacked
+    contributions and silently rounding totals above 2^53.  A 10^16
+    total (above 2^53, inside the damp_num*total < 2^63 headroom
+    contract) with a no-inlink node must stay bit-exact."""
+    edges = [("a", "b", 1), ("c", "b", 1), ("b", "a", 3)]  # c: no in-links
+    total = 10**16
+    expected = ref_pagerank(edges, n_iter=3, total=total)
+    out = (
+        pagerank_int(
+            _edges_ds(ray_session, edges, 2),
+            n_iter=3,
+            total=total,
+            edge_local_limit=0,
+            broadcast_limit=0,
+        )
+        .to_pandas()
+        .set_index("node")["rank_nano"]
+        .to_dict()
+    )
+    assert out == expected
+
+
+def test_pagerank_rejects_total_beyond_headroom(ray_session):
+    with pytest.raises(ValueError, match="headroom"):
+        pagerank_int(_edges_ds(ray_session, HAND_EDGES), total=2**60)
 
 
 def test_pagerank_int64_no_overflow_headroom():
