@@ -561,8 +561,9 @@ def _gif_frame_chunk(img: np.ndarray) -> bytes:
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> (h, w) grayscale uint8.  Uncompressed (BI_RGB)
-    8-bit palette / 24-bit / 32-bit DIBs, bottom-up or top-down rows,
-    4-byte row padding.  32-bit alpha is ignored (cv2.imread default
+    1/4/8-bit palette / 24-bit / 32-bit DIBs, BI_RLE8 and BI_RLE4
+    runs, BI_BITFIELDS 16/32-bit, bottom-up or top-down rows, 4-byte
+    row padding.  32-bit alpha is ignored (cv2.imread default
     drops it)."""
     if data[:2] != b"BM":
         raise ValueError("bmp: bad signature")
@@ -572,43 +573,57 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError("bmp: BITMAPCOREHEADER unsupported")
     w, h_raw = struct.unpack_from("<ii", data, 18)
     bpp, comp = struct.unpack_from("<HI", data, 28)[0], struct.unpack_from("<I", data, 30)[0]
-    if comp not in (0, 1, 3):
+    if comp not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"bmp: compression {comp} unsupported (BI_RGB/BI_RLE8/BI_BITFIELDS)"
+            f"bmp: compression {comp} unsupported (BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS)"
         )
     if comp == 1 and bpp != 8:
         raise ValueError(f"bmp: BI_RLE8 requires 8-bit pixels (got {bpp})")
+    if comp == 2 and bpp != 4:
+        raise ValueError(f"bmp: BI_RLE4 requires 4-bit pixels (got {bpp})")
     if comp == 3:
         return _bmp_bitfields_decode(data, data_off, hdr_size, w, h_raw, bpp)
-    if bpp not in (8, 24, 32):
-        raise NotImplementedError(f"bmp: {bpp}-bit unsupported (8/24/32)")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"bmp: {bpp}-bit unsupported (1/4/8/24/32)")
     top_down = h_raw < 0
     h = abs(h_raw)
-    stride = ((w * bpp // 8) + 3) & ~3
-    if comp == 1:
+    # general stride: rows pad to 32-bit words at ANY depth (the old
+    # w*bpp//8 form truncates sub-byte tails, e.g. 33px 1-bit)
+    stride = ((w * bpp + 31) // 32) * 4
+    if comp in (1, 2):
         if top_down:
-            raise ValueError("bmp: BI_RLE8 must be bottom-up per spec")
-        rle_rows = _bmp_rle8_decode(data[data_off:], w, h)
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, :w] = rle_rows
-        rows = rows[::-1]  # same bottom-up flip as the raw path
+            raise ValueError("bmp: RLE bitmaps must be bottom-up per spec")
+        if comp == 1:
+            idx = _bmp_rle8_decode(data[data_off:], w, h)[::-1]
+        else:
+            idx = _bmp_rle4_decode(data[data_off:], w, h)[::-1]
     else:
         px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=data_off)
         rows = px.reshape(h, stride)
         if not top_down:
             rows = rows[::-1]
-    if bpp == 8:
-        (n_colors,) = struct.unpack_from("<I", data, 46)
-        n_colors = n_colors or 256
-        pal = np.frombuffer(
-            data, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_size
-        ).reshape(-1, 4)  # BGRA entries
-        idx = rows[:, :w]
-        rgb = pal[idx][:, :, [2, 1, 0]]
-        return rgb_to_gray(rgb)
-    n_ch = bpp // 8
-    bgr = rows[:, : w * n_ch].reshape(h, w, n_ch)
-    return rgb_to_gray(bgr[:, :, [2, 1, 0]])
+        if bpp == 1:
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        elif bpp == 4:
+            nib = np.empty((h, stride * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :w]
+        elif bpp == 8:
+            idx = rows[:, :w]
+        else:
+            n_ch = bpp // 8
+            bgr = rows[:, : w * n_ch].reshape(h, w, n_ch)
+            return rgb_to_gray(bgr[:, :, [2, 1, 0]])
+    (n_colors,) = struct.unpack_from("<I", data, 46)
+    n_colors = n_colors or (1 << bpp)
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_size
+    ).reshape(-1, 4)  # BGRA entries
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("bmp: palette index out of range")
+    rgb = pal[idx][:, :, [2, 1, 0]]
+    return rgb_to_gray(rgb)
 
 
 def _bmp_bitfields_decode(
@@ -740,6 +755,131 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
             x += val
             pos = end + (val & 1)  # word-aligned
     raise ValueError("bmp: RLE8 stream missing end-of-bitmap")
+
+
+def _bmp_rle4_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 -> (h, w) nibble indices in STREAM order (bottom row
+    first).  Encoded runs of n pixels ALTERNATE the byte's two
+    nibbles; absolute mode packs n nibbles into ceil(n/2) bytes padded
+    to a word boundary; escapes (EOL/EOB/delta) match RLE8.  Unwritten
+    pixels stay index 0."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt = data[pos]
+        val = data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run: alternating hi/lo nibbles
+            if y >= h or x + cnt > w:
+                raise ValueError("bmp: RLE4 run overflows row")
+            pair = np.tile(
+                np.array([val >> 4, val & 0x0F], dtype=np.uint8), (cnt + 1) // 2
+            )
+            out[y, x:x + cnt] = pair[:cnt]
+            x += cnt
+        elif val == 0:  # end of line
+            x = 0
+            y += 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("bmp: truncated RLE4 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("bmp: RLE4 delta out of range")
+        else:  # absolute mode: val packed nibbles
+            nbytes = (val + 1) // 2
+            end = pos + nbytes
+            if end > n:
+                raise ValueError("bmp: truncated RLE4 absolute run")
+            if y >= h or x + val > w:
+                raise ValueError("bmp: RLE4 absolute run overflows row")
+            packed = np.frombuffer(data, np.uint8, nbytes, pos)
+            nib = np.empty(nbytes * 2, dtype=np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 0x0F
+            out[y, x:x + val] = nib[:val]
+            x += val
+            pos = end + (nbytes & 1)  # word-aligned
+    raise ValueError("bmp: RLE4 stream missing end-of-bitmap")
+
+
+def _bmp_palette_header(
+    w: int, h: int, bpp: int, comp: int, data_len: int
+) -> tuple[bytes, int]:
+    """BM header + BITMAPINFOHEADER + 16-step grayscale palette for the
+    fixture writers (index i -> gray i*255//(2^bpp-1))."""
+    n_colors = 1 << bpp
+    pal = np.zeros((n_colors, 4), dtype=np.uint8)
+    g = (np.arange(n_colors) * 255 // (n_colors - 1)).astype(np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = g
+    data_off = 14 + 40 + 4 * n_colors
+    size = data_off + data_len
+    head = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, data_len, 2835, 2835, n_colors, 0
+    )
+    return head + dib + pal.tobytes(), data_off
+
+
+def encode_bmp_rle4(idx: np.ndarray) -> bytes:
+    """(h, w) nibble indices (0..15) -> BI_RLE4 BMP with a 16-step
+    grayscale palette (fixture writer: long same-nibble encoded runs,
+    pairwise encoded runs for literals, EOL per row, EOB)."""
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    if idx.max(initial=0) > 15:
+        raise ValueError("bmp: RLE4 indices must be 0..15")
+    h, w = idx.shape
+    enc = bytearray()
+    for row in idx[::-1]:  # bottom-up stream order
+        i = 0
+        while i < w:
+            run = 1
+            while i + run < w and run < 254 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                v = int(row[i])
+                enc += bytes([run, (v << 4) | v])
+                i += run
+            else:  # emit a pixel pair (or lone tail) as an encoded run
+                if i + 1 < w:
+                    enc += bytes([2, (int(row[i]) << 4) | int(row[i + 1])])
+                    i += 2
+                else:
+                    enc += bytes([1, int(row[i]) << 4])
+                    i += 1
+        enc += b"\x00\x00"  # end of line
+    enc += b"\x00\x01"  # end of bitmap
+    hdr, _ = _bmp_palette_header(w, h, 4, 2, len(enc))
+    return hdr + bytes(enc)
+
+
+def encode_bmp_packed(idx: np.ndarray, bpp: int) -> bytes:
+    """(h, w) palette indices -> uncompressed packed 1- or 4-bit BMP
+    with a grayscale palette (fixture writer for the sub-byte paths)."""
+    if bpp not in (1, 4):
+        raise ValueError("bmp: packed writer supports 1/4-bit only")
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    if idx.max(initial=0) >= (1 << bpp):
+        raise ValueError(f"bmp: index out of range for {bpp}-bit")
+    h, w = idx.shape
+    stride = ((w * bpp + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    if bpp == 1:
+        packed = np.packbits(idx, axis=1)
+        rows[:, : packed.shape[1]] = packed
+    else:
+        padded = np.zeros((h, (w + 1) & ~1), dtype=np.uint8)
+        padded[:, :w] = idx
+        rows[:, : padded.shape[1] // 2] = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    body = rows[::-1].tobytes()  # bottom-up
+    hdr, _ = _bmp_palette_header(w, h, bpp, 0, len(body))
+    return hdr + body
 
 
 def encode_bmp_rle8(img: np.ndarray) -> bytes:

@@ -283,6 +283,10 @@ def test_bmp_compressed_raises_typed():
     dib_rle24 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="RLE8 requires 8-bit"):
         C.decode_bmp(head + dib_rle24)
+    # RLE4 paired with non-4-bit pixels is structurally invalid
+    dib_rle4_8 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 2, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="RLE4 requires 4-bit"):
+        C.decode_bmp(head + dib_rle4_8)
 
 
 # ---------------------------------------------------------------------------
@@ -612,13 +616,73 @@ def test_bmp_rle8_roundtrip_and_errors():
         codecs._bmp_rle8_decode(b"\x01\x01", 3, 3)
     with pytest.raises(ValueError, match="delta"):
         codecs._bmp_rle8_decode(b"\x00\x02", 3, 3)
-    # BI_RLE4 (comp 2) stays a named stub at the container level
+    # BI_RLE4 (comp 2) on an 8-bit DIB is structurally invalid
     rle = bytearray(codecs.encode_bmp_rle8(imgs[0]))
     import struct as _s
 
     _s.pack_into("<I", rle, 30, 2)
-    with pytest.raises(NotImplementedError, match="compression 2"):
+    with pytest.raises(ValueError, match="RLE4 requires 4-bit"):
         codecs.decode_bmp(bytes(rle))
+
+
+def test_bmp_rle4_roundtrip_and_errors():
+    """BI_RLE4 (decodes since this round): same-nibble encoded runs,
+    pairwise literal runs, handcrafted absolute mode with word
+    padding, delta skips; overflow/truncation are typed ValueErrors."""
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(5)
+    cases = [
+        rng.randint(0, 16, (13, 21), dtype=np.uint8),  # literal-heavy, odd w
+        np.repeat(rng.randint(0, 16, (9, 7), dtype=np.uint8), 5, axis=1),  # runs
+        np.zeros((3, 1), dtype=np.uint8),
+    ]
+    for idx in cases:
+        out = codecs.decode_bmp(codecs.encode_bmp_rle4(idx))
+        assert np.array_equal(out, idx * 17)  # 16-step grayscale palette
+    # handcrafted stream: alternating run, absolute mode (5 nibbles ->
+    # 3 bytes + 1 pad), delta (skipped pixels stay index 0), EOL, EOB
+    stream = bytes(
+        [5, 0x12]          # 1,2,1,2,1
+        + [0, 5, 0x34, 0x56, 0x70, 0x00]  # abs 3,4,5,6,7 + word pad
+        + [0, 2, 2, 1]     # delta dx=2 dy=1 -> (x=12, y=1), row end
+        + [0, 0]           # EOL -> row 2
+        + [2, 0x99]        # 9,9 on row 2
+        + [0, 1]           # EOB
+    )
+    rows = codecs._bmp_rle4_decode(stream, 12, 3)
+    assert rows[0].tolist() == [1, 2, 1, 2, 1, 3, 4, 5, 6, 7, 0, 0]
+    assert rows[1].tolist() == [0] * 12  # delta skipped this row entirely
+    assert rows[2].tolist() == [9, 9] + [0] * 10
+    with pytest.raises(ValueError, match="overflows"):
+        codecs._bmp_rle4_decode(bytes([9, 0x11]), 4, 2)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        codecs._bmp_rle4_decode(bytes([2, 0x11]), 4, 2)
+    with pytest.raises(ValueError, match="truncated RLE4 absolute"):
+        codecs._bmp_rle4_decode(bytes([0, 7, 0x12]), 8, 2)
+    with pytest.raises(ValueError, match="indices must be 0..15"):
+        codecs.encode_bmp_rle4(np.full((2, 2), 16, dtype=np.uint8))
+
+
+def test_bmp_packed_subbyte_roundtrip():
+    """Uncompressed 1- and 4-bit packed DIBs, odd widths crossing the
+    old stride formula's truncation (33px 1-bit needs 5 bytes, the
+    w*bpp//8 form allotted 4)."""
+    import numpy as np
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(11)
+    for w in (1, 7, 8, 9, 33, 64):
+        bits = rng.randint(0, 2, (6, w), dtype=np.uint8)
+        out = codecs.decode_bmp(codecs.encode_bmp_packed(bits, 1))
+        assert np.array_equal(out, bits * 255), w
+        nibs = rng.randint(0, 16, (5, w), dtype=np.uint8)
+        out4 = codecs.decode_bmp(codecs.encode_bmp_packed(nibs, 4))
+        assert np.array_equal(out4, nibs * 17), w
 
 
 def test_r5_decoders_typed_error_fuzz():
