@@ -1094,18 +1094,98 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_decompress(raw: bytes, nbytes: int, compression: int) -> np.ndarray:
+    """One strip/tile payload -> exactly nbytes of sample bytes."""
+    if compression == 1:
+        out = np.frombuffer(raw, dtype=np.uint8)
+        if out.size < nbytes:
+            raise ValueError("tiff: uncompressed chunk too short")
+        return out[:nbytes]
+    if compression == 5:
+        return _tiff_lzw_decode(raw, nbytes)
+    if compression in (8, 32946):
+        # bounded inflate: the chunk's decoded size is known, so a
+        # crafted deflate bomb cannot allocate past it (the same
+        # OOM class the gzip payload layer guards)
+        try:
+            inflated = zlib.decompressobj().decompress(bytes(raw), nbytes)
+        except zlib.error as exc:
+            raise ValueError(f"tiff: corrupt deflate chunk ({exc})") from exc
+        if len(inflated) < nbytes:
+            raise ValueError("tiff: deflate chunk too short")
+        return np.frombuffer(inflated, dtype=np.uint8)
+    return _packbits_decode(raw, nbytes)
+
+
+def _tiff_assemble_tiles(
+    data: bytes, tags: dict, w: int, h: int, spp: int, depth: int,
+    compression: int, predictor: int,
+):
+    """Tiled layout (tags 322-325): decompress each fixed-size tile
+    (edge tiles are padded to full size per TIFF 6.0), undo Predictor-2
+    per tile row, and crop into the image grid.  Returns (h, w, spp)
+    uint8 samples for depth 8 or an (h, w) 0/1 bit grid for depth 1 —
+    the same shapes the strip path feeds the photometric tail."""
+    try:
+        tw = tags[322][0]
+        tl = tags[323][0]
+        offsets = tags[324]
+        counts = tags[325]
+    except KeyError as exc:
+        raise ValueError(f"tiff: tiled image missing tag ({exc})") from exc
+    if tw <= 0 or tl <= 0:
+        raise ValueError("tiff: bad tile size")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("tiff: planar configuration 2 unsupported")
+    ta = -(-w // tw)
+    td = -(-h // tl)
+    if len(offsets) < ta * td or len(counts) < ta * td:
+        raise ValueError("tiff: tile offsets/counts cover fewer tiles than the grid")
+    tile_stride = -(-tw * spp * depth // 8)
+    if depth == 1:
+        out = np.zeros((h, w), dtype=np.uint8)
+    else:
+        out = np.zeros((h, w, spp), dtype=np.uint8)
+    for ti in range(ta * td):
+        ty, tx = divmod(ti, ta)
+        raw = data[offsets[ti]:offsets[ti] + counts[ti]]
+        if len(raw) != counts[ti]:
+            raise ValueError("tiff: tile extends past end of file")
+        rows_bytes = _tiff_decompress(raw, tl * tile_stride, compression).reshape(
+            tl, tile_stride
+        )
+        if predictor == 2:
+            if depth != 8:
+                raise NotImplementedError("tiff: predictor 2 needs 8-bit samples")
+            px0 = rows_bytes[:, : tw * spp].reshape(tl, tw, spp)
+            rows_bytes = rows_bytes.copy()
+            rows_bytes[:, : tw * spp] = (
+                np.cumsum(px0, axis=1, dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(tl, tw * spp)
+        y0, x0 = ty * tl, tx * tw
+        eh, ew = min(tl, h - y0), min(tw, w - x0)
+        if depth == 1:
+            bits_arr = np.unpackbits(rows_bytes, axis=1)[:, :tw]
+            out[y0:y0 + eh, x0:x0 + ew] = bits_arr[:eh, :ew]
+        else:
+            px = rows_bytes[:, : tw * spp].reshape(tl, tw, spp)
+            out[y0:y0 + eh, x0:x0 + ew] = px[:eh, :ew]
+    return out
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Baseline TIFF bytes -> (h, w) grayscale uint8.
 
     Supports: uncompressed (1), LZW (5, incl. the horizontal-
     differencing Predictor=2), Deflate (8/32946, via zlib) and
-    PackBits (32773) strips; 1- and 8-bit samples; photometric
+    PackBits (32773) strips AND fixed-size tiles (tags 322-325, edge
+    tiles padded per TIFF 6.0); 1- and 8-bit samples; photometric
     WhiteIsZero/BlackIsZero/RGB/Palette; RGBA flattened on white like
     every other codec here (reference's cvt_four_to_three,
-    utils.py:133-145).  Tiles, JPEG-in-TIFF and 16-bit samples raise
-    typed NotImplementedError — the crawl-triage contract (named error
-    counts per container feature) rather than a generic 'unrecognized
-    payload'."""
+    utils.py:133-145).  Planar-separate tiles, JPEG-in-TIFF and 16-bit
+    samples raise typed NotImplementedError — the crawl-triage contract
+    (named error counts per container feature) rather than a generic
+    'unrecognized payload'."""
     if data[:4] not in TIFF_MAGICS:
         raise ValueError("tiff: bad magic")
     endian = "<" if data[:2] == b"II" else ">"
@@ -1123,13 +1203,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             )
     except struct.error as exc:  # truncated IFD: typed contract
         raise ValueError(f"tiff: truncated IFD ({exc})") from exc
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiff: tiled layout unsupported (strips only)")
+    tiled = 322 in tags or 323 in tags
     try:
         w = tags[256][0]
         h = tags[257][0]
-        strip_offsets = tags[273]
-        strip_counts = tags[279]
+        if not tiled:
+            strip_offsets = tags[273]
+            strip_counts = tags[279]
     except KeyError as exc:
         raise ValueError(f"tiff: required tag missing ({exc})") from exc
     compression = tags.get(259, [1])[0]
@@ -1151,61 +1231,47 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"tiff: {depth}-bit samples unsupported")
     if depth == 1 and spp != 1:
         raise NotImplementedError("tiff: 1-bit multi-sample unsupported")
-    stride = -(-w * spp * depth // 8)  # rows are byte-aligned
-    chunks = []
-    remaining = h
-    for off, cnt in zip(strip_offsets, strip_counts):
-        rows = min(rows_per_strip, remaining)
-        if rows <= 0:
-            break
-        remaining -= rows
-        raw = data[off:off + cnt]
-        if len(raw) != cnt:
-            raise ValueError("tiff: strip extends past end of file")
-        if compression == 1:
-            strip = np.frombuffer(raw, dtype=np.uint8)
-            if strip.size < rows * stride:
-                raise ValueError("tiff: uncompressed strip too short")
-            strip = strip[: rows * stride]
-        elif compression == 5:
-            strip = _tiff_lzw_decode(raw, rows * stride)
-        elif compression in (8, 32946):
-            # bounded inflate: the strip's decoded size is known, so a
-            # crafted deflate bomb cannot allocate past it (the same
-            # OOM class the gzip payload layer guards)
-            try:
-                inflated = zlib.decompressobj().decompress(
-                    bytes(raw), rows * stride
-                )
-            except zlib.error as exc:
-                raise ValueError(f"tiff: corrupt deflate strip ({exc})") from exc
-            if len(inflated) < rows * stride:
-                raise ValueError("tiff: deflate strip too short")
-            strip = np.frombuffer(inflated, dtype=np.uint8)
+    if tiled:
+        px_or_bits = _tiff_assemble_tiles(
+            data, tags, w, h, spp, depth, compression, predictor
+        )
+    else:
+        stride = -(-w * spp * depth // 8)  # rows are byte-aligned
+        chunks = []
+        remaining = h
+        for off, cnt in zip(strip_offsets, strip_counts):
+            rows = min(rows_per_strip, remaining)
+            if rows <= 0:
+                break
+            remaining -= rows
+            raw = data[off:off + cnt]
+            if len(raw) != cnt:
+                raise ValueError("tiff: strip extends past end of file")
+            chunks.append(_tiff_decompress(raw, rows * stride, compression))
+        if remaining > 0:
+            raise ValueError("tiff: strips cover fewer rows than ImageLength")
+        flat = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        rows_bytes = flat.reshape(h, stride)
+        if predictor == 2:
+            if depth != 8:
+                raise NotImplementedError("tiff: predictor 2 needs 8-bit samples")
+            # horizontal differencing: undo per row per sample channel
+            # (mod-256 prefix sum — vectorized over the whole image)
+            px0 = rows_bytes[:, : w * spp].reshape(h, w, spp)
+            rows_bytes = rows_bytes.copy()
+            rows_bytes[:, : w * spp] = (
+                np.cumsum(px0, axis=1, dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(h, w * spp)
+        if depth == 1:
+            px_or_bits = np.unpackbits(rows_bytes, axis=1)[:, :w]
         else:
-            strip = _packbits_decode(raw, rows * stride)
-        chunks.append(strip)
-    if remaining > 0:
-        raise ValueError("tiff: strips cover fewer rows than ImageLength")
-    flat = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    rows_bytes = flat.reshape(h, stride)
-    if predictor == 2:
-        if depth != 8:
-            raise NotImplementedError("tiff: predictor 2 needs 8-bit samples")
-        # horizontal differencing: undo per row per sample channel
-        # (mod-256 prefix sum — vectorized over the whole image)
-        px = rows_bytes[:, : w * spp].reshape(h, w, spp)
-        rows_bytes = rows_bytes.copy()
-        rows_bytes[:, : w * spp] = (
-            np.cumsum(px, axis=1, dtype=np.uint64) % 256
-        ).astype(np.uint8).reshape(h, w * spp)
+            px_or_bits = rows_bytes[:, : w * spp].reshape(h, w, spp)
     if depth == 1:
-        bits_arr = np.unpackbits(rows_bytes, axis=1)[:, :w]
-        gray = (bits_arr * np.uint8(255)).astype(np.uint8)
+        gray = (px_or_bits * np.uint8(255)).astype(np.uint8)
         if photometric == 0:  # WhiteIsZero
             gray = (255 - gray).astype(np.uint8)
         return gray
-    px = rows_bytes[:, : w * spp].reshape(h, w, spp)
+    px = px_or_bits
     if photometric in (0, 1):
         gray = px[:, :, 0]
         if photometric == 0:
@@ -1229,6 +1295,125 @@ def decode_tiff(data: bytes) -> np.ndarray:
             )
         return rgb_to_gray(np.ascontiguousarray(px))
     raise NotImplementedError(f"tiff: photometric {photometric} unsupported")
+
+
+def _tiff_compress_chunk(chunk: np.ndarray, compression: str) -> bytes:
+    """One strip/tile of sample rows -> compressed payload bytes."""
+    if compression == "none":
+        return chunk.tobytes()
+    if compression == "lzw":
+        return _tiff_lzw_encode(chunk.tobytes())
+    if compression == "deflate":
+        return zlib.compress(chunk.tobytes(), 6)
+    if compression == "packbits":
+        enc = bytearray()
+        for row in chunk:  # restart per row, per spec
+            i = 0
+            n = len(row)
+            while i < n:
+                run = 1
+                while i + run < n and run < 128 and row[i + run] == row[i]:
+                    run += 1
+                if run >= 2:
+                    enc.append(257 - run)
+                    enc.append(int(row[i]))
+                    i += run
+                else:
+                    j = i + 1
+                    while (
+                        j < n
+                        and j - i < 128
+                        and not (j + 1 < n and row[j] == row[j + 1])
+                    ):
+                        j += 1
+                    enc.append(j - i - 1)
+                    enc.extend(row[i:j].tobytes())
+                    i = j
+        return bytes(enc)
+    raise ValueError(f"encode_tiff: unknown compression {compression!r}")
+
+
+def encode_tiff_tiled(
+    img: np.ndarray,
+    tile: tuple[int, int] = (16, 16),
+    compression: str = "none",
+    predictor: int = 1,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> little-endian TILED TIFF
+    (fixture writer for the tile path: edge tiles padded to full size
+    per TIFF 6.0, predictor-2 differencing applied per tile row)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        spp, photometric = 1, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        spp, photometric = 3, 2
+    else:
+        raise ValueError("encode_tiff_tiled: expected (h,w) or (h,w,3) uint8")
+    h, w = img.shape[:2]
+    tw, tl = tile
+    ta, td = -(-w // tw), -(-h // tl)
+    padded = np.zeros((td * tl, ta * tw, spp), dtype=np.uint8)
+    padded[:h, :w] = img.reshape(h, w, spp)
+    tiles = []
+    for ty in range(td):
+        for tx in range(ta):
+            t = padded[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw]
+            rows = t.reshape(tl, tw * spp)
+            if predictor == 2:
+                if compression not in ("lzw", "deflate"):
+                    raise ValueError("encode_tiff_tiled: predictor 2 needs lzw/deflate")
+                px = rows.reshape(tl, tw, spp).astype(np.int16)
+                diff = px.copy()
+                diff[:, 1:] = px[:, 1:] - px[:, :-1]
+                rows = (diff % 256).astype(np.uint8).reshape(tl, tw * spp)
+            tiles.append(_tiff_compress_chunk(rows, compression))
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
+    header = b"II*\x00"
+    offsets = []
+    pos = 8
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    ifd_off = pos
+    fields = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [comp_tag]),
+        (262, 3, [photometric]),
+        (277, 3, [spp]),
+        (322, 4, [tw]),
+        (323, 4, [tl]),
+        (324, 4, offsets),
+        (325, 4, [len(t) for t in tiles]),
+    ]
+    if predictor == 2:
+        fields.append((317, 3, [2]))
+    fields.sort()
+
+    def entry(tag: int, type_: int, values: list[int]) -> tuple[bytes, bytes]:
+        fmt = {3: "H", 4: "I"}[type_]
+        payload = struct.pack("<" + fmt * len(values), *values)
+        if len(payload) <= 4:
+            return (
+                struct.pack("<HHI", tag, type_, len(values))
+                + payload.ljust(4, b"\x00"),
+                b"",
+            )
+        return struct.pack("<HHI", tag, type_, len(values)), payload
+
+    n = len(fields)
+    overflow_base = ifd_off + 2 + 12 * n + 4
+    entries = []
+    overflow = b""
+    for tag, type_, values in fields:
+        head, extra = entry(tag, type_, values)
+        if extra:
+            head = head + struct.pack("<I", overflow_base + len(overflow))
+            overflow += extra
+        entries.append(head)
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    return header + struct.pack("<I", ifd_off) + b"".join(tiles) + ifd + overflow
 
 
 def encode_tiff(
@@ -1263,42 +1448,10 @@ def encode_tiff(
     elif predictor != 1:
         raise ValueError(f"encode_tiff: unknown predictor {predictor}")
     rows_per_strip = 64
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        chunk = flat_rows[y0:y0 + rows_per_strip]
-        if compression == "none":
-            strips.append(chunk.tobytes())
-        elif compression == "lzw":
-            strips.append(_tiff_lzw_encode(chunk.tobytes()))
-        elif compression == "deflate":
-            strips.append(zlib.compress(chunk.tobytes(), 6))
-        elif compression == "packbits":
-            enc = bytearray()
-            for row in chunk:  # restart per row, per spec
-                i = 0
-                n = len(row)
-                while i < n:
-                    run = 1
-                    while i + run < n and run < 128 and row[i + run] == row[i]:
-                        run += 1
-                    if run >= 2:
-                        enc.append(257 - run)
-                        enc.append(int(row[i]))
-                        i += run
-                    else:
-                        j = i + 1
-                        while (
-                            j < n
-                            and j - i < 128
-                            and not (j + 1 < n and row[j] == row[j + 1])
-                        ):
-                            j += 1
-                        enc.append(j - i - 1)
-                        enc.extend(row[i:j].tobytes())
-                        i = j
-            strips.append(bytes(enc))
-        else:
-            raise ValueError(f"encode_tiff: unknown compression {compression!r}")
+    strips = [
+        _tiff_compress_chunk(flat_rows[y0:y0 + rows_per_strip], compression)
+        for y0 in range(0, h, rows_per_strip)
+    ]
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
 
     def entry(tag: int, type_: int, values: list[int]) -> tuple[bytes, bytes]:
@@ -1363,7 +1516,7 @@ def is_webp(payload) -> bool:
 def decode_page_image(payload) -> np.ndarray:
     """Any supported page payload -> (h, w) grayscale uint8: RBMP (the
     engine's native format, zero-copy), PNG, GIF, BMP, JPEG
-    (baseline + progressive), TIFF (uncompressed/PackBits), WebP
+    (baseline + progressive), TIFF (strips + tiles), WebP
     lossless (VP8L).  Unknown bytes raise ValueError (LoadImageError
     analog, utils.py:154); truncated/corrupt containers ALSO surface as
     ValueError, never as raw struct/index/zlib errors — the stage

@@ -625,6 +625,65 @@ def test_bmp_rle8_roundtrip_and_errors():
         codecs.decode_bmp(bytes(rle))
 
 
+def test_tiff_tiled_roundtrip():
+    """Tiled layout (tags 322-325, decodes since this round): every
+    compression the strip path supports, gray + RGB, edge tiles padded
+    and cropped, predictor-2 per tile row, non-multiple-of-tile sizes."""
+    import numpy as np
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, (37, 53), dtype=np.uint8)  # not tile-aligned
+    rgb = rng.randint(0, 256, (20, 29, 3), dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        out = codecs.decode_tiff(codecs.encode_tiff_tiled(gray, (16, 16), comp))
+        assert np.array_equal(out, gray), comp
+    out = codecs.decode_tiff(codecs.encode_tiff_tiled(rgb, (16, 16), "lzw"))
+    assert np.array_equal(out, codecs.rgb_to_gray(rgb))
+    # predictor 2 applies within each tile independently
+    out = codecs.decode_tiff(
+        codecs.encode_tiff_tiled(gray, (16, 16), "deflate", predictor=2)
+    )
+    assert np.array_equal(out, gray)
+    # exact-multiple grid and a single tile covering everything
+    sq = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_tiff(codecs.encode_tiff_tiled(sq, (16, 16), "none")), sq
+    )
+    assert np.array_equal(
+        codecs.decode_tiff(codecs.encode_tiff_tiled(sq, (64, 64), "none")), sq
+    )
+
+
+def test_tiff_tiled_typed_errors():
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+
+    img = np.zeros((20, 20), dtype=np.uint8)
+    good = bytearray(codecs.encode_tiff_tiled(img, (16, 16), "none"))
+    # truncating the file makes a tile extend past EOF
+    with pytest.raises(ValueError):
+        codecs.decode_tiff(bytes(good[:100]))
+    # planar configuration 2 is the named stub
+    blob = bytes(good)
+    # append a PlanarConfiguration=2 tag by rewriting: easier to build
+    # a fresh IFD is overkill — instead patch tag 277 (spp, short) to
+    # tag 284 value 2 in a copy that has spp=1 anyway
+    idx = blob.find(_s.pack("<HHI", 277, 3, 1))
+    assert idx > 0
+    patched = (
+        blob[:idx] + _s.pack("<HHI", 284, 3, 1) + _s.pack("<I", 2)
+        + blob[idx + 12:]
+    )
+    with pytest.raises(NotImplementedError, match="planar"):
+        codecs.decode_tiff(patched)
+
+
 def test_bmp_rle4_roundtrip_and_errors():
     """BI_RLE4 (decodes since this round): same-nibble encoded runs,
     pairwise literal runs, handcrafted absolute mode with word
