@@ -984,8 +984,9 @@ def _packbits_decode(data: bytes, expected: int) -> np.ndarray:
 
 
 def _tiff_tag_values(data: bytes, endian: str, type_: int, count: int, raw: bytes):
-    """One IFD entry's values (BYTE/SHORT/LONG), inline or at offset."""
-    sizes = {1: 1, 3: 2, 4: 4}
+    """One IFD entry's values (BYTE/UNDEFINED/SHORT/LONG), inline or at
+    offset (UNDEFINED carries opaque bytes, e.g. the JPEGTables blob)."""
+    sizes = {1: 1, 3: 2, 4: 4, 7: 1}
     if type_ not in sizes:
         raise NotImplementedError(f"tiff: IFD value type {type_} unsupported")
     total = sizes[type_] * count
@@ -996,7 +997,7 @@ def _tiff_tag_values(data: bytes, endian: str, type_: int, count: int, raw: byte
         payload = data[off:off + total]
         if len(payload) != total:
             raise ValueError("tiff: IFD value offset out of range")
-    fmt = {1: "B", 3: "H", 4: "I"}[type_]
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[type_]
     return list(struct.unpack(endian + fmt * count, payload))
 
 
@@ -1117,6 +1118,70 @@ def _tiff_decompress(raw: bytes, nbytes: int, compression: int) -> np.ndarray:
     return _packbits_decode(raw, nbytes)
 
 
+def _tiff_chunk_grid(tags: dict, w: int, h: int):
+    """Iterate (offset, count, y0, x0, eh, ew) chunk regions for either
+    layout: fixed-size tiles (322-325) or row strips (273/278/279)."""
+    if 322 in tags or 323 in tags:
+        try:
+            tw, tl = tags[322][0], tags[323][0]
+            offsets, counts = tags[324], tags[325]
+        except KeyError as exc:
+            raise ValueError(f"tiff: tiled image missing tag ({exc})") from exc
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tiff: bad tile size")
+        ta, td = -(-w // tw), -(-h // tl)
+        if len(offsets) < ta * td or len(counts) < ta * td:
+            raise ValueError("tiff: tile offsets/counts cover fewer tiles than the grid")
+        for ti in range(ta * td):
+            ty, tx = divmod(ti, ta)
+            y0, x0 = ty * tl, tx * tw
+            yield offsets[ti], counts[ti], y0, x0, min(tl, h - y0), min(tw, w - x0)
+    else:
+        try:
+            offsets, counts = tags[273], tags[279]
+        except KeyError as exc:
+            raise ValueError(f"tiff: required tag missing ({exc})") from exc
+        rps = tags.get(278, [h])[0] or h
+        y0 = 0
+        for off, cnt in zip(offsets, counts):
+            if y0 >= h:
+                break
+            yield off, cnt, y0, 0, min(rps, h - y0), w
+            y0 += rps
+        if y0 < h:
+            raise ValueError("tiff: strips cover fewer rows than ImageLength")
+
+
+def _tiff_jpeg_decode(data: bytes, tags: dict, w: int, h: int) -> np.ndarray:
+    """Compression 7 (TIFF-TechNote2 JPEG): each chunk is an SOI..EOI
+    stream; tag 347 (JPEGTables) holds shared DQT/DHT segments wrapped
+    in their own SOI/EOI, spliced in after each chunk's SOI.  The
+    from-scratch JPEG decoder handles the rest (gray or YCbCr collapsed
+    through the engine's luma); WhiteIsZero inverts."""
+    from rapidocr_ray.functions.jpeg import decode_jpeg
+
+    tbl_mid = b""
+    if 347 in tags:
+        tb = bytes(tags[347])
+        if len(tb) < 4 or tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            raise ValueError("tiff: malformed JPEGTables blob")
+        tbl_mid = tb[2:-2]
+    out = np.zeros((h, w), dtype=np.uint8)
+    for off, cnt, y0, x0, eh, ew in _tiff_chunk_grid(tags, w, h):
+        raw = data[off:off + cnt]
+        if len(raw) != cnt:
+            raise ValueError("tiff: JPEG chunk extends past end of file")
+        if raw[:2] != b"\xff\xd8":
+            raise ValueError("tiff: JPEG chunk without SOI")
+        g = decode_jpeg(b"\xff\xd8" + tbl_mid + bytes(raw[2:]))
+        if g.shape[0] < eh or g.shape[1] < ew:
+            raise ValueError("tiff: JPEG chunk smaller than its region")
+        out[y0:y0 + eh, x0:x0 + ew] = g[:eh, :ew]
+    if tags.get(262, [1])[0] == 0:  # WhiteIsZero
+        out = (255 - out.astype(np.int32)).astype(np.uint8)
+    return out
+
+
 def _tiff_assemble_tiles(
     data: bytes, tags: dict, w: int, h: int, spp: int, depth: int,
     compression: int, predictor: int,
@@ -1217,6 +1282,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1] * spp)
     rows_per_strip = tags.get(278, [h])[0] or h
+    if compression == 7:
+        # new-style JPEG-in-TIFF: every strip/tile is a JPEG stream,
+        # optionally sharing tables via tag 347; the JPEG decoder owns
+        # sample interpretation, so the sample machinery below is skipped
+        return _tiff_jpeg_decode(data, tags, w, h)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"tiff: compression {compression} unsupported (none/LZW/Deflate/PackBits)"
@@ -1414,6 +1484,120 @@ def encode_tiff_tiled(
         entries.append(head)
     ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
     return header + struct.pack("<I", ifd_off) + b"".join(tiles) + ifd + overflow
+
+
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JPEG stream into (table segments, abbreviated stream):
+    DQT/DHT segments move out; everything from SOS on stays verbatim."""
+    pos = 2  # past SOI
+    tables = b""
+    rest = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("jpeg: bad segment marker")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            rest += stream[pos:]
+            return tables, bytes(rest)
+        (ln,) = struct.unpack(">H", stream[pos + 2:pos + 4])
+        seg = stream[pos:pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+    raise ValueError("jpeg: no SOS segment")
+
+
+def encode_tiff_jpeg(
+    img: np.ndarray,
+    rows_per_strip: int = 16,
+    tile: tuple[int, int] | None = None,
+    quality: int = 90,
+    shared_tables: bool = False,
+) -> bytes:
+    """(h, w) grayscale uint8 -> compression-7 JPEG-in-TIFF (fixture
+    writer): per-strip or per-tile baseline JPEG streams via the
+    from-scratch encoder; shared_tables moves the (identical) DQT/DHT
+    segments into a JPEGTables tag-347 blob, the abbreviated-stream
+    layout scanners emit."""
+    from rapidocr_ray.functions.jpeg import encode_jpeg
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_tiff_jpeg: expected (h, w) uint8")
+    h, w = img.shape
+    chunks = []
+    fields_layout: list[tuple[int, int, list[int]]] = []
+    if tile is not None:
+        tw, tl = tile
+        ta, td = -(-w // tw), -(-h // tl)
+        # edge-replicate padding (not zeros): keeps 8x8-block-constant
+        # inputs constant across the pad, so q=100 stays bit-exact
+        padded = np.pad(img, ((0, td * tl - h), (0, ta * tw - w)), mode="edge")
+        for ty in range(td):
+            for tx in range(ta):
+                chunks.append(
+                    encode_jpeg(
+                        padded[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw], quality
+                    )
+                )
+        fields_layout = [(322, 4, [tw]), (323, 4, [tl])]
+        off_tag, cnt_tag = 324, 325
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            chunks.append(encode_jpeg(img[y0:y0 + rows_per_strip], quality))
+        fields_layout = [(278, 4, [rows_per_strip])]
+        off_tag, cnt_tag = 273, 279
+    tables_blob = b""
+    if shared_tables:
+        tables, _ = _jpeg_split_tables(chunks[0])
+        chunks = [_jpeg_split_tables(c)[1] for c in chunks]
+        tables_blob = b"\xff\xd8" + tables + b"\xff\xd9"
+    header = b"II*\x00"
+    offsets = []
+    pos = 8
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    ifd_off = pos
+    fields = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8]),
+        (259, 3, [7]),
+        (262, 3, [1]),
+        (277, 3, [1]),
+        (off_tag, 4, offsets),
+        (cnt_tag, 4, [len(c) for c in chunks]),
+    ] + fields_layout
+    if tables_blob:
+        fields.append((347, 7, list(tables_blob)))
+    fields.sort()
+
+    def entry(tag: int, type_: int, values: list[int]) -> tuple[bytes, bytes]:
+        fmt = {3: "H", 4: "I", 7: "B"}[type_]
+        payload = struct.pack("<" + fmt * len(values), *values)
+        if len(payload) <= 4:
+            return (
+                struct.pack("<HHI", tag, type_, len(values))
+                + payload.ljust(4, b"\x00"),
+                b"",
+            )
+        return struct.pack("<HHI", tag, type_, len(values)), payload
+
+    n = len(fields)
+    overflow_base = ifd_off + 2 + 12 * n + 4
+    entries = []
+    overflow = b""
+    for tag, type_, values in fields:
+        head, extra = entry(tag, type_, values)
+        if extra:
+            head = head + struct.pack("<I", overflow_base + len(overflow))
+            overflow += extra
+        entries.append(head)
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    return header + struct.pack("<I", ifd_off) + b"".join(chunks) + ifd + overflow
 
 
 def encode_tiff(

@@ -684,6 +684,52 @@ def test_tiff_tiled_typed_errors():
         codecs.decode_tiff(patched)
 
 
+def test_tiff_jpeg_compression7():
+    """JPEG-in-TIFF (compression 7, decodes since this round): strip
+    and tile layouts, with and without a shared JPEGTables blob.
+    8x8-block-constant images round-trip bit-exactly at q=100 (the
+    same invariant the MJPG/AVI tests pin), so the expected output is
+    the input itself — no circular decode."""
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(8)
+    img = np.repeat(np.repeat(rng.randint(0, 256, (5, 6), dtype=np.uint8), 8, 0), 8, 1)
+    # 40x48, strip height 16 and tile 16x16 both 8-aligned
+    for kw in (
+        {"rows_per_strip": 16},
+        {"rows_per_strip": 16, "shared_tables": True},
+        {"tile": (16, 16)},
+        {"tile": (16, 16), "shared_tables": True},
+    ):
+        blob = codecs.encode_tiff_jpeg(img, quality=100, **kw)
+        assert np.array_equal(codecs.decode_tiff(blob), img), kw
+    # non-aligned size: edge strips/tiles crop back
+    odd = np.repeat(np.repeat(rng.randint(0, 256, (4, 5), dtype=np.uint8), 8, 0), 8, 1)[
+        :29, :37
+    ]
+    blob = codecs.encode_tiff_jpeg(odd, rows_per_strip=16, shared_tables=True, quality=100)
+    assert np.array_equal(codecs.decode_tiff(blob), odd)
+    blob = codecs.encode_tiff_jpeg(odd, tile=(16, 16), quality=100)
+    assert np.array_equal(codecs.decode_tiff(blob), odd)
+    # typed errors: chunk without SOI; malformed JPEGTables
+    broken = bytearray(codecs.encode_tiff_jpeg(img, rows_per_strip=16, quality=100))
+    broken[8] = 0x00  # first chunk starts at offset 8; kill its SOI
+    with pytest.raises(ValueError, match="without SOI"):
+        codecs.decode_tiff(bytes(broken))
+    shared = bytearray(codecs.encode_tiff_jpeg(img, rows_per_strip=16, shared_tables=True))
+    # find the JPEGTables blob (starts with SOI right after chunk data)
+    tb_idx = shared.rfind(b"\xff\xd8")
+    assert tb_idx > 8
+    shared[tb_idx] = 0x00
+    with pytest.raises(ValueError, match="JPEGTables"):
+        codecs.decode_tiff(bytes(shared))
+
+
 def test_bmp_rle4_roundtrip_and_errors():
     """BI_RLE4 (decodes since this round): same-nibble encoded runs,
     pairwise literal runs, handcrafted absolute mode with word

@@ -66,17 +66,24 @@ def test_tiff_typed_errors():
     g = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(encode_tiff(g))
     # flip the Compression tag value (tag 259, inline SHORT) to
-    # JPEG-in-TIFF (7) — LZW/Deflate decode for real since round 5
+    # JPEG-in-TIFF (7) — which DECODES since round 5, so a strip that
+    # is not actually a JPEG stream is the typed corrupt-chunk error;
+    # an unknown compression id (99) stays the named stub
     import struct
 
     (ifd_off,) = struct.unpack_from("<I", data, 4)
     (n,) = struct.unpack_from("<H", data, ifd_off)
+    tag259 = None
     for e in range(n):
         base = ifd_off + 2 + 12 * e
         (tag,) = struct.unpack_from("<H", data, base)
         if tag == 259:
+            tag259 = base
             struct.pack_into("<H", data, base + 8, 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    with pytest.raises(ValueError, match="JPEG chunk without SOI"):
+        decode_tiff(bytes(data))
+    struct.pack_into("<H", data, tag259 + 8, 99)
+    with pytest.raises(NotImplementedError, match="compression 99"):
         decode_tiff(bytes(data))
     with pytest.raises(ValueError):
         decode_tiff(b"II*\x00" + b"\xff" * 16)
