@@ -1182,9 +1182,21 @@ def _tiff_jpeg_decode(data: bytes, tags: dict, w: int, h: int) -> np.ndarray:
     return out
 
 
+def _tiff_u16_to_u8(rows_bytes: np.ndarray, w: int, spp: int, endian: str) -> np.ndarray:
+    """16-bit sample rows (file byte order) -> (h, w, spp) uint8 by
+    taking the high byte (the standard 16->8 display reduction)."""
+    h = rows_bytes.shape[0]
+    u16 = (
+        rows_bytes[:, : w * spp * 2]
+        .copy()
+        .view(np.dtype(("<" if endian == "<" else ">") + "u2"))
+    )
+    return (u16 >> 8).astype(np.uint8).reshape(h, w, spp)
+
+
 def _tiff_assemble_tiles(
     data: bytes, tags: dict, w: int, h: int, spp: int, depth: int,
-    compression: int, predictor: int,
+    compression: int, predictor: int, endian: str = "<",
 ):
     """Tiled layout (tags 322-325): decompress each fixed-size tile
     (edge tiles are padded to full size per TIFF 6.0), undo Predictor-2
@@ -1232,6 +1244,9 @@ def _tiff_assemble_tiles(
         if depth == 1:
             bits_arr = np.unpackbits(rows_bytes, axis=1)[:, :tw]
             out[y0:y0 + eh, x0:x0 + ew] = bits_arr[:eh, :ew]
+        elif depth == 16:
+            px = _tiff_u16_to_u8(rows_bytes, tw, spp, endian)
+            out[y0:y0 + eh, x0:x0 + ew] = px[:eh, :ew]
         else:
             px = rows_bytes[:, : tw * spp].reshape(tl, tw, spp)
             out[y0:y0 + eh, x0:x0 + ew] = px[:eh, :ew]
@@ -1297,13 +1312,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if any(b != bits[0] for b in bits):
         raise NotImplementedError("tiff: mixed bits-per-sample unsupported")
     depth = bits[0]
-    if depth not in (1, 8):
+    if depth not in (1, 8, 16):
         raise NotImplementedError(f"tiff: {depth}-bit samples unsupported")
     if depth == 1 and spp != 1:
         raise NotImplementedError("tiff: 1-bit multi-sample unsupported")
+    if depth == 16 and predictor == 2:
+        raise NotImplementedError("tiff: predictor 2 on 16-bit samples unsupported")
+    if depth == 16 and photometric == 3:
+        raise NotImplementedError("tiff: 16-bit palette unsupported")
     if tiled:
         px_or_bits = _tiff_assemble_tiles(
-            data, tags, w, h, spp, depth, compression, predictor
+            data, tags, w, h, spp, depth, compression, predictor, endian
         )
     else:
         stride = -(-w * spp * depth // 8)  # rows are byte-aligned
@@ -1334,6 +1353,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             ).astype(np.uint8).reshape(h, w * spp)
         if depth == 1:
             px_or_bits = np.unpackbits(rows_bytes, axis=1)[:, :w]
+        elif depth == 16:
+            px_or_bits = _tiff_u16_to_u8(rows_bytes, w, spp, endian)
         else:
             px_or_bits = rows_bytes[:, : w * spp].reshape(h, w, spp)
     if depth == 1:
@@ -1606,12 +1627,15 @@ def encode_tiff(
     photometric: int | None = None,
     predictor: int = 1,
 ) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 -> little-endian strip TIFF
+    """(h, w) gray or (h, w, 3) RGB -> little-endian strip TIFF
     (test/debug writer; one strip per 64 rows so multi-strip reads and
-    PackBits row restarts are exercised).  compression: "none",
-    "packbits", "lzw" or "deflate"; predictor=2 applies horizontal
-    differencing (lzw/deflate only, per spec usage)."""
-    img = np.asarray(img, dtype=np.uint8)
+    PackBits row restarts are exercised).  uint16 input writes 16-bit
+    samples.  compression: "none", "packbits", "lzw" or "deflate";
+    predictor=2 applies horizontal differencing (8-bit lzw/deflate
+    only, per spec usage)."""
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = np.ascontiguousarray(img, dtype=np.uint16 if depth == 16 else np.uint8)
     if img.ndim == 2:
         spp = 1
         photometric = 1 if photometric is None else photometric
@@ -1619,18 +1643,22 @@ def encode_tiff(
         spp = img.shape[2]
         photometric = 2
     else:
-        raise ValueError("encode_tiff: expected (h,w) or (h,w,3|4) uint8")
+        raise ValueError("encode_tiff: expected (h,w) or (h,w,3|4)")
     h, w = img.shape[:2]
     flat_rows = img.reshape(h, w * spp)
     if predictor == 2:
-        if compression not in ("lzw", "deflate"):
-            raise ValueError("encode_tiff: predictor 2 needs lzw/deflate")
+        if compression not in ("lzw", "deflate") or depth != 8:
+            raise ValueError("encode_tiff: predictor 2 needs 8-bit lzw/deflate")
         px = flat_rows.reshape(h, w, spp).astype(np.int16)
         diff = px.copy()
         diff[:, 1:] = px[:, 1:] - px[:, :-1]
         flat_rows = (diff % 256).astype(np.uint8).reshape(h, w * spp)
     elif predictor != 1:
         raise ValueError(f"encode_tiff: unknown predictor {predictor}")
+    if depth == 16:
+        flat_rows = (
+            flat_rows.astype("<u2").view(np.uint8).reshape(h, w * spp * 2)
+        )
     rows_per_strip = 64
     strips = [
         _tiff_compress_chunk(flat_rows[y0:y0 + rows_per_strip], compression)
@@ -1661,7 +1689,7 @@ def encode_tiff(
     fields = [
         (256, 4, [w]),
         (257, 4, [h]),
-        (258, 3, [8] * spp),
+        (258, 3, [depth] * spp),
         (259, 3, [comp_tag]),
         (262, 3, [photometric]),
         (273, 4, strip_offsets),

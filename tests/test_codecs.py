@@ -684,6 +684,41 @@ def test_tiff_tiled_typed_errors():
         codecs.decode_tiff(patched)
 
 
+def test_tiff_16bit_samples():
+    """16-bit gray and RGB strips (and tiles via direct helper) reduce
+    to the high byte; big-endian rows honored by the helper; predictor-2
+    on 16-bit and 16-bit palette stay named stubs."""
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(4)
+    g16 = rng.randint(0, 65536, (21, 33), dtype=np.uint16)
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        out = codecs.decode_tiff(codecs.encode_tiff(g16, comp))
+        assert np.array_equal(out, (g16 >> 8).astype(np.uint8)), comp
+    rgb16 = rng.randint(0, 65536, (9, 14, 3), dtype=np.uint16)
+    out = codecs.decode_tiff(codecs.encode_tiff(rgb16, "deflate"))
+    assert np.array_equal(out, codecs.rgb_to_gray((rgb16 >> 8).astype(np.uint8)))
+    # big-endian sample order via the helper directly
+    rows = np.array([[0x12, 0x34, 0xAB, 0xCD]], dtype=np.uint8)
+    be = codecs._tiff_u16_to_u8(rows, 2, 1, ">")
+    assert be.ravel().tolist() == [0x12, 0xAB]
+    le = codecs._tiff_u16_to_u8(rows, 2, 1, "<")
+    assert le.ravel().tolist() == [0x34, 0xCD]
+    # named stubs
+    with pytest.raises(ValueError, match="predictor 2 needs 8-bit"):
+        codecs.encode_tiff(g16, "lzw", predictor=2)
+    blob = bytearray(codecs.encode_tiff(g16, "none"))
+    import struct as _s
+
+    idx = bytes(blob).find(_s.pack("<HHI", 262, 3, 1))  # photometric tag
+    _s.pack_into("<H", blob, idx + 8, 3)  # palette
+    with pytest.raises(NotImplementedError, match="16-bit palette"):
+        codecs.decode_tiff(bytes(blob))
+
+
 def test_tiff_jpeg_compression7():
     """JPEG-in-TIFF (compression 7, decodes since this round): strip
     and tile layouts, with and without a shared JPEGTables blob.
