@@ -161,10 +161,14 @@ def test_real_container_pages_match_rbmp(ray_session):
 
     from rapidocr_ray.functions.codecs import (
         encode_bmp,
+        encode_bmp_packed,
+        encode_bmp_rle4,
         encode_bmp_rle8,
         encode_gif,
         encode_png,
         encode_tiff,
+        encode_tiff_jpeg,
+        encode_tiff_tiled,
     )
     from rapidocr_ray.glyphs import encode_rbmp, render_page
     from rapidocr_ray.pipelines.extract import extract_pages_table
@@ -185,6 +189,16 @@ def test_real_container_pages_match_rbmp(ray_session):
         "tiff": encode_tiff(img, compression="packbits"),
         "tiff-lzw": encode_tiff(img, compression="lzw", predictor=2),
         "tiff-defl": encode_tiff(img, compression="deflate"),
+        "tiff-tiled": encode_tiff_tiled(img, (32, 32), "lzw"),
+        "tiff-16": encode_tiff((img.astype(np.uint16) << 8), "deflate"),
+        # glyph pages are binary; q=100 JPEG error (<=4 gray levels of
+        # ringing) cannot flip the 128 threshold, so text stays exact
+        "tiff-jpeg": encode_tiff_jpeg(img, rows_per_strip=32, quality=100,
+                                      shared_tables=True),
+        # 4-bit / 1-bit palette BMPs: glyph pages are 0/255 bilevel, so
+        # index grids reproduce them exactly (15*17=255)
+        "bmp-rle4": encode_bmp_rle4((img > 127).astype(np.uint8) * 15),
+        "bmp-1bit": encode_bmp_packed((img > 127).astype(np.uint8), 1),
         "webpl": encode_webp(img),
         "jpeg": b"\xff\xd8\xff\xe0fake-jpeg",  # truncated -> error row
         "webp": b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 24,  # lossy: named stub
@@ -205,7 +219,9 @@ def test_real_container_pages_match_rbmp(ray_session):
     by_url = got.set_index("url")
     expected = by_url.loc["https://t/rbmp", "extracted_text"]
     assert expected == "container codec line"
-    for k in ("png", "gif", "bmp", "bmp-rle", "jpg", "jpg-prog", "tiff", "tiff-lzw", "tiff-defl", "webpl"):
+    for k in ("png", "gif", "bmp", "bmp-rle", "jpg", "jpg-prog", "tiff",
+              "tiff-lzw", "tiff-defl", "tiff-tiled", "tiff-16", "tiff-jpeg",
+              "bmp-rle4", "bmp-1bit", "webpl"):
         assert by_url.loc[f"https://t/{k}", "extracted_text"] == expected, k
         assert by_url.loc[f"https://t/{k}", "route"] == "bitmap"
     assert by_url.loc["https://t/jpeg", "route"] == "error"
