@@ -863,6 +863,13 @@ def test_r5_decoders_typed_error_fuzz():
         "gif-anim": codecs.encode_gif_animation(frames),
         "avi": encode_avi_mjpeg(frames, quality=90),
         "wav-ima": ima_wav(),
+        "bmp-rle4": codecs.encode_bmp_rle4(frames[0] >> 4),
+        "bmp-1bit": codecs.encode_bmp_packed((frames[0] > 127).astype(np.uint8), 1),
+        "tiff-tiled": codecs.encode_tiff_tiled(frames[0], (8, 8), "lzw"),
+        "tiff-jpeg": codecs.encode_tiff_jpeg(
+            frames[0], rows_per_strip=8, shared_tables=True
+        ),
+        "tiff-16": codecs.encode_tiff(frames[0].astype(np.uint16) * 257, "deflate"),
     }
 
     def check(payload, kind):
