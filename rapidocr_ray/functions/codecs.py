@@ -1325,6 +1325,44 @@ def decode_tiff(data: bytes) -> np.ndarray:
             data, tags, w, h, spp, depth, compression, predictor, endian
         )
     else:
+        planar = tags.get(284, [1])[0]
+        if planar not in (1, 2):
+            raise NotImplementedError(f"tiff: planar configuration {planar} unsupported")
+        if planar == 2 and spp > 1:
+            # separate planes: strips run plane-by-plane (all R strips,
+            # then G, then B); assemble each plane, then interleave.
+            # Without this branch a planar file would silently decode
+            # as garbage through the chunky path.
+            if depth != 8:
+                raise NotImplementedError("tiff: planar config 2 needs 8-bit samples")
+            spb = -(-h // rows_per_strip)  # strips per plane
+            if len(strip_offsets) < spp * spb or len(strip_counts) < spp * spb:
+                raise ValueError("tiff: planar strips cover fewer than spp planes")
+            stride1 = -(-w * depth // 8)
+            planes = []
+            for p in range(spp):
+                chunks = []
+                remaining = h
+                for si in range(spb):
+                    rows = min(rows_per_strip, remaining)
+                    remaining -= rows
+                    off = strip_offsets[p * spb + si]
+                    cnt = strip_counts[p * spb + si]
+                    raw = data[off:off + cnt]
+                    if len(raw) != cnt:
+                        raise ValueError("tiff: strip extends past end of file")
+                    chunks.append(_tiff_decompress(raw, rows * stride1, compression))
+                flat = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+                plane = flat.reshape(h, stride1)
+                if predictor == 2:
+                    plane = plane.copy()
+                    plane[:, :w] = (
+                        np.cumsum(plane[:, :w], axis=1, dtype=np.uint64) % 256
+                    ).astype(np.uint8)
+                planes.append(plane[:, :w])
+            return _tiff_interpret_px(
+                np.stack(planes, axis=-1), photometric, spp, tags
+            )
         stride = -(-w * spp * depth // 8)  # rows are byte-aligned
         chunks = []
         remaining = h
@@ -1362,7 +1400,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if photometric == 0:  # WhiteIsZero
             gray = (255 - gray).astype(np.uint8)
         return gray
-    px = px_or_bits
+    return _tiff_interpret_px(px_or_bits, photometric, spp, tags, depth)
+
+
+def _tiff_interpret_px(
+    px: np.ndarray, photometric: int, spp: int, tags: dict, depth: int = 8
+) -> np.ndarray:
+    """(h, w, spp) uint8 samples -> grayscale via the photometric tag
+    (shared by the chunky, tiled and planar-separate paths)."""
     if photometric in (0, 1):
         gray = px[:, :, 0]
         if photometric == 0:
@@ -1626,6 +1671,7 @@ def encode_tiff(
     compression: str = "none",
     photometric: int | None = None,
     predictor: int = 1,
+    planar: int = 1,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB -> little-endian strip TIFF
     (test/debug writer; one strip per 64 rows so multi-strip reads and
@@ -1660,10 +1706,27 @@ def encode_tiff(
             flat_rows.astype("<u2").view(np.uint8).reshape(h, w * spp * 2)
         )
     rows_per_strip = 64
-    strips = [
-        _tiff_compress_chunk(flat_rows[y0:y0 + rows_per_strip], compression)
-        for y0 in range(0, h, rows_per_strip)
-    ]
+    if planar == 2:
+        if depth != 8 or spp < 2:
+            raise ValueError("encode_tiff: planar 2 needs 8-bit multi-sample")
+        strips = []
+        for p in range(spp):
+            plane = np.ascontiguousarray(img[:, :, p])
+            if predictor == 2:
+                d = plane.astype(np.int16)
+                d[:, 1:] = d[:, 1:] - plane[:, :-1].astype(np.int16)
+                plane = (d % 256).astype(np.uint8)
+            strips += [
+                _tiff_compress_chunk(plane[y0:y0 + rows_per_strip], compression)
+                for y0 in range(0, h, rows_per_strip)
+            ]
+    elif planar == 1:
+        strips = [
+            _tiff_compress_chunk(flat_rows[y0:y0 + rows_per_strip], compression)
+            for y0 in range(0, h, rows_per_strip)
+        ]
+    else:
+        raise ValueError(f"encode_tiff: unknown planar {planar}")
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
 
     def entry(tag: int, type_: int, values: list[int]) -> tuple[bytes, bytes]:
@@ -1699,6 +1762,9 @@ def encode_tiff(
     ]
     if predictor == 2:
         fields.append((317, 3, [2]))
+    if planar == 2:
+        fields.append((284, 3, [2]))
+        fields.sort()
     n = len(fields)
     overflow_base = ifd_off + 2 + 12 * n + 4
     entries = []

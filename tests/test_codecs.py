@@ -684,6 +684,37 @@ def test_tiff_tiled_typed_errors():
         codecs.decode_tiff(patched)
 
 
+def test_tiff_planar_configuration_2():
+    """Planar-separate RGB strips (all R, then G, then B — tag 284=2)
+    assemble correctly; before this round the chunky path would have
+    silently mis-decoded them. Predictor-2 applies per plane."""
+    import numpy as np
+    import pytest
+
+    from rapidocr_ray.functions import codecs
+
+    rng = np.random.RandomState(6)
+    rgb = rng.randint(0, 256, (70, 23, 3), dtype=np.uint8)  # 2 strips/plane
+    for comp in ("none", "packbits", "deflate"):
+        out = codecs.decode_tiff(codecs.encode_tiff(rgb, comp, planar=2))
+        assert np.array_equal(out, codecs.rgb_to_gray(rgb)), comp
+    out = codecs.decode_tiff(codecs.encode_tiff(rgb, "lzw", predictor=2, planar=2))
+    assert np.array_equal(out, codecs.rgb_to_gray(rgb))
+    # missing plane strips -> typed error
+    import struct as _s
+
+    blob = bytearray(codecs.encode_tiff(rgb, "none", planar=2))
+    (ifd_off,) = _s.unpack_from("<I", blob, 4)
+    (n,) = _s.unpack_from("<H", blob, ifd_off)
+    for e in range(n):
+        base = ifd_off + 2 + 12 * e
+        (tag,) = _s.unpack_from("<H", blob, base)
+        if tag in (273, 279):  # claim only 2 strips exist
+            _s.pack_into("<I", blob, base + 4, 2)
+    with pytest.raises(ValueError, match="planar strips"):
+        codecs.decode_tiff(bytes(blob))
+
+
 def test_tiff_16bit_samples():
     """16-bit gray and RGB strips (and tiles via direct helper) reduce
     to the high byte; big-endian rows honored by the helper; predictor-2
