@@ -278,6 +278,63 @@ def test_pagerank_rejects_total_beyond_headroom(ray_session):
         pagerank_int(_edges_ds(ray_session, HAND_EDGES), total=2**60)
 
 
+def test_graph_queries_randomized_docs_cross_check(ray_session, tmp_path):
+    """Synthetic documents tables beyond the fixed testdata shape:
+    different doc counts, heavily skewed source distributions, and
+    NON-CONTIGUOUS doc_ids (derived targets then reference missing
+    docs — both engines must drop them identically through their inner
+    joins).  All three graph queries must match DuckDB exactly."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rapidocr_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(31)
+
+    def docs_dir(name, ids, sources):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(["t"] * len(ids), type=pa.string()),
+                "lang": pa.array(["en"] * len(ids), type=pa.string()),
+                "source": pa.array(sources, type=pa.string()),
+                "n_chars": pa.array([1] * len(ids), type=pa.int64()),
+            }
+        )
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    def oracle(sf_dir, name):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        return con.execute(q.ORACLE_SQL[name]).df()
+
+    cases = []
+    # skewed: 90% of docs in one source, contiguous ids, n=137 (prime)
+    n = 137
+    srcs = np.where(rng.random(n) < 0.9, "big", rng.choice(["a", "b", "c"], n))
+    cases.append(docs_dir("skew", list(range(n)), list(srcs)))
+    # non-contiguous, unsorted doc_ids (targets may not exist)
+    ids = list(rng.choice(10000, size=80, replace=False))
+    cases.append(docs_dir("sparse", ids, [f"s{i % 7}" for i in range(80)]))
+    # single source, tiny
+    cases.append(docs_dir("single", [0, 1, 2], ["only"] * 3))
+    for d in cases:
+        for name in ("link_graph_stats", "domain_pagerank", "rank_weighted_sample"):
+            got = q.QUERIES[name](d).to_pandas()
+            want = oracle(d, name)
+            cols = sorted(got.columns)
+            assert cols == sorted(want.columns), (d, name)
+            a = got[cols].sort_values(cols).reset_index(drop=True)
+            b = want[cols].sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False), (d, name)
+
+
 def test_pagerank_int64_no_overflow_headroom():
     # worst case per-edge contribution sum is <= total mass; damped
     # numerator 85 * 10^12 must stay far inside int64
