@@ -3934,6 +3934,66 @@ WHERE (d.doc_id * 2654435761) % 4294967296
 """
 
 
+def q_sequence_packing(sf_dir: str, seq_len: int = 256, n_shards: int = 8):
+    """Pretraining sequence packing (shard-local, deterministic): docs
+    are sharded by doc_id % n_shards, ordered by doc_id within a shard,
+    and concatenated into fixed seq_len-token sequences — each doc gets
+    (seq_id, offset_in_seq) from the shard's running token cumsum, the
+    boundary-spanning layout a packed-pretraining loader materializes.
+    Scale shape: ONE bounded shuffle on the shard key (n_shards is the
+    parallelism knob; thousands at real scale), per-shard sort +
+    vectorized cumsum — no driver state."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        n = np.asarray(
+            pc.list_value_length(pc.split_pattern(batch.column("text"), " ")),
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shard": pa.array(ids % n_shards, type=pa.int64()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    def pack(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id")
+        n = g.n_tokens.to_numpy(np.int64)
+        cum = np.cumsum(n) - n  # token offset where each doc starts
+        return pa.table(
+            {
+                "doc_id": pa.array(g.doc_id.to_numpy(np.int64), type=pa.int64()),
+                "shard": pa.array(g.shard.to_numpy(np.int64), type=pa.int64()),
+                "seq_id": pa.array(cum // seq_len, type=pa.int64()),
+                "offset_in_seq": pa.array(cum % seq_len, type=pa.int64()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+SQL_SEQUENCE_PACKING = """
+WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+c AS (SELECT doc_id, shard, n,
+             SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS start
+      FROM t)
+SELECT doc_id, shard, CAST(start // 256 AS BIGINT) AS seq_id,
+       CAST(start % 256 AS BIGINT) AS offset_in_seq, n AS n_tokens
+FROM c
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4011,6 +4071,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_graph_stats": q_link_graph_stats,
     "domain_pagerank": q_domain_pagerank,
     "rank_weighted_sample": q_rank_weighted_sample,
+    "sequence_packing": q_sequence_packing,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4085,4 +4146,5 @@ ORACLE_SQL: dict[str, str] = {
     "link_graph_stats": SQL_LINK_GRAPH_STATS,
     "domain_pagerank": SQL_DOMAIN_PAGERANK,
     "rank_weighted_sample": SQL_RANK_WEIGHTED_SAMPLE,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
 }

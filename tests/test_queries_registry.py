@@ -65,6 +65,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "link_graph_stats",
         "domain_pagerank",
         "rank_weighted_sample",
+        "sequence_packing",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):
