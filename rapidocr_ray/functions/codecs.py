@@ -31,7 +31,7 @@ import zlib
 
 import numpy as np
 
-from rapidocr_ray.functions.jpeg import decode_jpeg, rgb_to_gray  # noqa: F401
+from rapidocr_ray.functions.jpeg import decode_jpeg, encode_jpeg, rgb_to_gray  # noqa: F401
 # module-level bind, NOT a function-level import: this module ships to
 # workers by value (ensure_worker_importable), where a live
 # `import rapidocr_ray...` inside a function would fail off-repo-CWD
@@ -1001,10 +1001,13 @@ def _tiff_tag_values(data: bytes, endian: str, type_: int, count: int, raw: byte
     return list(struct.unpack(endian + fmt * count, payload))
 
 
-def _tiff_lzw_decode(raw: bytes, expected: int) -> np.ndarray:
+def _tiff_lzw_decode(raw: bytes, expected: int, require_full: bool = True) -> np.ndarray:
     """TIFF 6.0 §13 LZW: MSB-first bit packing, Clear=256, EOI=257,
     code width 9→12 with EarlyChange (width bumps one code early, when
-    the table reaches 2^width - 1 entries)."""
+    the table reaches 2^width - 1 entries).  require_full=False treats
+    `expected` as an upper bound and stops at EOI (the PDF LZWDecode
+    caller, where the decoded size is unknown — PDF's default
+    EarlyChange=1 is this exact schedule)."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     acc = bits = 0
@@ -1047,7 +1050,7 @@ def _tiff_lzw_decode(raw: bytes, expected: int) -> np.ndarray:
         # the read width bumps when len+1 hits 2^width - 1
         if len(table) + 1 == (1 << width) - 1 and width < 12:
             width += 1
-    if len(out) < expected:
+    if require_full and len(out) < expected:
         raise ValueError("tiff: LZW strip too short")
     return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
 
@@ -1158,8 +1161,6 @@ def _tiff_jpeg_decode(data: bytes, tags: dict, w: int, h: int) -> np.ndarray:
     in their own SOI/EOI, spliced in after each chunk's SOI.  The
     from-scratch JPEG decoder handles the rest (gray or YCbCr collapsed
     through the engine's luma); WhiteIsZero inverts."""
-    from rapidocr_ray.functions.jpeg import decode_jpeg
-
     tbl_mid = b""
     if 347 in tags:
         tb = bytes(tags[347])
@@ -1587,8 +1588,6 @@ def encode_tiff_jpeg(
     from-scratch encoder; shared_tables moves the (identical) DQT/DHT
     segments into a JPEGTables tag-347 blob, the abbreviated-stream
     layout scanners emit."""
-    from rapidocr_ray.functions.jpeg import encode_jpeg
-
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("encode_tiff_jpeg: expected (h, w) uint8")

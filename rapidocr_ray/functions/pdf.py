@@ -33,6 +33,12 @@ import zlib
 
 import numpy as np
 
+# module-level binds, NOT function-level imports: this module ships to
+# workers by value (ensure_worker_importable), where a live
+# `import rapidocr_ray...` inside a function fails off-repo-CWD
+from rapidocr_ray.functions.codecs import _tiff_lzw_decode, _tiff_lzw_encode
+from rapidocr_ray.functions.jpeg import decode_jpeg
+
 PDF_MAGIC = b"%PDF-"
 _MAX_STREAM = 64 << 20  # decompression bound: typed error, never an OOM
 
@@ -52,6 +58,116 @@ def _inflate(data: bytes, max_bytes: int = _MAX_STREAM) -> bytes:
     if not d.eof:
         raise ValueError("pdf: truncated FlateDecode stream")
     return out
+
+
+_BYTE_FILTERS = {
+    b"FlateDecode", b"Fl",
+    b"LZWDecode", b"LZW",
+    b"ASCIIHexDecode", b"AHx",
+    b"ASCII85Decode", b"A85",
+    b"RunLengthDecode", b"RL",
+}
+
+
+def _parse_filters(head: bytes) -> list[bytes]:
+    """/Filter entry -> decode-order filter names (name or array form;
+    inline-image abbreviations accepted)."""
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
+    if not m:
+        return []
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    out = bytearray()
+    hi = None
+    for c in data:
+        if c in b" \t\r\n\f\x00":
+            continue
+        if c == 0x3E:  # '>'
+            break
+        if 0x30 <= c <= 0x39:
+            v = c - 0x30
+        elif 0x41 <= c <= 0x46:
+            v = c - 0x41 + 10
+        elif 0x61 <= c <= 0x66:
+            v = c - 0x61 + 10
+        else:
+            raise ValueError("pdf: bad ASCIIHexDecode character")
+        if hi is None:
+            hi = v
+        else:
+            out.append((hi << 4) | v)
+            hi = None
+    if hi is not None:  # odd final digit: low nibble is 0
+        out.append(hi << 4)
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data
+    end = body.find(b"~>")
+    if end >= 0:
+        body = body[: end + 2]
+    try:
+        return base64.a85decode(
+            body, adobe=body.startswith(b"<~") or body.endswith(b"~>"),
+            ignorechars=b" \t\n\r\v\f\x00",
+        )
+    except ValueError as exc:
+        raise ValueError(f"pdf: bad ASCII85Decode stream ({exc})") from exc
+
+
+def _runlength_decode(data: bytes, max_bytes: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:  # EOD
+            return bytes(out)
+        if length < 128:
+            if i + length + 1 > n:
+                raise ValueError("pdf: truncated RunLengthDecode literal")
+            out += data[i:i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                raise ValueError("pdf: truncated RunLengthDecode run")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+        if len(out) > max_bytes:
+            raise ValueError("pdf: RunLengthDecode output exceeds bound")
+    raise ValueError("pdf: RunLengthDecode missing EOD")
+
+
+def _apply_byte_filters(names: list[bytes], data: bytes, max_bytes: int) -> bytes:
+    """Apply a decode-order chain of transport/compression filters.
+    Every output is bounded (the FlateDecode bomb guard extends to the
+    whole chain)."""
+    for name in names:
+        if name in (b"FlateDecode", b"Fl"):
+            data = _inflate(data, max_bytes=max_bytes)
+        elif name in (b"LZWDecode", b"LZW"):
+            data = bytes(_tiff_lzw_decode(data, max_bytes + 1, require_full=False))
+            if len(data) > max_bytes:
+                raise ValueError("pdf: LZWDecode output exceeds bound")
+        elif name in (b"ASCIIHexDecode", b"AHx"):
+            data = _ascii_hex_decode(data)
+        elif name in (b"ASCII85Decode", b"A85"):
+            data = _ascii85_decode(data)
+        elif name in (b"RunLengthDecode", b"RL"):
+            data = _runlength_decode(data, max_bytes)
+        else:
+            raise NotImplementedError(
+                f"pdf: stream filter {name.decode('latin-1')} unsupported"
+            )
+        if len(data) > max_bytes:
+            raise ValueError("pdf: filtered stream exceeds bound")
+    return data
 
 
 def _dict_int(d: bytes, key: bytes) -> int | None:
@@ -228,15 +344,15 @@ def parse_pdf(payload: bytes) -> tuple[str, str | np.ndarray]:
             bpc = _dict_int(head, b"BitsPerComponent")
             if not w or not h:
                 raise ValueError("pdf: image XObject missing dimensions")
-            if b"/DCTDecode" in head:
-                from rapidocr_ray.functions.jpeg import decode_jpeg
-
-                raster = decode_jpeg(stream)
-                continue
-            if b"/FlateDecode" not in head:
-                raise NotImplementedError(
-                    "pdf: image filter unsupported (FlateDecode/DCTDecode only)"
+            pm = re.search(rb"/Predictor\s+(\d+)", head)
+            if pm and int(pm.group(1)) > 1:
+                raise NotImplementedError("pdf: stream Predictor unsupported")
+            names = _parse_filters(head)
+            if names and names[-1] in (b"DCTDecode", b"DCT"):
+                raster = decode_jpeg(
+                    _apply_byte_filters(names[:-1], stream, _MAX_STREAM)
                 )
+                continue
             if bpc != 8 or b"/DeviceGray" not in head:
                 raise NotImplementedError(
                     "pdf: image colorspace unsupported (8-bit DeviceGray)"
@@ -245,15 +361,19 @@ def parse_pdf(payload: bytes) -> tuple[str, str | np.ndarray]:
                 # a corrupt Width/Height must not widen the inflate
                 # bound into a decompression-bomb window
                 raise ValueError("pdf: image dimensions exceed sanity bound")
-            px = _inflate(stream, max_bytes=w * h + 64)
+            px = _apply_byte_filters(names, stream, w * h + 64)
             if len(px) < w * h:
                 raise ValueError("pdf: image stream shorter than Width*Height")
             raster = np.frombuffer(px, dtype=np.uint8, count=w * h).reshape(h, w)
             continue
         # content-stream candidate
         data = stream
-        if b"/FlateDecode" in head:
-            data = _inflate(data)
+        names = _parse_filters(head)
+        if names:
+            pm = re.search(rb"/Predictor\s+(\d+)", head)
+            if pm and int(pm.group(1)) > 1:
+                raise NotImplementedError("pdf: stream Predictor unsupported")
+            data = _apply_byte_filters(names, data, _MAX_STREAM)
         if b"BT" in data:
             text_lines.extend(extract_text_ops(data))
     if not saw_obj:
@@ -297,23 +417,74 @@ def _assemble(objects: list[bytes]) -> bytes:
     return b"".join(parts)
 
 
-def encode_pdf_text(lines: list[str]) -> bytes:
-    """Single-page born-digital PDF: one FlateDecode content stream,
-    one Tj per line separated by TD line moves."""
+_FILTER_NAMES = {
+    "flate": b"/FlateDecode",
+    "lzw": b"/LZWDecode",
+    "asciihex": b"/ASCIIHexDecode",
+    "ascii85": b"/ASCII85Decode",
+    "runlength": b"/RunLengthDecode",
+}
+
+
+def _encode_filter_chain(data: bytes, filters: tuple[str, ...]) -> tuple[bytes, bytes]:
+    """Apply encoders in REVERSE of the decode-order `filters` tuple
+    and return (encoded bytes, /Filter dict fragment)."""
+    import base64
+
+    def runlength_encode(d: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        n = len(d)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and d[i + run] == d[i]:
+                run += 1
+            if run >= 2:
+                out.append(257 - run)
+                out.append(d[i])
+                i += run
+            else:
+                j = min(n, i + 128)
+                out.append(j - i - 1)
+                out += d[i:j]
+                i = j
+        out.append(128)  # EOD
+        return bytes(out)
+
+    enc = {
+        "flate": lambda d: zlib.compress(d, 6),
+        "lzw": _tiff_lzw_encode,
+        "asciihex": lambda d: d.hex().encode() + b">",
+        "ascii85": lambda d: base64.a85encode(d, adobe=True),
+        "runlength": runlength_encode,
+    }
+    for f in reversed(filters):
+        data = enc[f](data)
+    if not filters:
+        return data, b""
+    if len(filters) == 1:
+        return data, b" /Filter " + _FILTER_NAMES[filters[0]]
+    return data, b" /Filter [" + b" ".join(_FILTER_NAMES[f] for f in filters) + b"]"
+
+
+def encode_pdf_text(lines: list[str], filters: tuple[str, ...] = ("flate",)) -> bytes:
+    """Single-page born-digital PDF: one content stream (decode-order
+    `filters` chain, default FlateDecode), one Tj per line separated by
+    TD line moves."""
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append(b"0 -14 TD")
         ops.append(b"(" + _escape_literal(line) + b") Tj")
     ops.append(b"ET")
-    content = zlib.compress(b" ".join(ops), 6)
+    content, filter_frag = _encode_filter_chain(b" ".join(ops), filters)
     return _assemble(
         [
             b"<< /Type /Catalog /Pages 2 0 R >>",
             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+            b"<< /Length %d%s >>\nstream\n" % (len(content), filter_frag)
             + content
             + b"\nendstream",
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
@@ -321,13 +492,16 @@ def encode_pdf_text(lines: list[str]) -> bytes:
     )
 
 
-def encode_pdf_scanned(img: np.ndarray) -> bytes:
-    """Single-page scanned PDF: FlateDecode 8-bit DeviceGray image
-    XObject drawn full-page (lossless, so cascade extraction is
-    byte-identical to the rendered page)."""
+def encode_pdf_scanned(
+    img: np.ndarray, filters: tuple[str, ...] = ("flate",)
+) -> bytes:
+    """Single-page scanned PDF: 8-bit DeviceGray image XObject (decode-
+    order `filters` chain, default FlateDecode) drawn full-page
+    (lossless, so cascade extraction is byte-identical to the rendered
+    page)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
-    px = zlib.compress(img.tobytes(), 6)
+    px, filter_frag = _encode_filter_chain(img.tobytes(), filters)
     content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
     return _assemble(
         [
@@ -337,7 +511,8 @@ def encode_pdf_scanned(img: np.ndarray) -> bytes:
             + b"/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>",
             b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d " % (w, h)
-            + b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
-            b"/Length %d >>\nstream\n" % len(px) + px + b"\nendstream",
+            + b"/ColorSpace /DeviceGray /BitsPerComponent 8"
+            + filter_frag
+            + b" /Length %d >>\nstream\n" % len(px) + px + b"\nendstream",
         ]
     )

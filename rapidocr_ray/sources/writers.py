@@ -21,6 +21,11 @@ import json
 import numpy as np
 import pyarrow as pa
 
+# module-level bind, NOT a function-level import: this module can ship
+# to workers by value, where a live `import rapidocr_ray...` inside a
+# function fails off-repo-CWD
+from rapidocr_ray.glyphs import GLYPH_H, GLYPHS, render_line
+
 BOX_GRAY = 128
 
 
@@ -85,8 +90,6 @@ def render_page_with_text(
     ``text_score`` are skipped, matching demo.py:31-32.  Grayscale
     throughout (the engine's pages are single-channel); no PIL/cv2.
     """
-    from rapidocr_ray.glyphs import GLYPH_H, GLYPHS, render_line
-
     h, w = img.shape
     left = img.astype(np.uint16)
     right = np.full((h, w), 255, dtype=np.uint8)

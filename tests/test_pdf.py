@@ -62,6 +62,43 @@ def test_pdf_scanned_dctdecode_via_jpeg_decoder():
     assert kind == "raster" and np.array_equal(out, img)
 
 
+def test_pdf_filter_chains():
+    """Transport/compression filter chains (decode since this round):
+    ASCIIHex, ASCII85, RunLength, LZW, and multi-filter arrays over
+    both the content-stream and image-XObject paths; unknown filters
+    and predictored streams stay named stubs."""
+    lines = ["filter chain line one", "and two"]
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    chains = [
+        (),
+        ("asciihex",),
+        ("ascii85",),
+        ("runlength",),
+        ("lzw",),
+        ("ascii85", "flate"),
+        ("asciihex", "lzw"),
+        ("ascii85", "runlength"),
+    ]
+    for ch in chains:
+        kind, text = P.parse_pdf(P.encode_pdf_text(lines, filters=ch))
+        assert (kind, text) == ("text", "\n".join(lines)), ch
+        kind, out = P.parse_pdf(P.encode_pdf_scanned(img, filters=ch))
+        assert kind == "raster" and np.array_equal(out, img), ch
+    # typed stubs / errors
+    good = P.encode_pdf_text(lines, filters=("runlength",))
+    with pytest.raises(NotImplementedError, match="JBIG2"):
+        P.parse_pdf(good.replace(b"/RunLengthDecode", b"/JBIG2Decode"))
+    blob = P.encode_pdf_scanned(img, filters=("flate",))
+    with pytest.raises(NotImplementedError, match="Predictor"):
+        P.parse_pdf(
+            blob.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 8 /Predictor 12")
+        )
+    # corrupt ascii85 body -> typed ValueError
+    a85 = P.encode_pdf_text(lines, filters=("ascii85",))
+    with pytest.raises(ValueError):
+        P.parse_pdf(a85.replace(b"~>", b"\x01\x01"))
+
+
 def test_pdf_typed_errors():
     with pytest.raises(ValueError, match="bad header"):
         P.parse_pdf(b"not a pdf")
