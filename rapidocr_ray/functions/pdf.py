@@ -177,8 +177,19 @@ def _dict_int(d: bytes, key: bytes) -> int | None:
 
 def _scan_objects(data: bytes):
     """Yield (dict_bytes, stream_bytes|None) for every indirect object.
-    The dict is everything between `obj` and `stream`/`endobj`."""
-    for m in _OBJ_RE.finditer(data):
+    The dict is everything between `obj` and `stream`/`endobj`.
+
+    The `N M obj` regex is re-anchored PAST each object's stream body
+    rather than finditer'd over the whole file: ASCII-transport stream
+    content (ASCIIHexDecode of a raster's black regions is one long
+    ``000...`` digit run) makes `\\d+\\s+\\d+\\s+obj` backtrack
+    quadratically — a 280 KB hex stream cost ~20 s per scan before
+    this, and milliseconds after."""
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            return
         body_start = m.end()
         end = data.find(b"endobj", body_start)
         if end < 0:
@@ -187,6 +198,7 @@ def _scan_objects(data: bytes):
         s = body.find(b"stream")
         if s < 0:
             yield body, None
+            pos = end + len(b"endobj")
             continue
         head = body[:s]
         # stream data begins after CRLF or LF following the keyword
@@ -210,6 +222,10 @@ def _scan_objects(data: bytes):
             while data_end > data_start and data[data_end - 1 : data_end] in (b"\r", b"\n"):
                 data_end -= 1
         yield head, data[data_start:data_end]
+        next_endobj = data.find(b"endobj", data_end)
+        if next_endobj < 0:
+            raise ValueError("pdf: object without endobj")
+        pos = next_endobj + len(b"endobj")
 
 
 def _unescape_literal(raw: bytes) -> str:

@@ -220,11 +220,21 @@ def write_pages_parquet(
 def pdf_pages_from_documents(doc_table: pa.Table) -> pa.Table:
     """documents -> pages whose payloads are REAL PDFs (functions/pdf):
     doc_id % 3 == 0 -> born-digital (text operators; the pdf_text fast
-    path), 1 -> scanned (FlateDecode DeviceGray raster of the rendered
-    glyph page; rides the cascade as pdf_raster), 2 -> a well-formed
-    but contentless PDF (typed error route).  Extraction must equal
-    ``documents.text`` byte-for-byte on routes 0/1 — the plain-SQL
-    oracle for the PDF layer."""
+    path), 1 -> scanned (DeviceGray raster of the rendered glyph page;
+    rides the cascade as pdf_raster), 2 -> a well-formed but
+    contentless PDF (typed error route).  Stream filter chains rotate
+    deterministically by doc_id (flate / ascii85+flate / lzw /
+    runlength / asciihex) so every transport filter decodes inside the
+    worker pipeline.  Extraction must equal ``documents.text``
+    byte-for-byte on routes 0/1 — the plain-SQL oracle for the PDF
+    layer."""
+    _CHAINS = (
+        ("flate",),
+        ("ascii85", "flate"),
+        ("lzw",),
+        ("runlength",),
+        ("asciihex",),
+    )
     doc_ids = doc_table.column("doc_id").to_pylist()
     texts = doc_table.column("text").to_pylist()
     langs = doc_table.column("lang").to_pylist()
@@ -233,11 +243,12 @@ def pdf_pages_from_documents(doc_table: pa.Table) -> pa.Table:
         urls.append(doc_url(doc_id))
         tss.append(_ts(doc_id))
         m = doc_id % 3
+        chain = _CHAINS[(doc_id // 3) % len(_CHAINS)]
         if m == 0:
-            payloads.append(encode_pdf_text([text]))
+            payloads.append(encode_pdf_text([text], filters=chain))
         elif m == 1:
             page = glyphs.render_page([text], margin=8, line_gap=32)
-            payloads.append(encode_pdf_scanned(page))
+            payloads.append(encode_pdf_scanned(page, filters=chain))
         else:
             payloads.append(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n")
     return pa.table(
