@@ -99,6 +99,28 @@ def test_pdf_filter_chains():
         P.parse_pdf(a85.replace(b"~>", b"\x01\x01"))
 
 
+def test_pdf_large_ascii_stream_parses_linearly():
+    """Regression: the object scanner used to finditer the `N M obj`
+    regex across stream bodies, and ASCIIHex content is one long digit
+    run wherever the raster is black (0x00 -> '00'), so `\\d+\\s+\\d+`
+    backtracked quadratically — ~2 min for this payload before the
+    re-anchored scan, milliseconds after.  Crawl PDFs are untrusted, so
+    parse cost must stay linear in payload size."""
+    import time
+
+    img = np.zeros((40, 3500), dtype=np.uint8)  # ~140 KB raster, all-digit hex
+    img[::7, ::11] = 255
+    pdf = P.encode_pdf_scanned(img, filters=("asciihex",))
+    assert len(pdf) > 250_000  # the hex blob dominates the file
+    t0 = time.perf_counter()
+    kind, out = P.parse_pdf(pdf)
+    elapsed = time.perf_counter() - t0
+    assert kind == "raster" and np.array_equal(out, img)
+    # ~25 ms on a quiet box; 30 s is >100x headroom for host swings yet
+    # two orders of magnitude under the quadratic behavior.
+    assert elapsed < 30.0, f"ascii stream parse took {elapsed:.1f}s"
+
+
 def test_pdf_typed_errors():
     with pytest.raises(ValueError, match="bad header"):
         P.parse_pdf(b"not a pdf")
