@@ -163,6 +163,11 @@ def main() -> None:
         # best-of-2, so it is NOT the comparator for warc)
         "extract_pages_synth",
         "warc_extract_pages",
+        # same pair discipline for the PDF layer: per-batch synthesis
+        # (filter chains rotating per doc) + parse + cascade on the
+        # scanned third — its delta vs extract_pages_synth is the PDF
+        # encode+decode transport cost
+        "pdf_extract_pages",
     ):
         fn = q.QUERIES["extract_pages"] if name == "extract_pages_synth" else q.QUERIES[name]
         # the two cascade-heavy pair lines run best-of-2 (same
