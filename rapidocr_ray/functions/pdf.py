@@ -79,29 +79,19 @@ def _parse_filters(head: bytes) -> list[bytes]:
 
 
 def _ascii_hex_decode(data: bytes) -> bytes:
-    out = bytearray()
-    hi = None
-    for c in data:
-        if c in b" \t\r\n\f\x00":
-            continue
-        if c == 0x3E:  # '>'
-            break
-        if 0x30 <= c <= 0x39:
-            v = c - 0x30
-        elif 0x41 <= c <= 0x46:
-            v = c - 0x41 + 10
-        elif 0x61 <= c <= 0x66:
-            v = c - 0x61 + 10
-        else:
-            raise ValueError("pdf: bad ASCIIHexDecode character")
-        if hi is None:
-            hi = v
-        else:
-            out.append((hi << 4) | v)
-            hi = None
-    if hi is not None:  # odd final digit: low nibble is 0
-        out.append(hi << 4)
-    return bytes(out)
+    # C-speed path: truncate at the '>' EOD, drop PDF whitespace, and
+    # let bytes.fromhex do the pairing (a per-byte Python loop cost
+    # ~100 ms per 280 KB stream in the worker hot path)
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    body = data.translate(None, b" \t\r\n\f\x00")
+    if len(body) % 2:  # odd final digit: low nibble is 0
+        body += b"0"
+    try:
+        return bytes.fromhex(body.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError("pdf: bad ASCIIHexDecode character") from exc
 
 
 def _ascii85_decode(data: bytes) -> bytes:
