@@ -91,10 +91,12 @@ def q_warc_extract_pages(sf_dir: str):
 
 def q_pdf_extract_pages(sf_dir: str):
     """The PDF layer end-to-end: born-digital PDFs (text operators)
-    extract directly, scanned PDFs (FlateDecode DeviceGray XObject)
-    rasterize into the det->cls->rec cascade, contentless PDFs become
-    typed error rows — all pinned by a plain-SQL oracle because both
-    PDF classes must reproduce documents.text byte-for-byte."""
+    extract directly, scanned PDFs (DeviceGray XObject) rasterize into
+    the det->cls->rec cascade, contentless PDFs become typed error
+    rows — all pinned by a plain-SQL oracle because both PDF classes
+    must reproduce documents.text byte-for-byte.  Stream filter chains
+    rotate per doc_id (flate / ascii85+flate / lzw / runlength /
+    asciihex), so every transport filter decodes inside the workers."""
     from rapidocr_ray.pipelines.extract import build_extract_pipeline
     from rapidocr_ray.sources.pages import pdf_pages_ds_from_documents
 
