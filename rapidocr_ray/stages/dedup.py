@@ -945,22 +945,68 @@ def _round_blocks(n_labels: int, target_rows_per_block: int = 65536) -> int:
     return max(16, -(-n_labels // target_rows_per_block))
 
 
-def dup_groups(pairs_ds, max_iters: int = 30):
+def _dup_groups_local(pairs_ds):
+    """Driver-local tier: union-find (union-by-min + path halving)
+    over a pair set already known to fit the driver.  Root-by-min
+    makes each component's root its minimum doc id — identical output
+    contract to the distributed path."""
+    import ray.data
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("group_id", pa.int64())])
+    df = pairs_ds.to_pandas()
+    if df.empty:  # an empty Dataset round-trips to a column-less frame
+        return ray.data.from_arrow(out_schema.empty_table())
+    a = df["doc_a"].to_numpy(dtype=np.int64)
+    b = df["doc_b"].to_numpy(dtype=np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx  # union-by-min: smaller root stays root
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64, count=len(nodes))
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(nodes), "group_id": pa.array(labels)},
+            schema=out_schema,
+        )
+    )
+
+
+def dup_groups(pairs_ds, max_iters: int = 30, local_limit: int = 1_000_000):
     """(doc_a, doc_b) pair Dataset -> (doc_id, group_id) where group_id
     is the MIN doc id reachable through the pair graph (connected
     components by min-label propagation WITH label shortcutting —
     pointer-jumping, so chains converge in O(log diameter) rounds, not
     O(diameter)).
 
-    Fully distributed: every round is (a) a bucketed join of edge
-    endpoints against the label table, (b) a bucketed join of labels
-    against themselves (label-of-label shortcut), (c) a bucketed
-    per-node min.  All shuffles key on the bounded 256-way bucket
-    column; the label table is never collected to the driver.
+    Tiered like pagerank: a pair set that fits the driver comfortably
+    (<= local_limit edges; the count is free on the materialized input)
+    runs single-process union-find — the distributed loop costs ~3
+    bucketed shuffles per round, pure scheduling overhead at toy scale.
+    Past the limit, fully distributed: every round is (a) a bucketed
+    join of edge endpoints against the label table, (b) a bucketed
+    join of labels against themselves (label-of-label shortcut), (c) a
+    bucketed per-node min.  All shuffles key on the bounded 256-way
+    bucket column; the label table is never collected to the driver.
     Convergence is detected by the label-sum fixpoint: labels are
     positive and monotonically non-increasing under min-combine, so an
     unchanged sum(label) means no label moved."""
     ensure_worker_importable()
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= local_limit:
+        return _dup_groups_local(pairs_ds)
 
     def edge_requests(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -993,7 +1039,7 @@ def dup_groups(pairs_ds, max_iters: int = 30):
             schema=_LAB_SCHEMA,
         )
 
-    pairs_ds = pairs_ds.materialize()  # small pair set; consumed twice
+    # already materialized above (consumed twice below)
     edges_req = pairs_ds.map_batches(edge_requests, batch_format="pyarrow").materialize()
     labels = _bucket_min_labels(
         pairs_ds.map_batches(seed_rows, batch_format="pyarrow")

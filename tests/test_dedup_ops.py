@@ -93,6 +93,28 @@ def test_embedding_cosine_pairs(ray_session):
     assert pairs == {(0, 1)}
 
 
+def test_dup_groups_local_tier_edges(ray_session):
+    """The driver-local union-find tier: empty input yields an empty
+    typed result (an empty Dataset round-trips to a column-less pandas
+    frame, which the tier must guard), self-pairs label themselves."""
+    import ray.data
+
+    from rapidocr_ray.stages.dedup import dup_groups
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    )
+    out = dup_groups(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "group_id"}
+    one = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([7], pa.int64()), "doc_b": pa.array([7], pa.int64())})
+    )
+    assert dup_groups(one).to_pandas().to_dict("records") == [
+        {"doc_id": 7, "group_id": 7}
+    ]
+
+
 def test_dup_groups_100k_pairs_distributed(ray_session):
     """Connected components over 1e5 random pairs match a union-find
     oracle — exercises the bucketed label-join path (the label table is
@@ -132,9 +154,14 @@ def test_dup_groups_100k_pairs_distributed(ray_session):
             truth[x] = m
 
     pairs = ray.data.from_arrow(pa.table({"doc_a": lo, "doc_b": hi}))
-    out = dup_groups(pairs).to_pandas()
+    # local_limit=0 forces the distributed tier (the default would
+    # route a pair set this small to driver-side union-find)
+    out = dup_groups(pairs, local_limit=0).to_pandas()
     got = dict(zip(out.doc_id, out.group_id))
     assert got == truth
+    # the driver-local tier must produce the identical labelling
+    out_local = dup_groups(pairs).to_pandas()
+    assert dict(zip(out_local.doc_id, out_local.group_id)) == truth
 
 
 def test_ngram_jaccard_short_docs_branch(ray_session):
