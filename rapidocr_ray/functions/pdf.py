@@ -16,11 +16,15 @@ Two payload classes a crawl actually carries:
 Object scan is trailer-less (robust against the truncated/garbled
 xrefs crawl PDFs routinely have): `N 0 obj ... endobj` spans are
 walked directly; /Length is honored when it is a direct integer and
-falls back to scanning for `endstream` otherwise.  All malformed
-input raises typed ValueError; recognized-but-unsupported features
-(encryption, exotic image filters/colorspaces) raise typed
-NotImplementedError — the same crawl-triage contract as every decoder
-in this repo.
+falls back to scanning for `endstream` otherwise.  Flate/LZW streams
+honor /DecodeParms /Predictor (2 = TIFF horizontal differencing,
+10-15 = PNG row filters — the encoding every PDF >= 1.5 xref stream
+uses), and stream types that can never be page content (/XRef,
+/ObjStm, /Metadata, fonts) are skipped rather than decoded.  All
+malformed input raises typed ValueError; recognized-but-unsupported
+features (encryption, exotic image filters/colorspaces, sub-byte
+predictor rows) raise typed NotImplementedError — the same
+crawl-triage contract as every decoder in this repo.
 
 Fixture writers emit spec-valid PDFs (object table + xref + trailer)
 so external tools can open what the tests parse.
@@ -36,7 +40,11 @@ import numpy as np
 # module-level binds, NOT function-level imports: this module ships to
 # workers by value (ensure_worker_importable), where a live
 # `import rapidocr_ray...` inside a function fails off-repo-CWD
-from rapidocr_ray.functions.codecs import _tiff_lzw_decode, _tiff_lzw_encode
+from rapidocr_ray.functions.codecs import (
+    _png_unfilter,
+    _tiff_lzw_decode,
+    _tiff_lzw_encode,
+)
 from rapidocr_ray.functions.jpeg import decode_jpeg
 
 PDF_MAGIC = b"%PDF-"
@@ -163,6 +171,70 @@ def _apply_byte_filters(names: list[bytes], data: bytes, max_bytes: int) -> byte
 def _dict_int(d: bytes, key: bytes) -> int | None:
     m = re.search(rb"/" + key + rb"\s+(\d+)\b", d)
     return int(m.group(1)) if m else None
+
+
+def _parse_decodeparms(head: bytes) -> tuple[int, int, int, int]:
+    """(predictor, colors, bits-per-component, columns) from the stream
+    dict, spec defaults (1, 1, 8, 1).  The keys are grepped over the
+    whole head rather than a parsed /DecodeParms sub-dict — for the
+    image-XObject case /BitsPerComponent doubles as the image key,
+    which the spec requires to agree with the predictor's anyway."""
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    pred = int(pm.group(1)) if pm else 1
+    colors = _dict_int(head, b"Colors") or 1
+    bpc = _dict_int(head, b"BitsPerComponent") or 8
+    columns = _dict_int(head, b"Columns") or 1
+    return pred, colors, bpc, columns
+
+
+def _predictor_decode(
+    data: bytes, pred: int, colors: int, bpc: int, columns: int
+) -> bytes:
+    """Undo a /Predictor over Flate/LZW output (PDF 7.4.4.4): 2 = TIFF
+    horizontal differencing (mod-256 prefix sum per channel), 10-15 =
+    PNG row filters (per-row filter byte; the exact RFC 2083 unfilter
+    the PNG decoder already implements).  Every modern xref stream is
+    Flate + Predictor 12, so crawl PDFs hit this constantly."""
+    if pred <= 1:
+        return data
+    if pred != 2 and not (10 <= pred <= 15):
+        raise ValueError(f"pdf: unknown /Predictor {pred}")
+    if bpc != 8:
+        # sub-byte predictor rows are legal but vanishingly rare
+        raise NotImplementedError("pdf: predictor with BitsPerComponent != 8")
+    if colors < 1 or columns < 1:
+        raise ValueError("pdf: bad predictor DecodeParms")
+    rowbytes = colors * columns
+    if pred == 2:
+        if len(data) % rowbytes:
+            raise ValueError("pdf: predictor-2 data not a whole row multiple")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, columns, colors)
+        return (np.cumsum(arr, axis=1, dtype=np.uint64) % 256).astype(
+            np.uint8
+        ).tobytes()
+    if len(data) % (rowbytes + 1):
+        raise ValueError("pdf: PNG-predictor data not a whole row multiple")
+    h = len(data) // (rowbytes + 1)
+    try:
+        rows = _png_unfilter(
+            np.frombuffer(data, dtype=np.uint8), h, rowbytes, max(1, colors)
+        )
+    except ValueError as exc:
+        raise ValueError(f"pdf: corrupt PNG-predictor rows ({exc})") from exc
+    return rows.tobytes()
+
+
+# stream /Type-s that can never be page content: decoding them as
+# content-stream candidates wastes work, and xref streams in particular
+# (Flate + Predictor 12 in virtually every PDF >= 1.5) used to abort
+# the whole document through the old blanket predictor stub.
+_NON_CONTENT_TYPES = (
+    b"/XRef",
+    b"/ObjStm",
+    b"/Metadata",
+    b"/EmbeddedFile",
+    b"/FontFile",  # also matches FontFile2/FontFile3 keys
+)
 
 
 def _scan_objects(data: bytes):
@@ -350,9 +422,6 @@ def parse_pdf(payload: bytes) -> tuple[str, str | np.ndarray]:
             bpc = _dict_int(head, b"BitsPerComponent")
             if not w or not h:
                 raise ValueError("pdf: image XObject missing dimensions")
-            pm = re.search(rb"/Predictor\s+(\d+)", head)
-            if pm and int(pm.group(1)) > 1:
-                raise NotImplementedError("pdf: stream Predictor unsupported")
             names = _parse_filters(head)
             if names and names[-1] in (b"DCTDecode", b"DCT"):
                 raster = decode_jpeg(
@@ -367,19 +436,27 @@ def parse_pdf(payload: bytes) -> tuple[str, str | np.ndarray]:
                 # a corrupt Width/Height must not widen the inflate
                 # bound into a decompression-bomb window
                 raise ValueError("pdf: image dimensions exceed sanity bound")
-            px = _apply_byte_filters(names, stream, w * h + 64)
+            pred, colors, pbpc, columns = _parse_decodeparms(head)
+            # + h covers the per-row PNG filter bytes of Predictor >= 10
+            px = _apply_byte_filters(names, stream, w * h + h + 64)
+            if pred > 1:
+                if columns == 1:  # DecodeParms omitted Columns: image rows
+                    columns = w
+                px = _predictor_decode(px, pred, colors, pbpc, columns)
             if len(px) < w * h:
                 raise ValueError("pdf: image stream shorter than Width*Height")
             raster = np.frombuffer(px, dtype=np.uint8, count=w * h).reshape(h, w)
             continue
+        if any(t in head for t in _NON_CONTENT_TYPES):
+            continue  # xref/objstm/metadata/font streams are never content
         # content-stream candidate
         data = stream
         names = _parse_filters(head)
         if names:
-            pm = re.search(rb"/Predictor\s+(\d+)", head)
-            if pm and int(pm.group(1)) > 1:
-                raise NotImplementedError("pdf: stream Predictor unsupported")
             data = _apply_byte_filters(names, data, _MAX_STREAM)
+            pred, colors, pbpc, columns = _parse_decodeparms(head)
+            if pred > 1:
+                data = _predictor_decode(data, pred, colors, pbpc, columns)
         if b"BT" in data:
             text_lines.extend(extract_text_ops(data))
     if not saw_obj:
@@ -432,6 +509,56 @@ _FILTER_NAMES = {
 }
 
 
+def _predictor_encode(data: bytes, pred: int, columns: int) -> bytes:
+    """Fixture-side inverse of _predictor_decode (colors=1, bpc=8).
+    Predictors 10-14 emit one fixed PNG row filter (pred-10); 15
+    rotates all five filters by row, exercising every unfilter branch.
+    Input is padded to a whole row with 0x20 — inert in content streams
+    (PDF whitespace) and sliced off past Width*Height in rasters."""
+    if pred <= 1:
+        return data
+    if columns < 1:
+        raise ValueError("pdf: bad predictor columns")
+    data = data + b" " * ((-len(data)) % columns)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, columns).astype(np.int32)
+    if pred == 2:
+        out = arr.copy()
+        out[:, 1:] = (arr[:, 1:] - arr[:, :-1]) % 256
+        return out.astype(np.uint8).tobytes()
+    h = arr.shape[0]
+    zero = np.zeros(columns, dtype=np.int32)
+    rows = []
+    for y in range(h):
+        raw = arr[y]
+        prev = arr[y - 1] if y else zero
+        left = np.concatenate(([0], raw[:-1]))
+        ul = np.concatenate(([0], prev[:-1]))
+        f = (pred - 10) if pred < 15 else (y % 5)
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = (raw - left) % 256
+        elif f == 2:
+            filt = (raw - prev) % 256
+        elif f == 3:
+            filt = (raw - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pcv = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            predv = np.where(
+                (pa <= pb) & (pa <= pcv), left, np.where(pb <= pcv, prev, ul)
+            )
+            filt = (raw - predv) % 256
+        rows.append(np.concatenate(([f], filt)).astype(np.uint8))
+    return np.concatenate(rows).tobytes()
+
+
+def _parms_frag(pred: int, columns: int) -> bytes:
+    if pred <= 1:
+        return b""
+    return b" /DecodeParms << /Predictor %d /Columns %d >>" % (pred, columns)
+
+
 def _encode_filter_chain(data: bytes, filters: tuple[str, ...]) -> tuple[bytes, bytes]:
     """Apply encoders in REVERSE of the decode-order `filters` tuple
     and return (encoded bytes, /Filter dict fragment)."""
@@ -473,24 +600,31 @@ def _encode_filter_chain(data: bytes, filters: tuple[str, ...]) -> tuple[bytes, 
     return data, b" /Filter [" + b" ".join(_FILTER_NAMES[f] for f in filters) + b"]"
 
 
-def encode_pdf_text(lines: list[str], filters: tuple[str, ...] = ("flate",)) -> bytes:
+def encode_pdf_text(
+    lines: list[str],
+    filters: tuple[str, ...] = ("flate",),
+    predictor: int = 1,
+    columns: int = 24,
+) -> bytes:
     """Single-page born-digital PDF: one content stream (decode-order
-    `filters` chain, default FlateDecode), one Tj per line separated by
-    TD line moves."""
+    `filters` chain, default FlateDecode; optional /Predictor applied
+    before compression), one Tj per line separated by TD line moves."""
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append(b"0 -14 TD")
         ops.append(b"(" + _escape_literal(line) + b") Tj")
     ops.append(b"ET")
-    content, filter_frag = _encode_filter_chain(b" ".join(ops), filters)
+    content = _predictor_encode(b" ".join(ops), predictor, columns)
+    content, filter_frag = _encode_filter_chain(content, filters)
     return _assemble(
         [
             b"<< /Type /Catalog /Pages 2 0 R >>",
             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
-            b"<< /Length %d%s >>\nstream\n" % (len(content), filter_frag)
+            b"<< /Length %d%s%s >>\nstream\n"
+            % (len(content), filter_frag, _parms_frag(predictor, columns))
             + content
             + b"\nendstream",
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
@@ -499,15 +633,19 @@ def encode_pdf_text(lines: list[str], filters: tuple[str, ...] = ("flate",)) -> 
 
 
 def encode_pdf_scanned(
-    img: np.ndarray, filters: tuple[str, ...] = ("flate",)
+    img: np.ndarray,
+    filters: tuple[str, ...] = ("flate",),
+    predictor: int = 1,
 ) -> bytes:
     """Single-page scanned PDF: 8-bit DeviceGray image XObject (decode-
-    order `filters` chain, default FlateDecode) drawn full-page
+    order `filters` chain, default FlateDecode; optional /Predictor
+    with Columns = Width applied before compression) drawn full-page
     (lossless, so cascade extraction is byte-identical to the rendered
     page)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
-    px, filter_frag = _encode_filter_chain(img.tobytes(), filters)
+    px = _predictor_encode(img.tobytes(), predictor, w)
+    px, filter_frag = _encode_filter_chain(px, filters)
     content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
     return _assemble(
         [
@@ -519,6 +657,7 @@ def encode_pdf_scanned(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d " % (w, h)
             + b"/ColorSpace /DeviceGray /BitsPerComponent 8"
             + filter_frag
+            + _parms_frag(predictor, w)
             + b" /Length %d >>\nstream\n" % len(px) + px + b"\nendstream",
         ]
     )

@@ -222,18 +222,23 @@ def pdf_pages_from_documents(doc_table: pa.Table) -> pa.Table:
     doc_id % 3 == 0 -> born-digital (text operators; the pdf_text fast
     path), 1 -> scanned (DeviceGray raster of the rendered glyph page;
     rides the cascade as pdf_raster), 2 -> a well-formed but
-    contentless PDF (typed error route).  Stream filter chains rotate
-    deterministically by doc_id (flate / ascii85+flate / lzw /
-    runlength / asciihex) so every transport filter decodes inside the
-    worker pipeline.  Extraction must equal ``documents.text``
-    byte-for-byte on routes 0/1 — the plain-SQL oracle for the PDF
-    layer."""
-    _CHAINS = (
-        ("flate",),
-        ("ascii85", "flate"),
-        ("lzw",),
-        ("runlength",),
-        ("asciihex",),
+    contentless PDF (typed error route).  Stream filter chains AND
+    /Predictor variants rotate deterministically by doc_id (flate /
+    ascii85+flate / lzw / runlength / asciihex; predictor 2 = TIFF
+    differencing, 12 = PNG Up, 15 = PNG per-row filter rotation incl.
+    Average/Paeth) so every transport filter and predictor decodes
+    inside the worker pipeline.  Extraction must equal
+    ``documents.text`` byte-for-byte on routes 0/1 — the plain-SQL
+    oracle for the PDF layer."""
+    _CHAINS = (  # (decode-order filters, /Predictor)
+        (("flate",), 1),
+        (("ascii85", "flate"), 1),
+        (("lzw",), 1),
+        (("runlength",), 1),
+        (("asciihex",), 1),
+        (("flate",), 2),
+        (("flate",), 12),
+        (("lzw",), 15),
     )
     doc_ids = doc_table.column("doc_id").to_pylist()
     texts = doc_table.column("text").to_pylist()
@@ -243,12 +248,12 @@ def pdf_pages_from_documents(doc_table: pa.Table) -> pa.Table:
         urls.append(doc_url(doc_id))
         tss.append(_ts(doc_id))
         m = doc_id % 3
-        chain = _CHAINS[(doc_id // 3) % len(_CHAINS)]
+        chain, pred = _CHAINS[(doc_id // 3) % len(_CHAINS)]
         if m == 0:
-            payloads.append(encode_pdf_text([text], filters=chain))
+            payloads.append(encode_pdf_text([text], filters=chain, predictor=pred))
         elif m == 1:
             page = glyphs.render_page([text], margin=8, line_gap=32)
-            payloads.append(encode_pdf_scanned(page, filters=chain))
+            payloads.append(encode_pdf_scanned(page, filters=chain, predictor=pred))
         else:
             payloads.append(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n")
     return pa.table(

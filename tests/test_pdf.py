@@ -66,7 +66,7 @@ def test_pdf_filter_chains():
     """Transport/compression filter chains (decode since this round):
     ASCIIHex, ASCII85, RunLength, LZW, and multi-filter arrays over
     both the content-stream and image-XObject paths; unknown filters
-    and predictored streams stay named stubs."""
+    stay named stubs."""
     lines = ["filter chain line one", "and two"]
     img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
     chains = [
@@ -89,7 +89,10 @@ def test_pdf_filter_chains():
     with pytest.raises(NotImplementedError, match="JBIG2"):
         P.parse_pdf(good.replace(b"/RunLengthDecode", b"/JBIG2Decode"))
     blob = P.encode_pdf_scanned(img, filters=("flate",))
-    with pytest.raises(NotImplementedError, match="Predictor"):
+    with pytest.raises(ValueError, match="whole row"):
+        # dict declares Predictor 12 but the data was never
+        # predictor-encoded (8x8 flate output: 64 bytes, PNG rows of 9)
+        # -> typed corrupt-stream error, never a wrong raster
         P.parse_pdf(
             blob.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 8 /Predictor 12")
         )
@@ -202,3 +205,86 @@ def test_pdf_pages_ray_matches_oracle(ray_session):
              zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())}
     ok = got[got.route.isin(["pdf_text", "pdf_raster"])]
     assert all(texts[u] == t for u, t in zip(ok.url, ok.extracted_text))
+
+
+@pytest.mark.parametrize("pred", [1, 2, 10, 11, 12, 13, 14, 15])
+def test_pdf_predictor_text_roundtrip(pred):
+    lines = ["predictor line one", "two (with) escapes \\ ok", "", "tail"]
+    for filters in (("flate",), ("lzw",)):
+        kind, text = P.parse_pdf(
+            P.encode_pdf_text(lines, filters=filters, predictor=pred)
+        )
+        assert kind == "text"
+        assert text == "\n".join(lines)
+
+
+@pytest.mark.parametrize("pred", [2, 12, 15])
+def test_pdf_predictor_raster_exact(pred):
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (37, 29), dtype=np.uint8)  # odd dims
+    kind, out = P.parse_pdf(P.encode_pdf_scanned(img, predictor=pred))
+    assert kind == "raster"
+    assert np.array_equal(out, img)
+
+
+def test_pdf_predictor_typed_errors():
+    with pytest.raises(ValueError, match="unknown /Predictor"):
+        P._predictor_decode(b"abc", 3, 1, 8, 3)
+    with pytest.raises(ValueError, match="unknown /Predictor"):
+        P._predictor_decode(b"abc", 16, 1, 8, 3)
+    with pytest.raises(NotImplementedError, match="BitsPerComponent"):
+        P._predictor_decode(b"abc", 2, 1, 4, 3)
+    with pytest.raises(ValueError, match="whole row"):
+        P._predictor_decode(b"abcd", 2, 1, 8, 3)  # 4 bytes, rowbytes 3
+    with pytest.raises(ValueError, match="whole row"):
+        P._predictor_decode(b"abcde", 12, 1, 8, 3)  # 5 bytes, row+1 = 4
+    with pytest.raises(ValueError, match="corrupt PNG-predictor"):
+        P._predictor_decode(b"\x09abc", 12, 1, 8, 3)  # filter type 9
+    with pytest.raises(ValueError, match="bad predictor DecodeParms"):
+        P._predictor_decode(b"abc", 2, 0, 8, 3)
+    # end-to-end: a corrupt Predictor value in an otherwise-valid PDF
+    # stays inside the typed contract
+    good = P.encode_pdf_text(["x"], predictor=12)
+    with pytest.raises(ValueError, match="unknown /Predictor"):
+        P.parse_pdf(good.replace(b"/Predictor 12", b"/Predictor 77"))
+
+
+def test_pdf_predictor_2_multichannel():
+    # colors=3: the per-channel prefix sum must not bleed across
+    # channels (hand-built 2x2 RGB rows)
+    raw = bytes([10, 20, 30, 5, 5, 5, 100, 0, 200, 1, 2, 3])
+    enc = bytearray()
+    for r in range(2):
+        row = raw[r * 6 : (r + 1) * 6]
+        enc += row[:3]
+        enc += bytes((row[3 + c] - row[c]) % 256 for c in range(3))
+    assert P._predictor_decode(bytes(enc), 2, 3, 8, 2) == raw
+
+
+def test_pdf_xref_and_objstm_streams_skipped():
+    """A modern-PDF /XRef stream (Flate + Predictor 12) or /ObjStm must
+    not abort text extraction — they are skipped, not decoded as
+    content.  This is the shape of virtually every crawl PDF >= 1.5."""
+    import zlib as _z
+
+    base = P.encode_pdf_text(["real content line"])
+    # a plausible xref stream: 5-byte rows, PNG Up filter
+    rows = b"".join(b"\x02" + bytes([i, 0, 0, 0, 0]) for i in range(4))
+    xref_body = _z.compress(rows)
+    xref_obj = (
+        b"9 0 obj\n<< /Type /XRef /Filter /FlateDecode /Predictor 12 "
+        b"/Columns 5 /W [1 2 2] /Size 10 /Length %d >>\nstream\n" % len(xref_body)
+        + xref_body
+        + b"\nendstream\nendobj\n"
+    )
+    objstm_body = _z.compress(b"11 0 12 8 << /A 1 >> << /B 2 >>")
+    objstm_obj = (
+        b"10 0 obj\n<< /Type /ObjStm /N 2 /First 10 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % len(objstm_body)
+        + objstm_body
+        + b"\nendstream\nendobj\n"
+    )
+    doctored = base.replace(b"xref\n", xref_obj + objstm_obj + b"xref\n", 1)
+    kind, text = P.parse_pdf(doctored)
+    assert kind == "text"
+    assert text == "real content line"
