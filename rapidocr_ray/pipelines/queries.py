@@ -3996,6 +3996,172 @@ FROM c
 """
 
 
+_BM25_TERMS: tuple = ("vector", "stream", "window")
+
+
+def q_bm25_topk(sf_dir: str, k: int = 10, force_bigint: bool = False):
+    """BM25 top-k retrieval (query-driven curation: rank the corpus
+    against a fixed term set, the shape behind benchmark-targeted data
+    selection).  Determinism pin: with k1=6/5 and b=3/4 as exact
+    rationals the tf component is pure integer arithmetic —
+    ``floor(idf_u * 44*AV*tf / (20*AV*tf + 6*AV + 18*dl*N))`` per term,
+    summed as int64 — and the ONLY float is one ``ln`` per term,
+    ``idf_u = floor(ln((N-df+0.5)/(df+0.5)+1)*1e6)``, whose double
+    construction and libm call are bit-identical numpy-vs-DuckDB
+    (100k fuzz, same protocol as unigram_logprob's log10 pin).
+
+    Scale shape: text is tokenized ONCE into a compact fixed-width
+    projection (doc_id, dl, tf per term ≈ 40 B/doc), materialized so
+    the stats pass and the scoring pass never re-read text; global
+    stats (N, AV, per-term df) come from per-batch one-row partials
+    merged driver-side (bounded by #blocks); scoring streams over the
+    projection and top-k is per-batch local top-k into a tiny global
+    sort (#blocks × k rows).  Integer headroom is validated before the
+    vectorized path (numerator idf_max·44·AV·tf_max AND denominator
+    20·AV·tf_max+6·AV+18·dl_max·N must clear int64 with a 2× margin)
+    — past it, scoring falls back to exact Python-int
+    arithmetic over candidate rows only (the oracle uses HUGEINT, so
+    both paths stay exact at any corpus size)."""
+    terms = list(_BM25_TERMS)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokenize_tf(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        dl = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        ends = np.cumsum(dl)
+        starts = ends - dl
+        flat = pc.list_flatten(toks)
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "dl": pa.array(dl, type=pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            hit = np.asarray(pc.cast(pc.equal(flat, t), pa.int64()))
+            cs = np.concatenate([[0], np.cumsum(hit)])
+            cols[f"tf_{i}"] = pa.array(cs[ends] - cs[starts], type=pa.int64())
+        return pa.table(cols)
+
+    # compact projection: ~ (2 + n_terms) int64s per doc; materialized so
+    # stats + scoring reuse it without re-tokenizing the corpus
+    compact = ds.map_batches(tokenize_tf, batch_format="pyarrow").materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        row: dict = {
+            "n": pa.array([len(batch)], type=pa.int64()),
+            "sum_dl": pa.array(
+                [int(np.asarray(batch.column("dl")).sum())], type=pa.int64()
+            ),
+            "max_dl": pa.array(
+                [int(np.asarray(batch.column("dl")).max()) if len(batch) else 0],
+                type=pa.int64(),
+            ),
+        }
+        for i in range(len(terms)):
+            tf = np.asarray(batch.column(f"tf_{i}"))
+            row[f"df_{i}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+            row[f"mtf_{i}"] = pa.array(
+                [int(tf.max()) if len(tf) else 0], type=pa.int64()
+            )
+        return pa.table(row)
+
+    parts = compact.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in parts)
+    av = sum(r["sum_dl"] for r in parts)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "bm25_micro": pa.array([], type=pa.int64()),
+        }
+    )
+    if n_docs == 0 or av == 0:
+        # a pa.Table (driver-accepted) keeps the 2-column schema that a
+        # zero-row Dataset's to_pandas() would drop
+        return empty
+    df_t = [sum(r[f"df_{i}"] for r in parts) for i in range(len(terms))]
+    mtf_t = [max(r[f"mtf_{i}"] for r in parts) for i in range(len(terms))]
+    # idf in micro-units: double construction matches the SQL expression
+    # term-for-term (cast-to-double before the +0.5), ln is libm on both
+    idf_u = [
+        int(np.floor(np.log((float(n_docs - d) + 0.5) / (float(d) + 0.5) + 1.0) * 1e6))
+        for d in df_t
+    ]
+    max_dl = max(r["max_dl"] for r in parts)
+    mtf_all = max(max(mtf_t), 1)
+    # BOTH sides of the floor-div must clear int64 (a tiny-idf term over a
+    # huge corpus can overflow the 18·dl·N denominator while the numerator
+    # bound still passes)
+    vector_ok = (
+        not force_bigint
+        and all(iu * 44 * av * max(m, 1) < (1 << 62) for iu, m in zip(idf_u, mtf_t))
+        and 20 * av * mtf_all + 6 * av + 18 * max_dl * n_docs < (1 << 62)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        dl = np.asarray(batch.column("dl"), dtype=np.int64)
+        tfs = [np.asarray(batch.column(f"tf_{i}"), dtype=np.int64) for i in range(len(terms))]
+        cand = np.zeros(len(ids), dtype=bool)
+        for tf in tfs:
+            cand |= tf > 0
+        if not cand.any():
+            return empty
+        ids, dl = ids[cand], dl[cand]
+        if vector_ok:
+            s = np.zeros(len(ids), dtype=np.int64)
+            for iu, tf in zip(idf_u, tfs):
+                tfc = tf[cand]
+                num = iu * 44 * av * tfc
+                den = 20 * av * tfc + 6 * av + 18 * dl * n_docs
+                s += num // den
+        else:
+            # exact big-int fallback: candidate rows only, Python ints
+            s = np.array(
+                [
+                    sum(
+                        (iu * 44 * av * int(tf[ci])) // (20 * av * int(tf[ci]) + 6 * av + 18 * int(d) * n_docs)
+                        for iu, tf in zip(idf_u, tfs)
+                    )
+                    for ci, d in zip(np.nonzero(cand)[0], dl)
+                ],
+                dtype=np.int64,
+            )
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "bm25_micro": pa.array(s[order], type=pa.int64()),
+            }
+        )
+
+    return (
+        compact.map_batches(score, batch_format="pyarrow")
+        .sort([("bm25_micro"), ("doc_id")], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_BM25_TOPK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS av FROM dl),
+qt(term) AS (VALUES ('vector'), ('stream'), ('window')),
+tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok JOIN qt ON tok.t = qt.term GROUP BY doc_id, t),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (SELECT term,
+        CAST(floor(ln((CAST(n - df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * 1000000) AS BIGINT) AS idf_u
+        FROM df, stats),
+sc AS (SELECT tf.doc_id,
+       SUM((CAST(idf_u AS HUGEINT) * 44 * av * tf)
+           // (CAST(20 AS HUGEINT) * av * tf + 6 * av + 18 * dl.dl * n)) AS s
+       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+       GROUP BY tf.doc_id)
+SELECT doc_id, CAST(s AS BIGINT) AS bm25_micro
+FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4074,6 +4240,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "domain_pagerank": q_domain_pagerank,
     "rank_weighted_sample": q_rank_weighted_sample,
     "sequence_packing": q_sequence_packing,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4149,4 +4316,5 @@ ORACLE_SQL: dict[str, str] = {
     "domain_pagerank": SQL_DOMAIN_PAGERANK,
     "rank_weighted_sample": SQL_RANK_WEIGHTED_SAMPLE,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "bm25_topk": SQL_BM25_TOPK,
 }

@@ -66,6 +66,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "domain_pagerank",
         "rank_weighted_sample",
         "sequence_packing",
+        "bm25_topk",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

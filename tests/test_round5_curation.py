@@ -397,3 +397,37 @@ def test_paragraph_dedup_multibatch_shuffle(ray_session, tmp_path):
     df = _compare(q.QUERIES["paragraph_dedup"](d), _oracle(d, "paragraph_dedup"))
     assert int(df.n_kept.sum()) == 1
     assert int(df[df.doc_id == 0].n_kept.iloc[0]) == 1
+
+
+def test_bm25_topk_bigint_fallback_matches_vectorized(ray_session, tmp_path):
+    """The Python-int fallback (forced) must equal the int64 vectorized
+    path row-for-row, and both must equal the DuckDB HUGEINT oracle —
+    the fallback is the path a 100-TB corpus would take once
+    18·dl_max·N leaves int64 headroom."""
+    texts = [
+        f"vector stream {'window ' * (i % 5)}filler pad row agg {'x ' * (i % 7)}key"
+        for i in range(120)
+    ]
+    d = _docs_dir(tmp_path, list(range(120)), texts)
+    fast = q.QUERIES["bm25_topk"](d).to_pandas()
+    slow = q.q_bm25_topk(d, force_bigint=True).to_pandas()
+    cols = sorted(fast.columns)
+    pd.testing.assert_frame_equal(
+        fast[cols].sort_values(cols).reset_index(drop=True),
+        slow[cols].sort_values(cols).reset_index(drop=True),
+    )
+    _compare(q.QUERIES["bm25_topk"](d), _oracle(d, "bm25_topk"))
+
+
+def test_bm25_topk_empty_and_no_candidates(ray_session, tmp_path):
+    """Empty corpus and query-term-free corpus both return zero rows
+    with the stable (doc_id, bm25_micro) schema, matching DuckDB."""
+    d0 = _docs_dir(tmp_path, [], [], name="docs_empty")
+    got = q.QUERIES["bm25_topk"](d0).to_pandas()
+    assert len(got) == len(_oracle(d0, "bm25_topk")) == 0
+    assert sorted(got.columns) == ["bm25_micro", "doc_id"]
+    d1 = _docs_dir(tmp_path, [1, 2], ["no query terms here", "plain filler"], name="docs_nocand")
+    got1 = q.QUERIES["bm25_topk"](d1).to_pandas()
+    # zero-row Dataset.to_pandas drops columns (Ray quirk, shared across
+    # the registry) so only row count is asserted on the Dataset path
+    assert len(got1) == len(_oracle(d1, "bm25_topk")) == 0
