@@ -1857,6 +1857,47 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_semantic_dup_groups(sf_dir: str):
+    """Semantic near-dup CLUSTERS: connected components over the exact
+    embedding-cosine pair graph — the curation step that turns pairwise
+    near-dup evidence into keep-one-per-cluster groups.  Pure
+    composition of two hash-checked operators (embedding_cosine_pairs'
+    cluster-sorted exact pair scan → dup_groups' tiered union-find /
+    pointer-jumping), so the scale shapes are theirs: the embedding
+    table never lands on the driver and component propagation is
+    O(log diameter) bucketed rounds past the driver-local tier."""
+    from rapidocr_ray.stages.dedup import dup_groups, embedding_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_cosine_pairs(ds, threshold=0.45)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_a", "doc_b"])
+
+    labeled = dup_groups(pairs.map_batches(rename, batch_format="pyarrow"))
+
+    def rename_out(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["vec_id", "group_id"])
+
+    return labeled.map_batches(rename_out, batch_format="pyarrow")
+
+
+SQL_SEMANTIC_DUP_GROUPS = """
+WITH RECURSIVE
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.45),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, r) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+SELECT v AS vec_id, MIN(r) AS group_id FROM reach GROUP BY v
+"""
+
+
 # ===========================================================================
 # 5. Similarity search
 # ===========================================================================
@@ -4241,6 +4282,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rank_weighted_sample": q_rank_weighted_sample,
     "sequence_packing": q_sequence_packing,
     "bm25_topk": q_bm25_topk,
+    "semantic_dup_groups": q_semantic_dup_groups,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4317,4 +4359,5 @@ ORACLE_SQL: dict[str, str] = {
     "rank_weighted_sample": SQL_RANK_WEIGHTED_SAMPLE,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "bm25_topk": SQL_BM25_TOPK,
+    "semantic_dup_groups": SQL_SEMANTIC_DUP_GROUPS,
 }

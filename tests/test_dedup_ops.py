@@ -391,3 +391,51 @@ def test_substring_dup_pairs_cap_is_mirrored(ray_session, tmp_path):
     assert {(70, 71), (70, 72), (71, 72)} <= pairs
     hot_side = [p for p in pairs if p[0] < 70 and p[1] < 70]
     assert len(hot_side) < 70 * 69 // 2  # cap removed the full clique
+
+
+def test_semantic_dup_groups_planted_clusters(ray_session, tmp_path):
+    """Planted geometry: cluster A = {0,1,2} chained near-identical
+    vectors, cluster B = {5,6}, singletons 3/4 isolated — groups must be
+    min-label components and match the recursive-CTE DuckDB oracle."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+    from rapidocr_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(17)
+    a = np.eye(16)[0]
+    b = np.eye(16)[1]
+    c = np.eye(16)[2]  # orthogonal singleton: cosine 0 to everything
+    vecs = [
+        a,
+        a + rng.normal(scale=0.01, size=16),
+        a + rng.normal(scale=0.02, size=16),
+        c,
+        -a,
+        b,
+        b + rng.normal(scale=0.01, size=16),
+    ]
+    vecs = [v / np.linalg.norm(v) for v in vecs]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(7)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v.astype(np.float32))) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 7, type=pa.int32()),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    got = q.QUERIES["semantic_dup_groups"](str(d)).to_pandas()
+    groups = {int(r.vec_id): int(r.group_id) for r in got.itertuples()}
+    assert groups == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    odf = con.execute(q.ORACLE_SQL["semantic_dup_groups"]).df()
+    want = {int(r.vec_id): int(r.group_id) for r in odf.itertuples()}
+    assert groups == want

@@ -67,6 +67,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "rank_weighted_sample",
         "sequence_packing",
         "bm25_topk",
+        "semantic_dup_groups",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):
