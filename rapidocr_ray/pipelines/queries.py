@@ -4037,6 +4037,66 @@ FROM c
 """
 
 
+# RE2-safe GPT-2-style pre-tokenizer (no lookahead — RE2 has none):
+# space-glued letter runs, digit runs, punctuation runs, whitespace runs
+_BPE_PATTERN = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish token counting (the brief's second tokenizer: whitespace
+    split is q_token_counts; this is the GPT-2-style pre-tokenizer) —
+    per-doc counts of pre-tokenizer pieces, letter runs and digit runs.
+    Arrow's ``count_substring_regex`` and DuckDB's ``regexp_extract_all``
+    share the RE2 engine, so match counts are identical by construction
+    (the pii_redaction parity argument).  Text is augmented
+    deterministically per doc with digits/punctuation on BOTH sides so
+    the non-letter branches are exercised on a plain-word corpus.
+    Embarrassingly parallel: three vectorized kernels per batch, no
+    shuffle, no Python per row."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        aug = pc.binary_join_element_wise(
+            batch.column("text"),
+            pa.array([" v"] * len(ids)),
+            _ids_str(ids),
+            pa.array([".0 (doc#"] * len(ids)),
+            _ids_str(ids),
+            pa.array([")"] * len(ids)),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(aug, _BPE_PATTERN), pa.int64()
+                ),
+                "n_alpha_runs": pc.cast(
+                    pc.count_substring_regex(aug, r"\p{L}+"), pa.int64()
+                ),
+                "n_digit_runs": pc.cast(
+                    pc.count_substring_regex(aug, r"\p{N}+"), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_STATS = r"""
+WITH aug AS (SELECT doc_id,
+    text || ' v' || CAST(doc_id AS VARCHAR) || '.0 (doc#'
+         || CAST(doc_id AS VARCHAR) || ')' AS t
+    FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(t, '\p{L}+')) AS BIGINT) AS n_alpha_runs,
+  CAST(len(regexp_extract_all(t, '\p{N}+')) AS BIGINT) AS n_digit_runs
+FROM aug
+"""
+
+
 _BM25_TERMS: tuple = ("vector", "stream", "window")
 
 
@@ -4283,6 +4343,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sequence_packing": q_sequence_packing,
     "bm25_topk": q_bm25_topk,
     "semantic_dup_groups": q_semantic_dup_groups,
+    "bpe_token_stats": q_bpe_token_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4360,4 +4421,5 @@ ORACLE_SQL: dict[str, str] = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "bm25_topk": SQL_BM25_TOPK,
     "semantic_dup_groups": SQL_SEMANTIC_DUP_GROUPS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
 }

@@ -68,6 +68,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "sequence_packing",
         "bm25_topk",
         "semantic_dup_groups",
+        "bpe_token_stats",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -431,3 +431,19 @@ def test_bm25_topk_empty_and_no_candidates(ray_session, tmp_path):
     # zero-row Dataset.to_pandas drops columns (Ray quirk, shared across
     # the registry) so only row count is asserted on the Dataset path
     assert len(got1) == len(_oracle(d1, "bm25_topk")) == 0
+
+
+def test_bpe_token_stats_unicode_and_edge_text(ray_session, tmp_path):
+    """The RE2 pre-tokenizer must agree with DuckDB on unicode letters,
+    mixed digit/punct runs, multi-space and empty-ish text."""
+    texts = [
+        "Hello, world! 42 foo's bar",
+        "  multi  space\ttab then",
+        "naïve café 北京 123abc",
+        "x",
+        "(((punct))) --- 0.5%",
+    ]
+    d = _docs_dir(tmp_path, list(range(5)), texts)
+    df = _compare(q.QUERIES["bpe_token_stats"](d), _oracle(d, "bpe_token_stats"))
+    assert len(df) == 5
+    assert (df.n_bpe_tokens > 0).all()
