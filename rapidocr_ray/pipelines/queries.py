@@ -4263,6 +4263,129 @@ FROM sc ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+def q_ccnet_buckets(sf_dir: str, coarse: int = 1000):
+    """CCNet-style quality routing: every doc lands in head / middle /
+    tail by GLOBAL terciles of its per-token unigram-LM score (the
+    avg = floor(logprob_micro_sum / n_tokens) int64, so accumulation
+    order cannot diverge; DuckDB's truncating `//` is corrected to
+    floor semantics with exact integer mod arithmetic in the oracle).
+
+    Scale shape: reuses q_unigram_logprob's streaming scorer, then an
+    EXACT global tercile without a global sort — the score is a bounded
+    integer (± a few × 1e7 micro-units regardless of corpus size), so a
+    coarse (value//coarse) histogram of per-batch partials locates each
+    boundary's cell driver-side (≤ range/coarse rows), and a second
+    filtered pass histograms exact values ONLY inside the (≤2) boundary
+    cells.  Boundary rank follows the pinned quantile_disc convention
+    sorted[max(0, ceil(q·n)-1)] (tercile q fuzzed vs DuckDB on negative
+    values, 600 cases).  Final assignment is one vectorized comparison
+    scan; the materialized intermediate is 16 B/doc."""
+    import math
+
+    scored = q_unigram_logprob(sf_dir)
+
+    def to_avg(batch: pa.Table) -> pa.Table:
+        lp = np.asarray(batch.column("logprob_micro_sum"), dtype=np.int64)
+        n = np.asarray(batch.column("n_tokens"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "avg_lp_micro": pa.array(lp // n, type=pa.int64()),
+            }
+        )
+
+    avg_ds = scored.map_batches(to_avg, batch_format="pyarrow").materialize()
+
+    def coarse_hist(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("avg_lp_micro"), dtype=np.int64) // coarse
+        g = pa.table({"cell": pa.array(c, type=pa.int64())}).group_by(
+            ["cell"]
+        ).aggregate([("cell", "count")])
+        return pa.table(
+            {
+                "cell": g.column("cell"),
+                "cnt": pc.cast(g.column("cell_count"), pa.int64()),
+            }
+        )
+
+    parts = avg_ds.map_batches(coarse_hist, batch_format="pyarrow").take_all()
+    cells: dict = {}
+    for r in parts:
+        cells[r["cell"]] = cells.get(r["cell"], 0) + r["cnt"]
+    n_total = sum(cells.values())
+    if n_total == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "avg_lp_micro": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.string()),
+            }
+        )
+    ks = [max(1, math.ceil((1 / 3) * n_total)), max(1, math.ceil((2 / 3) * n_total))]
+    cell_ids = sorted(cells)
+    cum = np.cumsum([cells[c] for c in cell_ids])
+    k_cell = {k: int(np.searchsorted(cum, k)) for k in ks}
+    want_cells = {cell_ids[i] for i in k_cell.values()}
+
+    def fine_hist(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("avg_lp_micro"), dtype=np.int64)
+        m = np.isin(v // coarse, list(want_cells))
+        g = pa.table({"v": pa.array(v[m], type=pa.int64())}).group_by(
+            ["v"]
+        ).aggregate([("v", "count")])
+        return pa.table(
+            {"v": g.column("v"), "cnt": pc.cast(g.column("v_count"), pa.int64())}
+        )
+
+    fparts = avg_ds.map_batches(fine_hist, batch_format="pyarrow").take_all()
+    fine: dict = {}
+    for r in fparts:
+        fine[r["v"]] = fine.get(r["v"], 0) + r["cnt"]
+    bounds = []
+    for k in ks:
+        i = k_cell[k]
+        c = int(cum[i - 1]) if i else 0  # docs in cells before the boundary cell
+        for v in sorted(v for v in fine if v // coarse == cell_ids[i]):
+            c += fine[v]
+            if c >= k:
+                bounds.append(v)
+                break
+    b1, b2 = bounds
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("avg_lp_micro"), dtype=np.int64)
+        bucket = np.where(v >= b2, "head", np.where(v >= b1, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "avg_lp_micro": batch.column("avg_lp_micro"),
+                "bucket": pa.array(bucket, type=pa.string()),
+            }
+        )
+
+    return avg_ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+j AS (SELECT doc_id, CAST(floor(log10(CAST(c AS DOUBLE)/n)*1000000) AS BIGINT) AS lp
+      FROM tok JOIN cnt USING (t), tot),
+doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lp) AS BIGINT) AS lps FROM j GROUP BY doc_id),
+-- floor division on a negative numerator: subtract the positive mod first
+a AS (SELECT doc_id, (lps - (((lps % n) + n) % n)) // n AS avg_lp_micro FROM doc),
+b AS (SELECT quantile_disc(avg_lp_micro, {1 / 3!r}) AS b1,
+             quantile_disc(avg_lp_micro, {2 / 3!r}) AS b2 FROM a)
+SELECT doc_id, CAST(avg_lp_micro AS BIGINT) AS avg_lp_micro,
+       CASE WHEN avg_lp_micro >= b2 THEN 'head'
+            WHEN avg_lp_micro >= b1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM a, b
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4344,6 +4467,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_topk": q_bm25_topk,
     "semantic_dup_groups": q_semantic_dup_groups,
     "bpe_token_stats": q_bpe_token_stats,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4422,4 +4546,5 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "semantic_dup_groups": SQL_SEMANTIC_DUP_GROUPS,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
 }

@@ -69,6 +69,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "bm25_topk",
         "semantic_dup_groups",
         "bpe_token_stats",
+        "ccnet_buckets",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

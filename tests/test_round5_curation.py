@@ -447,3 +447,25 @@ def test_bpe_token_stats_unicode_and_edge_text(ray_session, tmp_path):
     df = _compare(q.QUERIES["bpe_token_stats"](d), _oracle(d, "bpe_token_stats"))
     assert len(df) == 5
     assert (df.n_bpe_tokens > 0).all()
+
+
+def test_ccnet_buckets_boundary_ties_and_empty(ray_session, tmp_path):
+    """Many docs sharing the exact boundary score must land in the same
+    bucket on both sides (assignment compares VALUES, not ranks), and an
+    empty corpus returns the stable 3-column schema with zero rows."""
+    # 30 docs over 3 score classes: 12 identical low, 12 identical mid
+    # (straddles the 1/3 boundary), 6 high
+    texts = (
+        ["rare rare rare"] * 12
+        + ["common common common"] * 12
+        + ["common rare mix pad"] * 6
+    )
+    d = _docs_dir(tmp_path, list(range(30)), texts)
+    df = _compare(q.QUERIES["ccnet_buckets"](d), _oracle(d, "ccnet_buckets"))
+    # every doc with an identical score shares one bucket
+    assert (df.groupby("avg_lp_micro").bucket.nunique() == 1).all()
+    d0 = _docs_dir(tmp_path, [], [], name="docs_empty_ccnet")
+    got = q.QUERIES["ccnet_buckets"](d0)
+    got_df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert len(got_df) == len(_oracle(d0, "ccnet_buckets")) == 0
+    assert sorted(got_df.columns) == ["avg_lp_micro", "bucket", "doc_id"]
