@@ -4263,6 +4263,46 @@ FROM sc ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# C4-style badwords gate: whole-word RE2 alternation.  'able' is a
+# substring of the corpus-common 'table' — it pins \b semantics (a
+# substring match would flag every doc); 'slow' fires for real.
+_BLOCKLIST_PATTERN = r"\b(slow|able|junk)\b"
+
+
+def q_blocklist_filter(sf_dir: str):
+    """C4-style blocklist content filter: count whole-word blocklist
+    hits per doc and flag clean docs — one vectorized RE2 kernel
+    (Arrow ``count_substring_regex`` vs DuckDB ``regexp_extract_all``,
+    identical by the shared-engine argument), no shuffle, no Python
+    per row.  At 100 TB this is a pure streaming scan; a real badwords
+    list (hundreds of terms) compiles to one RE2 alternation exactly
+    like this one."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("text"), _BLOCKLIST_PATTERN),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_blocked": n,
+                "is_clean": pc.cast(pc.equal(n, 0), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_BLOCKLIST_FILTER = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\b(slow|able|junk)\b')) AS BIGINT) AS n_blocked,
+  CAST(len(regexp_extract_all(text, '\b(slow|able|junk)\b')) = 0 AS BIGINT) AS is_clean
+FROM documents
+"""
+
+
 def q_ccnet_buckets(sf_dir: str, coarse: int = 1000):
     """CCNet-style quality routing: every doc lands in head / middle /
     tail by GLOBAL terciles of its per-token unigram-LM score (the
@@ -4468,6 +4508,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "semantic_dup_groups": q_semantic_dup_groups,
     "bpe_token_stats": q_bpe_token_stats,
     "ccnet_buckets": q_ccnet_buckets,
+    "blocklist_filter": q_blocklist_filter,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4547,4 +4588,5 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dup_groups": SQL_SEMANTIC_DUP_GROUPS,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
 }

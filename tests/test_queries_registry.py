@@ -70,6 +70,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "semantic_dup_groups",
         "bpe_token_stats",
         "ccnet_buckets",
+        "blocklist_filter",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -469,3 +469,20 @@ def test_ccnet_buckets_boundary_ties_and_empty(ray_session, tmp_path):
     got_df = got.to_pandas() if hasattr(got, "to_pandas") else got
     assert len(got_df) == len(_oracle(d0, "ccnet_buckets")) == 0
     assert sorted(got_df.columns) == ["avg_lp_micro", "bucket", "doc_id"]
+
+
+def test_blocklist_filter_word_boundaries(ray_session, tmp_path):
+    """\\b semantics: 'table' must NOT match blocked 'able'; 'slow' as a
+    whole word must; punctuation-adjacent hits count."""
+    texts = [
+        "table stable tables",          # clean: 'able' only as substring
+        "slow query",                   # 1 hit
+        "so slow, slow!",               # 2 hits (punctuation boundaries)
+        "junkyard junk-food junk",      # 'junkyard' no, 'junk-food'+'junk' yes
+        "able",                         # whole-word at string edges
+    ]
+    d = _docs_dir(tmp_path, list(range(5)), texts)
+    df = _compare(q.QUERIES["blocklist_filter"](d), _oracle(d, "blocklist_filter"))
+    by = df.set_index("doc_id").sort_index()
+    assert list(by.n_blocked) == [0, 1, 2, 2, 1]
+    assert list(by.is_clean) == [1, 0, 0, 0, 0]
