@@ -152,6 +152,12 @@ def main() -> None:
         "paragraph_dedup",
         "incremental_dedup",
         "unigram_logprob",
+        # round-5 additions: exact global terciles on the LM score
+        # (unigram scorer + two bounded histogram passes) and the
+        # integer-pinned BM25 retrieval (tokenize-once projection +
+        # tiny top-k merge)
+        "ccnet_buckets",
+        "bm25_topk",
         # link-graph family: edge derivation is two bounded shuffles
         # (the real cost at toy scale); the 5-round rank loop
         # auto-selects the driver-local tier on this 60-edge graph
