@@ -4426,6 +4426,99 @@ FROM a, b
 """
 
 
+_EPOCH_BASE_CACHE: dict = {}
+
+
+def q_epoch_shuffle(sf_dir: str, cell_bits: int = 16):
+    """Deterministic epoch shuffle — the pretraining loader's global
+    training order: position = dense rank of a multiplicative doc_id
+    hash (ROW_NUMBER over (hash, doc_id)) WITHOUT a global sort.
+    Pass 1 counts docs per hash cell (h >> (32-cell_bits); ≤ 2^cell_bits
+    cells regardless of corpus size) into driver-side exclusive base
+    offsets; pass 2 is ONE bounded shuffle keyed by cell with a
+    vectorized in-cell sort — position = base[cell] + local index.
+    The base array (2^cell_bits × 8 B) broadcasts once via ray.put +
+    worker LRU.  Hash pin: (doc_id · 2654435761) mod 2^32 — uint64
+    wraparound then mod 2^32 equals the oracle's HUGEINT arithmetic
+    exactly because 2^32 divides 2^64.  At 10^12 docs raise cell_bits
+    so cells stay ~1M rows (the knob trades base-array size for
+    per-cell sort memory)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    mult = np.uint64(2654435761)
+    shift = 32 - cell_bits
+
+    def with_cell(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = ((ids * mult) % np.uint64(1 << 32)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(h, type=pa.int64()),
+                "cell": pa.array(h >> shift, type=pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(with_cell, batch_format="pyarrow").materialize()
+
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        g = pa.table({"cell": batch.column("cell")}).group_by(["cell"]).aggregate(
+            [("cell", "count")]
+        )
+        return pa.table(
+            {
+                "cell": g.column("cell"),
+                "cnt": pc.cast(g.column("cell_count"), pa.int64()),
+            }
+        )
+
+    rows = (
+        keyed.map_batches(cell_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("cnt")
+        .take_all()
+    )  # ≤ 2^cell_bits rows on the driver
+    if not rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "position": pa.array([], type=pa.int64()),
+            }
+        )
+    base = np.zeros(1 << cell_bits, dtype=np.int64)
+    for r in rows:
+        base[r["cell"]] = r["sum(cnt)"]
+    base = np.concatenate([[0], np.cumsum(base)[:-1]])
+    base_ref = ray.put(base)
+
+    def rank_cell(g: pd.DataFrame) -> pa.Table:
+        b = lru_cache_get(
+            _EPOCH_BASE_CACHE, base_ref.hex(), lambda: ray.get(base_ref)
+        )
+        gg = g.sort_values(["h", "doc_id"], kind="mergesort")
+        start = int(b[int(gg.cell.iloc[0])])
+        return pa.table(
+            {
+                "doc_id": pa.array(gg.doc_id.to_numpy(np.int64), type=pa.int64()),
+                "position": pa.array(
+                    start + np.arange(len(gg), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return keyed.groupby("cell").map_groups(rank_cell, batch_format="pandas")
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+       ) - 1 AS BIGINT) AS position
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4509,6 +4602,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_token_stats": q_bpe_token_stats,
     "ccnet_buckets": q_ccnet_buckets,
     "blocklist_filter": q_blocklist_filter,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4589,4 +4683,5 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 }

@@ -71,6 +71,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "bpe_token_stats",
         "ccnet_buckets",
         "blocklist_filter",
+        "epoch_shuffle",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

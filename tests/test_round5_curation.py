@@ -486,3 +486,19 @@ def test_blocklist_filter_word_boundaries(ray_session, tmp_path):
     by = df.set_index("doc_id").sort_index()
     assert list(by.n_blocked) == [0, 1, 2, 2, 1]
     assert list(by.is_clean) == [1, 0, 0, 0, 0]
+
+
+def test_epoch_shuffle_permutation_collisions_multibatch(ray_session, tmp_path):
+    """3000 docs (many batches/cells): positions must be the exact
+    permutation 0..n-1 and match ROW_NUMBER; ids 5 and 5+2^32 share a
+    32-bit hash, pinning the doc_id tiebreak."""
+    import numpy as np
+
+    ids = list(range(3000)) + [5 + (1 << 32)]
+    d = _docs_dir(tmp_path, ids, ["t"] * len(ids))
+    df = _compare(q.QUERIES["epoch_shuffle"](d), _oracle(d, "epoch_shuffle"))
+    pos = np.sort(df.position.to_numpy())
+    assert (pos == np.arange(len(ids))).all()
+    by = df.set_index("doc_id")
+    # identical hash -> smaller doc_id ranks first (adjacent positions)
+    assert int(by.loc[5].position) + 1 == int(by.loc[5 + (1 << 32)].position)
