@@ -4426,6 +4426,93 @@ FROM a, b
 """
 
 
+def q_bpe_merge_pairs(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """BPE-training inner step: the global top-k adjacent token pairs
+    by exact count (each merge round of BPE training picks argmax of
+    exactly this statistic).  Scale shape mirrors top_terms: per-batch
+    pair explosion never leaves the task (zero-copy Arrow slices form
+    the left/right arrays; doc boundaries masked vectorized), partial
+    counts collapse in-task, ONE crc32(pair)-bucketed shuffle merges
+    exactly (a pair lives in one bucket), per-bucket top-k prune bounds
+    the final reduce at n_buckets × k rows."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {
+                    "pair": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, n - 1).combine_chunks(),
+            flat.slice(1, n - 1).combine_chunks(),
+            " ",
+        )
+        # drop pair positions that straddle a doc boundary
+        ends = np.cumsum(lens)
+        keep = np.ones(n - 1, dtype=bool)
+        keep[ends[:-1] - 1] = False  # last token of each doc (but the final)
+        t = pa.table({"pair": pairs.filter(pa.array(keep))})
+        agg = t.group_by(["pair"]).aggregate([("pair", "count")])
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("pair").to_pylist()),
+            dtype=np.int64,
+            count=agg.num_rows,
+        )
+        return pa.table(
+            {
+                "pair": agg.column("pair"),
+                "n": pc.cast(agg.column("pair_count"), pa.int64()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_prune(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("pair", as_index=False)["n"].sum()
+        out = out.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort")
+        return out.head(k)
+
+    pruned = part.groupby("bucket").map_groups(merge_prune, batch_format="pandas")
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.table(
+            {
+                "pair": pa.array(df.pair, type=pa.string()),
+                "cnt": pa.array(df.n.to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    # local top-k per block, tiny global sort for the exact final k
+    return (
+        pruned.map_batches(topk, batch_format="pyarrow")
+        .sort([("cnt"), ("pair")], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_BPE_MERGE_PAIRS = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (SELECT w[i] || ' ' || w[i+1] AS pair
+      FROM words, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+      WHERE len(w) >= 2),
+c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY pair)
+SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
 _EPOCH_BASE_CACHE: dict = {}
 
 
@@ -4603,6 +4690,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "blocklist_filter": q_blocklist_filter,
     "epoch_shuffle": q_epoch_shuffle,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4684,4 +4772,5 @@ ORACLE_SQL: dict[str, str] = {
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
 }

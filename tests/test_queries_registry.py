@@ -72,6 +72,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "ccnet_buckets",
         "blocklist_filter",
         "epoch_shuffle",
+        "bpe_merge_pairs",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

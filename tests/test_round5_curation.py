@@ -502,3 +502,16 @@ def test_epoch_shuffle_permutation_collisions_multibatch(ray_session, tmp_path):
     by = df.set_index("doc_id")
     # identical hash -> smaller doc_id ranks first (adjacent positions)
     assert int(by.loc[5].position) + 1 == int(by.loc[5 + (1 << 32)].position)
+
+
+def test_bpe_merge_pairs_doc_boundaries(ray_session, tmp_path):
+    """Pairs never straddle documents: 'b a' would win if doc edges
+    leaked ('... b'|'a ...' x many docs); single-token docs contribute
+    nothing; ties order by pair text."""
+    texts = ["a b"] * 5 + ["b"] * 10 + ["a"] * 10 + ["c d", "c d"]
+    d = _docs_dir(tmp_path, list(range(len(texts))), texts)
+    df = _compare(q.QUERIES["bpe_merge_pairs"](d), _oracle(d, "bpe_merge_pairs"))
+    top = df.sort_values(["cnt", "pair"], ascending=[False, True]).reset_index(drop=True)
+    assert (top.pair.iloc[0], int(top.cnt.iloc[0])) == ("a b", 5)
+    assert (top.pair.iloc[1], int(top.cnt.iloc[1])) == ("c d", 2)
+    assert "b a" not in set(top.pair)
