@@ -4513,6 +4513,104 @@ SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
 """
 
 
+def q_image_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
+    """Cross-container image dedup on DECODED PIXELS — the multimodal
+    dedup the payload layer needs: the same page encoded as PNG / GIF /
+    BMP / LZW-TIFF / VP8L-WebP / RLE8-BMP must hash to ONE pixel group
+    (md5 over dims+pixels), so a single wrong pixel in any of the six
+    from-scratch codecs splits a group and flips the driver hash.
+    Pages render from doc_id % 37 (guaranteed duplicate groups, pure
+    integer oracle), container rotates doc_id % 6 over the LOSSLESS
+    codecs (JPEG excluded by construction — its ±4-level ringing is
+    bounded for text extraction but not pixel-exact).  Scale shape:
+    synth+encode+decode+hash fuse in one map_batches (renders cached
+    per key within a batch), then the exact-dedup bucket shuffle
+    carries only (doc_id, 16-byte key, container)."""
+    import hashlib
+    import zlib
+
+    from rapidocr_ray.functions.codecs import (
+        encode_bmp,
+        encode_bmp_rle8,
+        encode_gif,
+        encode_png,
+        encode_tiff,
+    )
+    from rapidocr_ray.functions.webp import encode_webp
+    from rapidocr_ray.glyphs import render_page
+    from rapidocr_ray.stages.multimodal import decode_image
+
+    encoders = [
+        encode_png,
+        encode_gif,
+        encode_bmp,
+        lambda im: encode_tiff(im, compression="lzw", predictor=2),
+        encode_webp,
+        encode_bmp_rle8,
+    ]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth_hash(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        renders: dict = {}
+        keys, containers = [], []
+        for d in ids:
+            d = int(d)
+            gk = d % 37
+            img = renders.get(gk)
+            if img is None:
+                img = renders[gk] = render_page([f"img group {gk}"], margin=12)
+            container = d % 6
+            payload = encoders[container](img)
+            dec = decode_image(payload)
+            keys.append(
+                hashlib.md5(
+                    dec.shape[0].to_bytes(4, "big")
+                    + dec.shape[1].to_bytes(4, "big")
+                    + dec.tobytes()
+                ).hexdigest()
+            )
+            containers.append(container)
+        bucket = [zlib.crc32(k.encode()) % n_buckets for k in keys]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pixel_key": pa.array(keys, type=pa.string()),
+                "container": pa.array(containers, type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(synth_hash, batch_format="pyarrow", batch_size=64)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("pixel_key").agg(
+            doc_id=("doc_id", "min"),
+            n_dups=("doc_id", "count"),
+            n_containers=("container", "nunique"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.doc_id.to_numpy(np.int64), type=pa.int64()),
+                "n_dups": pa.array(agg.n_dups.to_numpy(np.int64), type=pa.int64()),
+                "n_containers": pa.array(
+                    agg.n_containers.to_numpy(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+SQL_IMAGE_PIXEL_DUP_GROUPS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(COUNT(DISTINCT doc_id % 6) AS BIGINT) AS n_containers
+FROM documents GROUP BY doc_id % 37
+"""
+
+
 _EPOCH_BASE_CACHE: dict = {}
 
 
@@ -4691,6 +4789,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "blocklist_filter": q_blocklist_filter,
     "epoch_shuffle": q_epoch_shuffle,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "image_pixel_dup_groups": q_image_pixel_dup_groups,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4773,4 +4872,5 @@ ORACLE_SQL: dict[str, str] = {
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
+    "image_pixel_dup_groups": SQL_IMAGE_PIXEL_DUP_GROUPS,
 }

@@ -73,6 +73,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "blocklist_filter",
         "epoch_shuffle",
         "bpe_merge_pairs",
+        "image_pixel_dup_groups",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -515,3 +515,17 @@ def test_bpe_merge_pairs_doc_boundaries(ray_session, tmp_path):
     assert (top.pair.iloc[0], int(top.cnt.iloc[0])) == ("a b", 5)
     assert (top.pair.iloc[1], int(top.cnt.iloc[1])) == ("c d", 2)
     assert "b a" not in set(top.pair)
+
+
+def test_image_pixel_dup_groups_cross_container(ray_session, tmp_path):
+    """Every pixel group must span all containers present among its
+    doc_ids — one wrong pixel in any lossless codec splits a group.
+    60 docs -> groups of sizes ceil/floor(60/37) with containers
+    doc_id%6; also pins that DIFFERENT group keys never collide."""
+    ids = list(range(60))
+    d = _docs_dir(tmp_path, ids, ["t"] * len(ids))
+    df = _compare(
+        q.QUERIES["image_pixel_dup_groups"](d), _oracle(d, "image_pixel_dup_groups")
+    )
+    assert len(df) == 37  # 37 distinct renders -> exactly 37 pixel groups
+    assert int(df.n_dups.sum()) == 60
