@@ -4611,6 +4611,125 @@ FROM documents GROUP BY doc_id % 37
 """
 
 
+_DSIR_CACHE: dict = {}
+
+
+def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
+    """DSIR-style importance weights (data selection for language
+    models): per-doc log importance = Σ_tokens [log p_target(t) −
+    log p_raw(t)] with add-one smoothing, target = the docs with
+    doc_id % 3 == 0 (deterministic domain stand-in).  ONE fused count
+    pass produces BOTH distributions (per-batch Table.group_by partials
+    carrying c_all and c_tgt, one crc32(token)-bucketed merge — the
+    unigram_logprob shape); the per-token delta table broadcasts once
+    (ray.put + worker LRU) and scoring streams.  Float pin: each side
+    is floor(log10((c+1)/(N+V))*1e6) int64 (the libm-bit-identity
+    protocol), the doc score an integer SUM.  Vocab-bounded like
+    unigram_logprob; past broadcast_limit the same token-bucketed
+    attach-shuffle fallback applies (not duplicated here)."""
+    import zlib
+
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        is_tgt = np.repeat((ids % 3 == 0).astype(np.int64), lens)
+        agg = pa.table(
+            {"t": flat, "one": np.ones(len(flat), dtype=np.int64), "tgt": is_tgt}
+        ).group_by(["t"]).aggregate([("one", "sum"), ("tgt", "sum")])
+        bucket = pa.array(
+            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("t").to_pylist()),
+            type=pa.int64(),
+        )
+        return pa.table(
+            {
+                "t": agg.column("t"),
+                "c_all": agg.column("one_sum"),
+                "c_tgt": agg.column("tgt_sum"),
+                "bucket": bucket,
+            }
+        )
+
+    def merge_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("t", sort=False)[["c_all", "c_tgt"]].sum()
+        return pd.DataFrame(
+            {
+                "t": g.index,
+                "c_all": g.c_all.to_numpy(np.int64),
+                "c_tgt": g.c_tgt.to_numpy(np.int64),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_counts, batch_format="pandas")
+        .to_pandas()  # bounded by VOCABULARY size (the unigram argument)
+    )
+    if len(vocab) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "dsir_micro_sum": pa.array([], type=pa.int64()),
+            }
+        )
+    v = float(len(vocab))
+    n_all = float(vocab.c_all.sum())
+    n_tgt = float(vocab.c_tgt.sum())
+    lp_t = np.floor(
+        np.log10((vocab.c_tgt.to_numpy(np.float64) + 1.0) / (n_tgt + v)) * 1e6
+    ).astype(np.int64)
+    lp_r = np.floor(
+        np.log10((vocab.c_all.to_numpy(np.float64) + 1.0) / (n_all + v)) * 1e6
+    ).astype(np.int64)
+    delta_ref = ray.put(pd.Series(lp_t - lp_r, index=vocab.t.to_numpy()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lk = lru_cache_get(_DSIR_CACHE, delta_ref.hex(), lambda: ray.get(delta_ref))
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        d = lk.reindex(flat.to_pylist()).to_numpy(np.int64)
+        cs = np.concatenate([[0], np.cumsum(d)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "dsir_micro_sum": pa.array(cs[ends] - cs[starts], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                    CAST(doc_id % 3 = 0 AS BIGINT) AS is_tgt
+             FROM documents),
+cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(is_tgt) AS BIGINT) AS c_tgt FROM tok GROUP BY t),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+               CAST(SUM(c_all) AS DOUBLE) AS n_all,
+               CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt FROM cnt),
+d AS (SELECT t,
+      CAST(floor(log10((CAST(c_tgt AS DOUBLE)+1.0)/(n_tgt+v))*1000000) AS BIGINT)
+      - CAST(floor(log10((CAST(c_all AS DOUBLE)+1.0)/(n_all+v))*1000000) AS BIGINT)
+        AS delta
+      FROM cnt, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(delta) AS BIGINT) AS dsir_micro_sum
+FROM tok JOIN d USING (t) GROUP BY doc_id
+"""
+
+
 _EPOCH_BASE_CACHE: dict = {}
 
 
@@ -4790,6 +4909,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "epoch_shuffle": q_epoch_shuffle,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "image_pixel_dup_groups": q_image_pixel_dup_groups,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4873,4 +4993,5 @@ ORACLE_SQL: dict[str, str] = {
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
     "image_pixel_dup_groups": SQL_IMAGE_PIXEL_DUP_GROUPS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }

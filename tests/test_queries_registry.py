@@ -74,6 +74,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "epoch_shuffle",
         "bpe_merge_pairs",
         "image_pixel_dup_groups",
+        "dsir_weights",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -529,3 +529,18 @@ def test_image_pixel_dup_groups_cross_container(ray_session, tmp_path):
     )
     assert len(df) == 37  # 37 distinct renders -> exactly 37 pixel groups
     assert int(df.n_dups.sum()) == 60
+
+
+def test_dsir_weights_direction_and_oracle(ray_session, tmp_path):
+    """Target docs (id%3==0) repeating a target-only token must score
+    HIGHER than raw docs of the same length; values match the smoothed
+    log-ratio oracle exactly."""
+    texts = []
+    for i in range(30):
+        texts.append("target token here" if i % 3 == 0 else "random filler words")
+    d = _docs_dir(tmp_path, list(range(30)), texts)
+    df = _compare(q.QUERIES["dsir_weights"](d), _oracle(d, "dsir_weights"))
+    by = df.set_index("doc_id").sort_index()
+    tgt = by[by.index % 3 == 0].dsir_micro_sum
+    raw = by[by.index % 3 != 0].dsir_micro_sum
+    assert tgt.min() > raw.max()
