@@ -4611,6 +4611,154 @@ FROM documents GROUP BY doc_id % 37
 """
 
 
+def q_span_dedup_removal(
+    sf_dir: str, width: int = 16, n_buckets: int = 64, doc_buckets: int = 64
+):
+    """Exact duplicated-span REMOVAL (the Lee-et-al. 'deduplicating
+    training data' operator): every ``width``-char window occurring ≥2
+    times corpus-wide (counting multiplicity, self-repeats included) is
+    cut from EVERY document; the pin is the md5 of each doc's surviving
+    text, so one wrong span boundary anywhere flips the hash.
+
+    Scale shape: window occurrences explode to one row per char
+    position, but ONE window-keyed bucket shuffle both counts and
+    resolves duplicates (a window's occurrences all land in its bucket,
+    so dup detection is a within-group size test — no separate dup-set
+    broadcast), and the surviving (doc_id, pos) rows meet the text in a
+    doc-bucketed rebuild where the keep mask is a vectorized
+    diff/cumsum.  The per-doc window slicing is oracle-pinned per-doc
+    string work (the dedup.py to_pylist class); at 10^12 docs the
+    published answer is a suffix array — this is the exact bucketed
+    form of the same semantics.  Unicode-correct: masks apply to
+    codepoints via utf-32 views, matching SQL substr char semantics."""
+    import hashlib
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        # INTENTIONAL to_pylist: oracle-pinned per-doc window slicing
+        texts = batch.column("text").to_pylist()
+        out_d, out_i, out_w = [], [], []
+        for d, t in zip(ids, texts):
+            for i in range(len(t) - width + 1):
+                out_d.append(d)
+                out_i.append(i)
+                out_w.append(t[i : i + width])
+        bucket = np.fromiter(
+            (zlib.crc32(w.encode()) % n_buckets for w in out_w),
+            dtype=np.int64,
+            count=len(out_w),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "i": pa.array(out_i, type=pa.int64()),
+                "w": pa.array(out_w, type=pa.string()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("w")["w"].transform("size")
+        d = g[cnt >= 2]
+        return pd.DataFrame(
+            {
+                "doc_id": d.doc_id.to_numpy(np.int64),
+                "i": d.i.to_numpy(np.int64),
+            }
+        )
+
+    covers = (
+        ds.map_batches(occurrences, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_positions, batch_format="pandas")
+    )
+
+    # doc-bucketed rebuild: positions (side 1) meet text (side 0)
+    def text_side(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "i": pa.array(np.full(len(ids), -1), type=pa.int64()),
+                "text": batch.column("text"),
+                "side": pa.array(np.zeros(len(ids), dtype=np.int64), type=pa.int64()),
+                "b2": pa.array(ids % doc_buckets, type=pa.int64()),
+            }
+        )
+
+    def pos_side(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "i": batch.column("i"),
+                "text": pa.array([None] * len(ids), type=pa.string()),
+                "side": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+                "b2": pa.array(ids % doc_buckets, type=pa.int64()),
+            }
+        )
+
+    both = ds.map_batches(text_side, batch_format="pyarrow").union(
+        covers.map_batches(pos_side, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        texts = g[g.side == 0]
+        pos_by_doc = {
+            int(k): v.to_numpy(np.int64)
+            for k, v in g[g.side == 1].groupby("doc_id")["i"]
+        }
+        out_d, out_n, out_h = [], [], []
+        for d, t in zip(texts.doc_id.to_numpy(np.int64), texts.text):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cp)
+            pos = pos_by_doc.get(int(d))
+            if pos is None:
+                kept = t
+            else:
+                diff = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(diff, pos, 1)
+                np.add.at(diff, np.minimum(pos + width, n), -1)
+                mask = np.cumsum(diff[:-1]) == 0
+                kept = cp[mask].tobytes().decode("utf-32-le")
+            out_d.append(int(d))
+            out_n.append(len(kept))
+            out_h.append(hashlib.md5(kept.encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_d, dtype=np.int64),
+                "n_kept_chars": np.array(out_n, dtype=np.int64),
+                "kept_md5": out_h,
+            }
+        )
+
+    return both.groupby("b2").map_groups(rebuild, batch_format="pandas")
+
+
+SQL_SPAN_DEDUP_REMOVAL = """
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, text, n, i
+        FROM docs, UNNEST(generate_series(1, n - 15)) AS t(i) WHERE n >= 16),
+win AS (SELECT doc_id, i, substr(text, i, 16) AS w FROM pos),
+dup AS (SELECT w FROM win GROUP BY w HAVING COUNT(*) >= 2),
+cover AS (SELECT win.doc_id, win.i FROM win JOIN dup USING (w)),
+chars AS (SELECT d.doc_id, p, substr(d.text, p, 1) AS ch
+          FROM docs d, UNNEST(generate_series(1, d.n)) AS t(p)),
+kept AS (SELECT c.doc_id, c.p, c.ch FROM chars c
+         WHERE NOT EXISTS (SELECT 1 FROM cover v WHERE v.doc_id = c.doc_id
+                           AND c.p BETWEEN v.i AND v.i + 15)),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(ch, '' ORDER BY p)) AS kept_md5
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_kept, 0) AS n_kept_chars,
+       COALESCE(a.kept_md5, md5('')) AS kept_md5
+FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 _DSIR_CACHE: dict = {}
 
 
@@ -4910,6 +5058,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "image_pixel_dup_groups": q_image_pixel_dup_groups,
     "dsir_weights": q_dsir_weights,
+    "span_dedup_removal": q_span_dedup_removal,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4994,4 +5143,5 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
     "image_pixel_dup_groups": SQL_IMAGE_PIXEL_DUP_GROUPS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "span_dedup_removal": SQL_SPAN_DEDUP_REMOVAL,
 }

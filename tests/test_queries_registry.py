@@ -75,6 +75,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "bpe_merge_pairs",
         "image_pixel_dup_groups",
         "dsir_weights",
+        "span_dedup_removal",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

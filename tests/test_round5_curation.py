@@ -544,3 +544,31 @@ def test_dsir_weights_direction_and_oracle(ray_session, tmp_path):
     tgt = by[by.index % 3 == 0].dsir_micro_sum
     raw = by[by.index % 3 != 0].dsir_micro_sum
     assert tgt.min() > raw.max()
+
+
+def test_span_dedup_removal_semantics(ray_session, tmp_path):
+    """All-occurrence semantics: a shared 16-char span vanishes from
+    BOTH docs (first occurrence included); a self-repeat inside one doc
+    counts as duplicated; <16-char docs and unique docs pass through;
+    codepoint masks hold on multi-byte text."""
+    import hashlib
+
+    span = "ABCDEFGHIJKLMNOP"  # exactly 16 chars
+    texts = [
+        "xx" + span + "yy",          # shares span with doc 1
+        span,                        # removed entirely -> md5('')
+        span + span,                 # self-repeat: both instances dup
+        "short doc",                 # <16 chars, untouched
+        "unique sixteen-char windows only here, no repeats at all q",
+        "naïve café 北京 unicode pad " + span,  # multibyte + shared span
+    ]
+    d = _docs_dir(tmp_path, list(range(len(texts))), texts)
+    df = _compare(q.QUERIES["span_dedup_removal"](d), _oracle(d, "span_dedup_removal"))
+    by = df.set_index("doc_id").sort_index()
+    assert int(by.loc[1].n_kept_chars) == 0
+    assert by.loc[1].kept_md5 == hashlib.md5(b"").hexdigest()
+    assert int(by.loc[2].n_kept_chars) == 0  # self-repeat fully covered
+    assert int(by.loc[3].n_kept_chars) == len("short doc")
+    assert by.loc[3].kept_md5 == hashlib.md5(b"short doc").hexdigest()
+    assert int(by.loc[0].n_kept_chars) == 4  # xx + yy survive
+    assert by.loc[0].kept_md5 == hashlib.md5(b"xxyy").hexdigest()
