@@ -4606,8 +4606,8 @@ def q_image_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
 SQL_IMAGE_PIXEL_DUP_GROUPS = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups,
-       CAST(COUNT(DISTINCT doc_id % 6) AS BIGINT) AS n_containers
-FROM documents GROUP BY doc_id % 37
+       CAST(COUNT(DISTINCT ((doc_id % 6) + 6) % 6) AS BIGINT) AS n_containers
+FROM documents GROUP BY ((doc_id % 37) + 37) % 37
 """
 
 
@@ -4965,7 +4965,8 @@ def q_epoch_shuffle(sf_dir: str, cell_bits: int = 16):
 SQL_EPOCH_SHUFFLE = """
 SELECT doc_id,
        CAST(ROW_NUMBER() OVER (
-           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+           ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                     + 4294967296) % 4294967296, doc_id
        ) - 1 AS BIGINT) AS position
 FROM documents
 """

@@ -572,3 +572,16 @@ def test_span_dedup_removal_semantics(ray_session, tmp_path):
     assert by.loc[3].kept_md5 == hashlib.md5(b"short doc").hexdigest()
     assert int(by.loc[0].n_kept_chars) == 4  # xx + yy survive
     assert by.loc[0].kept_md5 == hashlib.md5(b"xxyy").hexdigest()
+
+
+def test_negative_doc_ids_match_oracle(ray_session, tmp_path):
+    """Contract parity for representable int64 ids (review finding):
+    Python/numpy mod is non-negative, DuckDB % keeps sign — the oracles
+    carry explicit positive-mod arithmetic so negative doc_ids hash and
+    group identically on both sides."""
+    ids = [-5, -1, 0, 3, 7, 32, (1 << 33), (1 << 40) + 1]
+    d = _docs_dir(tmp_path, ids, ["t"] * len(ids))
+    _compare(q.QUERIES["epoch_shuffle"](d), _oracle(d, "epoch_shuffle"))
+    _compare(
+        q.QUERIES["image_pixel_dup_groups"](d), _oracle(d, "image_pixel_dup_groups")
+    )
