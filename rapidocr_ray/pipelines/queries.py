@@ -4759,6 +4759,88 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 """
 
 
+_RANK_BASE_CACHE: dict = {}
+
+
+def q_lang_percentile_rank(sf_dir: str):
+    """Per-group dense rank at scale (the rank-normalization step a
+    curation pipeline runs before per-lang thresholding): rank of
+    n_chars within each lang (ties by doc_id), = ROW_NUMBER() OVER
+    (PARTITION BY lang ORDER BY n_chars, doc_id) − 1 — WITHOUT a
+    per-group global sort.  n_chars is a bounded integer, so the
+    exact (lang, n_chars) count histogram fits the driver (the
+    length_quantiles argument); exclusive cumulative counts per lang
+    give each (lang, n_chars) group its base offset, broadcast once
+    (ray.put + worker LRU); ONE shuffle keyed by (lang, n_chars) and a
+    vectorized in-group doc_id sort finish the rank.  A giant lang is
+    fine: its docs spread over #distinct-lengths groups, not one task."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["lang", "n_chars"]).group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("n_chars_count"), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .sum("cnt")
+        .take_all()
+    )  # bounded: #langs × #distinct lengths
+    if not rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    hist = pd.DataFrame(rows).sort_values(["lang", "n_chars"])
+    cum = hist.groupby("lang")["sum(cnt)"].cumsum() - hist["sum(cnt)"]
+    base = {
+        (l, int(n)): int(c)
+        for l, n, c in zip(hist.lang, hist.n_chars, cum)
+    }
+    base_ref = ray.put(base)
+
+    def rank_group(g: pd.DataFrame) -> pa.Table:
+        b = lru_cache_get(
+            _RANK_BASE_CACHE, base_ref.hex(), lambda: ray.get(base_ref)
+        )
+        gg = g.sort_values("doc_id", kind="mergesort")
+        start = b[(gg.lang.iloc[0], int(gg.n_chars.iloc[0]))]
+        return pa.table(
+            {
+                "doc_id": pa.array(gg.doc_id.to_numpy(np.int64), type=pa.int64()),
+                "lang": pa.array(gg.lang, type=pa.string()),
+                "rank": pa.array(
+                    start + np.arange(len(gg), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby(["lang", "n_chars"]).map_groups(
+        rank_group, batch_format="pandas"
+    )
+
+
+SQL_LANG_PERCENTILE_RANK = """
+SELECT doc_id, lang,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1
+            AS BIGINT) AS rank
+FROM documents
+"""
+
+
 _DSIR_CACHE: dict = {}
 
 
@@ -5060,6 +5142,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_pixel_dup_groups": q_image_pixel_dup_groups,
     "dsir_weights": q_dsir_weights,
     "span_dedup_removal": q_span_dedup_removal,
+    "lang_percentile_rank": q_lang_percentile_rank,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5145,4 +5228,5 @@ ORACLE_SQL: dict[str, str] = {
     "image_pixel_dup_groups": SQL_IMAGE_PIXEL_DUP_GROUPS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "span_dedup_removal": SQL_SPAN_DEDUP_REMOVAL,
+    "lang_percentile_rank": SQL_LANG_PERCENTILE_RANK,
 }

@@ -76,6 +76,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "image_pixel_dup_groups",
         "dsir_weights",
         "span_dedup_removal",
+        "lang_percentile_rank",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -585,3 +585,21 @@ def test_negative_doc_ids_match_oracle(ray_session, tmp_path):
     _compare(
         q.QUERIES["image_pixel_dup_groups"](d), _oracle(d, "image_pixel_dup_groups")
     )
+
+
+def test_lang_percentile_rank_ties_and_multibatch(ray_session, tmp_path):
+    """Tie storms (many docs sharing one (lang, n_chars)) must rank by
+    doc_id contiguously from the group's base offset; per-lang ranks
+    are dense 0..n_lang-1; 2000 docs force many batches."""
+    import numpy as np
+
+    ids = list(range(2000))
+    texts = ["x" * (i % 7 + 1) for i in ids]  # 7 distinct lengths
+    langs = ["en" if i % 3 else "de" for i in ids]
+    d = _docs_dir(tmp_path, ids, texts, langs=langs)
+    df = _compare(
+        q.QUERIES["lang_percentile_rank"](d), _oracle(d, "lang_percentile_rank")
+    )
+    for lang, g in df.groupby("lang"):
+        r = np.sort(g["rank"].to_numpy())
+        assert (r == np.arange(len(g))).all(), lang
