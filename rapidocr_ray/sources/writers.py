@@ -161,3 +161,42 @@ def write_results(ds, out_dir: str, min_rows_per_file: int = 100_000):
     except TypeError:  # older Ray releases
         ds.write_parquet(out_dir)
     return out_dir
+
+
+def write_bucketed_parquet(ds, out_dir: str, key: str, n_buckets: int = 16):
+    """Hash-bucketed sink: rows land in ``bucket=NN/`` directories by
+    crc32 of the key column — downstream consumers that bucket the
+    SAME key with the SAME n_buckets can join or dedup per-bucket with
+    NO shuffle (the 100-TB co-location tool: pay the partitioned write
+    once, skip the all-to-all on every later join).  Buckets use
+    hive-style ``partition_cols`` so ``read_bucketed_parquet`` prunes
+    whole directories at the read."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            v = np.asarray(col, dtype=np.uint64)
+            b = ((v * np.uint64(2654435761)) % np.uint64(n_buckets)).astype(np.int64)
+        else:
+            b = np.fromiter(
+                (zlib.crc32(s.encode()) % n_buckets for s in col.to_pylist()),
+                dtype=np.int64,
+                count=len(col),
+            )
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return out_dir
+
+
+def read_bucketed_parquet(out_dir: str, bucket: int):
+    """Read ONE bucket directory (path-pruned — no other bucket's bytes
+    leave storage)."""
+    import ray.data
+
+    return ray.data.read_parquet(f"{out_dir}/bucket={bucket}")

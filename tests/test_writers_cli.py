@@ -95,3 +95,30 @@ def test_cli_override_parsing():
     out = parse_overrides(["det_thresh=0.4", "use_cls=false", "html_join_sep=\" \""])
     assert out["det_thresh"] == 0.4
     assert out["use_cls"] is False
+
+
+def test_bucketed_sink_purity_and_pruned_read(ray_session, tmp_path):
+    """Every row lands in exactly one bucket dir by the shared hash;
+    a single-bucket read returns only (and all of) its rows; string
+    and integer keys both bucket deterministically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rapidocr_ray.sources.writers import (
+        read_bucketed_parquet,
+        write_bucketed_parquet,
+    )
+
+    ids = np.arange(500, dtype=np.int64)
+    tbl = pa.table({"doc_id": ids, "v": ids * 7})
+    out = str(tmp_path / "bucketed")
+    write_bucketed_parquet(ray.data.from_arrow(tbl), out, key="doc_id", n_buckets=8)
+    want_bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(8)
+    total = 0
+    for b in range(8):
+        got = read_bucketed_parquet(out, b).to_pandas()
+        want_ids = set(ids[want_bucket == b].tolist())
+        assert set(got.doc_id.tolist()) == want_ids, b
+        total += len(got)
+    assert total == 500
