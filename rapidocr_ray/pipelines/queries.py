@@ -4759,6 +4759,95 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_video_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
+    """Cross-container VIDEO dedup on decoded frames (the image op's
+    temporal twin): the same frame sequence as an RBMP stream, an
+    AVI/MJPG-q100 file and an animated GIF must md5 to ONE group —
+    frames are 8x8-block-constant so the q100 JPEG path round-trips
+    bit-exactly (the avi_frame_stats invariant) and GIF/RBMP are
+    lossless, so ANY decoder/demuxer divergence splits a group and
+    flips the driver hash.  Content keys off doc_id % 23, container
+    off doc_id % 3; the oracle is pure integer arithmetic.  Same scale
+    shape as image_pixel_dup_groups: fused synth+mux+demux+hash
+    map_batches, then the exact-dedup bucket shuffle."""
+    import hashlib
+    import zlib
+
+    from rapidocr_ray import glyphs
+    from rapidocr_ray.functions import avi as avi_mod
+    from rapidocr_ray.functions import codecs as codecs_mod
+    from rapidocr_ray.stages.multimodal import frame_scan_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth_hash(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        tile = np.ones((8, 8), dtype=np.uint8)
+        keys, containers = [], []
+        for d in ids:
+            d = int(d)
+            gk = d % 23
+            frames = []
+            for f in range(2 + gk % 2):
+                vals = np.array(
+                    [(gk * 31 + f * 17 + t * 7) % 256 for t in range(6)],
+                    dtype=np.uint8,
+                ).reshape(2, 3)
+                frames.append(np.kron(vals, tile))
+            container = d % 3
+            if container == 0:
+                payload = b"".join(glyphs.encode_rbmp(fr) for fr in frames)
+            elif container == 1:
+                payload = avi_mod.encode_avi_mjpeg(frames, quality=100)
+            else:
+                payload = codecs_mod.encode_gif_animation(frames)
+            n, sampled = frame_scan_sample(payload, every_k=1)
+            h = hashlib.md5(n.to_bytes(4, "big"))
+            for fr in sampled:
+                h.update(fr.shape[0].to_bytes(4, "big"))
+                h.update(fr.shape[1].to_bytes(4, "big"))
+                h.update(fr.tobytes())
+            keys.append(h.hexdigest())
+            containers.append(container)
+        bucket = [zlib.crc32(k.encode()) % n_buckets for k in keys]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pixel_key": pa.array(keys, type=pa.string()),
+                "container": pa.array(containers, type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(synth_hash, batch_format="pyarrow", batch_size=64)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("pixel_key").agg(
+            doc_id=("doc_id", "min"),
+            n_dups=("doc_id", "count"),
+            n_containers=("container", "nunique"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.doc_id.to_numpy(np.int64), type=pa.int64()),
+                "n_dups": pa.array(agg.n_dups.to_numpy(np.int64), type=pa.int64()),
+                "n_containers": pa.array(
+                    agg.n_containers.to_numpy(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+SQL_VIDEO_PIXEL_DUP_GROUPS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(COUNT(DISTINCT ((doc_id % 3) + 3) % 3) AS BIGINT) AS n_containers
+FROM documents GROUP BY ((doc_id % 23) + 23) % 23
+"""
+
+
 _RANK_BASE_CACHE: dict = {}
 
 
@@ -5143,6 +5232,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dsir_weights": q_dsir_weights,
     "span_dedup_removal": q_span_dedup_removal,
     "lang_percentile_rank": q_lang_percentile_rank,
+    "video_pixel_dup_groups": q_video_pixel_dup_groups,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5229,4 +5319,5 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "span_dedup_removal": SQL_SPAN_DEDUP_REMOVAL,
     "lang_percentile_rank": SQL_LANG_PERCENTILE_RANK,
+    "video_pixel_dup_groups": SQL_VIDEO_PIXEL_DUP_GROUPS,
 }

@@ -77,6 +77,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "dsir_weights",
         "span_dedup_removal",
         "lang_percentile_rank",
+        "video_pixel_dup_groups",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -603,3 +603,16 @@ def test_lang_percentile_rank_ties_and_multibatch(ray_session, tmp_path):
     for lang, g in df.groupby("lang"):
         r = np.sort(g["rank"].to_numpy())
         assert (r == np.arange(len(g))).all(), lang
+
+
+def test_video_pixel_dup_groups_cross_container(ray_session, tmp_path):
+    """RBMP stream, AVI/MJPG-q100 and animated GIF of the same frames
+    must share one pixel group — a demuxer or decoder divergence in any
+    container splits groups."""
+    ids = list(range(46))  # 2 full rotations of 23 content keys
+    d = _docs_dir(tmp_path, ids, ["t"] * len(ids))
+    df = _compare(
+        q.QUERIES["video_pixel_dup_groups"](d), _oracle(d, "video_pixel_dup_groups")
+    )
+    assert len(df) == 23
+    assert int(df.n_dups.sum()) == 46
