@@ -4848,6 +4848,78 @@ FROM documents GROUP BY ((doc_id % 23) + 23) % 23
 """
 
 
+def q_orders_left_outer_agg(sf_dir: str, n_buckets: int = 32):
+    """LEFT OUTER join aggregate, both sides large (every order with
+    its lineitem count + quantity sum, ZERO rows included — the join
+    family's last member next to inner / anti / semi / range / as-of).
+    Scale shape: the fact side collapses to per-task (orderkey, cnt,
+    qty) partials BEFORE the shuffle (never raw rows), then the same
+    bucket-by-key union the anti-join uses and a per-bucket vectorized
+    reindex-with-zero-fill — the outer semantics cost nothing extra."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        z = np.zeros(len(keys), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, type=pa.int64()),
+                "orderkey": pa.array(keys, type=pa.int64()),
+                "cnt": pa.array(z, type=pa.int64()),
+                "qty": pa.array(z, type=pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+            }
+        )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "orderkey": batch.column("l_orderkey"),
+                "one": np.ones(len(batch), dtype=np.int64),
+                "q": np.asarray(batch.column("l_quantity")).astype(np.int64),
+            }
+        ).group_by(["orderkey"]).aggregate([("one", "sum"), ("q", "sum")])
+        keys = np.asarray(t.column("orderkey"), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, type=pa.int64()),
+                "orderkey": pa.array(keys, type=pa.int64()),
+                "cnt": t.column("one_sum"),
+                "qty": t.column("q_sum"),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+            }
+        )
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lineitem.map_batches(line_partial, batch_format="pyarrow")
+    )
+
+    def left_merge(g: pd.DataFrame) -> pa.Table:
+        left = g[g.side == 0]
+        facts = g[g.side == 1].groupby("orderkey")[["cnt", "qty"]].sum()
+        keys = left.orderkey.to_numpy(np.int64)
+        got = facts.reindex(keys, fill_value=0)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, type=pa.int64()),
+                "n_lines": pa.array(got.cnt.to_numpy(np.int64), type=pa.int64()),
+                "sum_qty": pa.array(got.qty.to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(left_merge, batch_format="pandas")
+
+
+SQL_ORDERS_LEFT_OUTER_AGG = """
+SELECT o.o_orderkey,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+"""
+
+
 _RANK_BASE_CACHE: dict = {}
 
 
@@ -5233,6 +5305,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "span_dedup_removal": q_span_dedup_removal,
     "lang_percentile_rank": q_lang_percentile_rank,
     "video_pixel_dup_groups": q_video_pixel_dup_groups,
+    "orders_left_outer_agg": q_orders_left_outer_agg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5320,4 +5393,5 @@ ORACLE_SQL: dict[str, str] = {
     "span_dedup_removal": SQL_SPAN_DEDUP_REMOVAL,
     "lang_percentile_rank": SQL_LANG_PERCENTILE_RANK,
     "video_pixel_dup_groups": SQL_VIDEO_PIXEL_DUP_GROUPS,
+    "orders_left_outer_agg": SQL_ORDERS_LEFT_OUTER_AGG,
 }

@@ -78,6 +78,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "span_dedup_removal",
         "lang_percentile_rank",
         "video_pixel_dup_groups",
+        "orders_left_outer_agg",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):
