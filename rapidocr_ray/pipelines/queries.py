@@ -4513,6 +4513,44 @@ SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
 """
 
 
+def _pixel_key_table(
+    ids: np.ndarray, keys: list, containers: list, n_buckets: int
+) -> pa.Table:
+    """Shared (doc_id, pixel_key, container, bucket) builder for the
+    image/video pixel-dedup twins — one place for the crc32 bucket and
+    output schema so the twins cannot drift (review)."""
+    import zlib
+
+    bucket = [zlib.crc32(k.encode()) % n_buckets for k in keys]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "pixel_key": pa.array(keys, type=pa.string()),
+            "container": pa.array(containers, type=pa.int64()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+        }
+    )
+
+
+def _pixel_dup_merge(g: pd.DataFrame) -> pa.Table:
+    """Shared per-bucket reducer for the pixel-dedup twins: keep-min
+    doc, duplicate count, distinct-container count per pixel key."""
+    agg = g.groupby("pixel_key").agg(
+        doc_id=("doc_id", "min"),
+        n_dups=("doc_id", "count"),
+        n_containers=("container", "nunique"),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(agg.doc_id.to_numpy(np.int64), type=pa.int64()),
+            "n_dups": pa.array(agg.n_dups.to_numpy(np.int64), type=pa.int64()),
+            "n_containers": pa.array(
+                agg.n_containers.to_numpy(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
 def q_image_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
     """Cross-container image dedup on DECODED PIXELS — the multimodal
     dedup the payload layer needs: the same page encoded as PNG / GIF /
@@ -4527,7 +4565,6 @@ def q_image_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
     per key within a batch), then the exact-dedup bucket shuffle
     carries only (doc_id, 16-byte key, container)."""
     import hashlib
-    import zlib
 
     from rapidocr_ray.functions.codecs import (
         encode_bmp,
@@ -4572,35 +4609,12 @@ def q_image_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
                 ).hexdigest()
             )
             containers.append(container)
-        bucket = [zlib.crc32(k.encode()) % n_buckets for k in keys]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "pixel_key": pa.array(keys, type=pa.string()),
-                "container": pa.array(containers, type=pa.int64()),
-                "bucket": pa.array(bucket, type=pa.int64()),
-            }
-        )
+        return _pixel_key_table(ids, keys, containers, n_buckets)
 
     keyed = ds.map_batches(synth_hash, batch_format="pyarrow", batch_size=64)
-
-    def merge(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby("pixel_key").agg(
-            doc_id=("doc_id", "min"),
-            n_dups=("doc_id", "count"),
-            n_containers=("container", "nunique"),
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(agg.doc_id.to_numpy(np.int64), type=pa.int64()),
-                "n_dups": pa.array(agg.n_dups.to_numpy(np.int64), type=pa.int64()),
-                "n_containers": pa.array(
-                    agg.n_containers.to_numpy(np.int64), type=pa.int64()
-                ),
-            }
-        )
-
-    return keyed.groupby("bucket").map_groups(merge, batch_format="pandas")
+    return keyed.groupby("bucket").map_groups(
+        _pixel_dup_merge, batch_format="pandas"
+    )
 
 
 SQL_IMAGE_PIXEL_DUP_GROUPS = """
@@ -4771,7 +4785,6 @@ def q_video_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
     shape as image_pixel_dup_groups: fused synth+mux+demux+hash
     map_batches, then the exact-dedup bucket shuffle."""
     import hashlib
-    import zlib
 
     from rapidocr_ray import glyphs
     from rapidocr_ray.functions import avi as avi_mod
@@ -4809,35 +4822,12 @@ def q_video_pixel_dup_groups(sf_dir: str, n_buckets: int = 64):
                 h.update(fr.tobytes())
             keys.append(h.hexdigest())
             containers.append(container)
-        bucket = [zlib.crc32(k.encode()) % n_buckets for k in keys]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "pixel_key": pa.array(keys, type=pa.string()),
-                "container": pa.array(containers, type=pa.int64()),
-                "bucket": pa.array(bucket, type=pa.int64()),
-            }
-        )
+        return _pixel_key_table(ids, keys, containers, n_buckets)
 
     keyed = ds.map_batches(synth_hash, batch_format="pyarrow", batch_size=64)
-
-    def merge(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby("pixel_key").agg(
-            doc_id=("doc_id", "min"),
-            n_dups=("doc_id", "count"),
-            n_containers=("container", "nunique"),
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(agg.doc_id.to_numpy(np.int64), type=pa.int64()),
-                "n_dups": pa.array(agg.n_dups.to_numpy(np.int64), type=pa.int64()),
-                "n_containers": pa.array(
-                    agg.n_containers.to_numpy(np.int64), type=pa.int64()
-                ),
-            }
-        )
-
-    return keyed.groupby("bucket").map_groups(merge, batch_format="pandas")
+    return keyed.groupby("bucket").map_groups(
+        _pixel_dup_merge, batch_format="pandas"
+    )
 
 
 SQL_VIDEO_PIXEL_DUP_GROUPS = """
@@ -4877,7 +4867,11 @@ def q_orders_left_outer_agg(sf_dir: str, n_buckets: int = 32):
             {
                 "orderkey": batch.column("l_orderkey"),
                 "one": np.ones(len(batch), dtype=np.int64),
-                "q": np.asarray(batch.column("l_quantity")).astype(np.int64),
+                # floor() on BOTH sides: numpy astype truncates while
+                # DuckDB CAST rounds — pin one convention (review)
+                "q": np.floor(np.asarray(batch.column("l_quantity"))).astype(
+                    np.int64
+                ),
             }
         ).group_by(["orderkey"]).aggregate([("one", "sum"), ("q", "sum")])
         keys = np.asarray(t.column("orderkey"), dtype=np.int64)
@@ -4914,7 +4908,7 @@ def q_orders_left_outer_agg(sf_dir: str, n_buckets: int = 32):
 SQL_ORDERS_LEFT_OUTER_AGG = """
 SELECT o.o_orderkey,
        CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
-       CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
+       CAST(COALESCE(SUM(CAST(floor(l.l_quantity) AS BIGINT)), 0) AS BIGINT) AS sum_qty
 FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey
 """

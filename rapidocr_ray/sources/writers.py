@@ -163,23 +163,42 @@ def write_results(ds, out_dir: str, min_rows_per_file: int = 100_000):
     return out_dir
 
 
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: full-avalanche mixing so bucket
+    assignment uses ALL key bits (a bare multiplicative hash mod a
+    power-of-two n_buckets depends only on the key's LOW bits — strided
+    key populations would collapse into one bucket, review finding)."""
+    with np.errstate(over="ignore"):
+        v = (v + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        v = ((v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(
+            np.uint64
+        )
+        v = ((v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(
+            np.uint64
+        )
+        return v ^ (v >> np.uint64(31))
+
+
 def write_bucketed_parquet(ds, out_dir: str, key: str, n_buckets: int = 16):
-    """Hash-bucketed sink: rows land in ``bucket=NN/`` directories by
-    crc32 of the key column — downstream consumers that bucket the
-    SAME key with the SAME n_buckets can join or dedup per-bucket with
-    NO shuffle (the 100-TB co-location tool: pay the partitioned write
-    once, skip the all-to-all on every later join).  Buckets use
-    hive-style ``partition_cols`` so ``read_bucketed_parquet`` prunes
+    """Hash-bucketed sink: rows land in ``bucket=NN/`` directories —
+    downstream consumers that bucket the SAME key with the SAME
+    n_buckets can join or dedup per-bucket with NO shuffle (the 100-TB
+    co-location tool: pay the partitioned write once, skip the
+    all-to-all on every later join).  Bucket contract, exactly:
+    integer keys -> splitmix64(uint64(key)) % n_buckets; string keys ->
+    crc32(utf8(key)) % n_buckets.  Null keys are a loud ValueError (a
+    silent null bucket would pair wrongly in downstream joins).
+    Hive-style ``partition_cols`` so ``read_bucketed_parquet`` prunes
     whole directories at the read."""
     import zlib
 
-    import pyarrow.compute as pc
-
     def add_bucket(batch: pa.Table) -> pa.Table:
         col = batch.column(key)
+        if col.null_count:
+            raise ValueError(f"bucket key column {key!r} contains nulls")
         if pa.types.is_integer(col.type):
-            v = np.asarray(col, dtype=np.uint64)
-            b = ((v * np.uint64(2654435761)) % np.uint64(n_buckets)).astype(np.int64)
+            v = np.asarray(col).astype(np.uint64)
+            b = (_splitmix64(v) % np.uint64(n_buckets)).astype(np.int64)
         else:
             b = np.fromiter(
                 (zlib.crc32(s.encode()) % n_buckets for s in col.to_pylist()),
@@ -196,7 +215,15 @@ def write_bucketed_parquet(ds, out_dir: str, key: str, n_buckets: int = 16):
 
 def read_bucketed_parquet(out_dir: str, bucket: int):
     """Read ONE bucket directory (path-pruned — no other bucket's bytes
-    leave storage)."""
+    leave storage).  A bucket that received no rows has no directory
+    (hive layout); it reads as an empty, schema-less dataset rather
+    than FileNotFoundError so the iterate-all-buckets consumer pattern
+    survives skew and small inputs."""
+    import os
+
     import ray.data
 
-    return ray.data.read_parquet(f"{out_dir}/bucket={bucket}")
+    path = f"{out_dir}/bucket={bucket}"
+    if not os.path.isdir(path):
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.read_parquet(path)

@@ -585,6 +585,9 @@ def test_negative_doc_ids_match_oracle(ray_session, tmp_path):
     _compare(
         q.QUERIES["image_pixel_dup_groups"](d), _oracle(d, "image_pixel_dup_groups")
     )
+    _compare(
+        q.QUERIES["video_pixel_dup_groups"](d), _oracle(d, "video_pixel_dup_groups")
+    )
 
 
 def test_lang_percentile_rank_ties_and_multibatch(ray_session, tmp_path):
@@ -609,10 +612,11 @@ def test_video_pixel_dup_groups_cross_container(ray_session, tmp_path):
     """RBMP stream, AVI/MJPG-q100 and animated GIF of the same frames
     must share one pixel group — a demuxer or decoder divergence in any
     container splits groups."""
-    ids = list(range(46))  # 2 full rotations of 23 content keys
+    ids = list(range(69))  # 3 full rotations of 23 content keys
     d = _docs_dir(tmp_path, ids, ["t"] * len(ids))
     df = _compare(
         q.QUERIES["video_pixel_dup_groups"](d), _oracle(d, "video_pixel_dup_groups")
     )
     assert len(df) == 23
-    assert int(df.n_dups.sum()) == 46
+    assert int(df.n_dups.sum()) == 69
+    assert (df.n_containers == 3).all()  # every group spans all 3 containers

@@ -105,7 +105,10 @@ def test_bucketed_sink_purity_and_pruned_read(ray_session, tmp_path):
     import pyarrow as pa
     import ray.data
 
+    import pytest
+
     from rapidocr_ray.sources.writers import (
+        _splitmix64,
         read_bucketed_parquet,
         write_bucketed_parquet,
     )
@@ -114,7 +117,7 @@ def test_bucketed_sink_purity_and_pruned_read(ray_session, tmp_path):
     tbl = pa.table({"doc_id": ids, "v": ids * 7})
     out = str(tmp_path / "bucketed")
     write_bucketed_parquet(ray.data.from_arrow(tbl), out, key="doc_id", n_buckets=8)
-    want_bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(8)
+    want_bucket = _splitmix64(ids.astype(np.uint64)) % np.uint64(8)
     total = 0
     for b in range(8):
         got = read_bucketed_parquet(out, b).to_pandas()
@@ -122,3 +125,24 @@ def test_bucketed_sink_purity_and_pruned_read(ray_session, tmp_path):
         assert set(got.doc_id.tolist()) == want_ids, b
         total += len(got)
     assert total == 500
+    # strided keys (multiples of n_buckets) must SPREAD, not collapse
+    # into one bucket (the low-bits pathology the mixer exists for)
+    strided = np.arange(0, 1024, 16, dtype=np.int64)
+    assert len(set((_splitmix64(strided.astype(np.uint64)) % np.uint64(16)).tolist())) > 8
+    # empty bucket reads as zero rows, not FileNotFoundError
+    out2 = str(tmp_path / "sparse")
+    write_bucketed_parquet(
+        ray.data.from_arrow(pa.table({"doc_id": ids[:2], "v": ids[:2]})),
+        out2, key="doc_id", n_buckets=64,
+    )
+    empties = sum(
+        read_bucketed_parquet(out2, b).count() == 0 for b in range(64)
+    )
+    assert empties >= 62
+    # null keys are a loud typed error, never a silent bucket
+    with pytest.raises(Exception) as ei:
+        write_bucketed_parquet(
+            ray.data.from_arrow(pa.table({"k": ["a", None]})),
+            str(tmp_path / "nulls"), key="k",
+        )
+    assert "contains nulls" in str(ei.value)
