@@ -620,3 +620,39 @@ def test_video_pixel_dup_groups_cross_container(ray_session, tmp_path):
     assert len(df) == 23
     assert int(df.n_dups.sum()) == 69
     assert (df.n_containers == 3).all()  # every group spans all 3 containers
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "bm25_topk",
+        "ccnet_buckets",
+        "dsir_weights",
+        "bpe_merge_pairs",
+        "span_dedup_removal",
+        "epoch_shuffle",
+        "lang_percentile_rank",
+        "blocklist_filter",
+        "bpe_token_stats",
+    ],
+)
+def test_new_text_ops_randomized_cross_check(ray_session, tmp_path, name):
+    """Seeded random corpus (vocab skew, repeated phrases, empty-ish
+    and unicode docs, random langs): every round-5 text operator must
+    match its DuckDB oracle — the committed form of the review pass's
+    adversarial fuzz."""
+    import numpy as np
+
+    r = np.random.default_rng(77_2026)
+    vocab = ["vector", "stream", "window", "table", "slow", "able", "x",
+             "naïve", "北京", "agg", "row", "scan", "the", "a"]
+    texts = []
+    for i in range(120):
+        n = int(r.integers(1, 40))
+        words = [vocab[int(r.integers(0, len(vocab)))] for _ in range(n)]
+        if r.random() < 0.3:  # plant repeated phrases for span/pair dups
+            words += ["vector", "stream", "window", "table", "slow"]
+        texts.append(" ".join(words))
+    langs = [["en", "de", "zh"][int(r.integers(0, 3))] for _ in range(120)]
+    d = _docs_dir(tmp_path, list(range(120)), texts, langs=langs)
+    _compare(q.QUERIES[name](d), _oracle(d, name))
