@@ -5209,6 +5209,287 @@ FROM documents
 """
 
 
+def q_temperature_resample(sf_dir: str, alpha_is_half: bool = True):
+    """Multilingual temperature resampling (the XLM-R/mT5 alpha-smoothed
+    rebalance): per-lang sampling mass q_l proportional to n_l^0.5, and a
+    deterministic per-doc keep decision at rate r_l = q_l * N / n_l (capped
+    at 1).  alpha is fixed at 0.5 because sqrt is IEEE-754 correctly
+    rounded — the ONE temperature whose weights are bit-identical across
+    numpy and DuckDB without a fuzz pin (libm pow is not).
+
+    Determinism pins (all integer once past sqrt): w_micro = floor(sqrt(n)
+    *1e6); p_micro = w_micro*1e6 // sum(w_micro) (int64 sums — order-free);
+    rate_micro = min(1e6, p_micro*N // n_l); keep iff the multiplicative
+    doc_id hash % 1e6 < rate_micro (the stratified_sample hash — matches
+    SQL for doc_id < 2^31; 2^32 % 1e6 != 0 gives < 0.03% rate skew, fine
+    for a sampler, irrelevant to determinism).
+
+    Scale shape: pass 1 is per-batch lang partials merged by a bounded
+    categorical groupby (lang count rows, never the corpus) collected
+    driver-side only at n_langs size; pass 2 re-streams the 2-column
+    projection with the tiny rate dict captured by value — no shuffle at
+    all on the wide pass."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"lang": batch.column("lang")})
+            .group_by(["lang"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["lang", "n"])
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("lang", sort=False)["n"].sum()
+        return pd.DataFrame({"lang": g.index, "n": g.to_numpy().astype(np.int64)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # n_langs rows — bounded categorical, not the corpus
+    )
+    n_by_lang = dict(zip(counts.lang, counts.n.astype(np.int64)))
+    total_n = int(sum(n_by_lang.values()))
+    # Python ints: exact and overflow-free at any corpus size
+    w_micro = {L: int(np.floor(np.sqrt(float(n)) * 1e6)) for L, n in n_by_lang.items()}
+    tot_w = sum(w_micro.values()) or 1
+    rate_micro = {
+        L: min(
+            1_000_000,
+            (w_micro[L] * 1_000_000 // tot_w) * total_n // int(n_by_lang[L]),
+        )
+        for L in n_by_lang
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        hv = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(1_000_000)
+        rates = (
+            pd.Series(np.asarray(batch.column("lang"), dtype=object))
+            .map(rate_micro)
+            .to_numpy(dtype=np.int64)
+        )
+        mask = hv.astype(np.int64) < rates
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(batch.column("doc_id"))[mask], type=pa.int64()
+                ),
+                "lang": pa.array(
+                    np.asarray(batch.column("lang"), dtype=object)[mask],
+                    type=pa.string(),
+                ),
+                "rate_micro": pa.array(rates[mask], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_TEMPERATURE_RESAMPLE = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+      FROM c),
+t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w,
+             CAST(SUM(n) AS BIGINT) AS total_n FROM w),
+r AS (SELECT lang,
+             LEAST(1000000,
+                   ((w_micro * 1000000 // tot_w) * total_n) // n) AS rate_micro
+      FROM w, t)
+SELECT d.doc_id, d.lang, CAST(r.rate_micro AS BIGINT) AS rate_micro
+FROM documents d JOIN r USING (lang)
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < r.rate_micro
+"""
+
+
+def q_zipf_slope(sf_dir: str, k: int = 100, n_buckets: int = 64):
+    """Per-language Zipf exponent: OLS slope of log10(count) on
+    log10(rank) over the top-k vocabulary (count desc, token asc rank
+    order) — the corpus-health statistic a crawl curation run charts per
+    snapshot (natural text ~ -1; boilerplate/spam floods flatten it).
+
+    Determinism pins: logs quantized to MILLI ints (floor(log10(v)*1e3)
+    — log10 of integer-valued doubles is the already-fuzz-pinned kernel),
+    then slope_micro = -((Sx*Sy - kk*Sxy) * 1e6 // (kk*Sxx - Sx*Sx)) in
+    exact integer arithmetic: milli scale keeps kk*Sxy under ~1e11 and the
+    *1e6 product under int64 even at a 1e12-token corpus (Python ints
+    driver-side are unbounded anyway; the SQL side runs in HUGEINT).  The
+    rank order makes y non-increasing in x, so the numerator is always
+    >= 0 and // floor == truncate on both engines; a degenerate lang
+    (all-equal x) pins slope to 0.
+
+    Scale shape: the vocabulary explosion stays inside scan tasks
+    (per-batch (lang,token) partials), merges through ONE token-bucketed
+    shuffle with per-bucket per-lang top-k pruning (the top_terms shape —
+    the second shuffle carries <= n_buckets * n_langs * k rows), and only
+    n_langs * k rows reach the driver for the exact-int OLS."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        langs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
+        flat = pc.list_flatten(toks)
+        t = pa.table(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "token": flat,
+                "n": np.ones(len(flat), dtype=np.int64),
+            }
+        )
+        agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        buckets = np.fromiter(
+            (
+                zlib.crc32(s.encode()) % n_buckets
+                for s in agg.column("token").to_pylist()
+            ),
+            dtype=np.int64,
+            count=agg.num_rows,
+        )
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "token": agg.column("token"),
+                "n": agg.column("n_sum"),
+                "bucket": buckets,
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_prune(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["lang", "token"], as_index=False)["n"].sum()
+        # token -> one bucket, so per-bucket counts are global-exact and
+        # the global top-k per lang is a subset of per-bucket top-k
+        out = out.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        )
+        return out.groupby("lang", sort=False).head(k)
+
+    cand = (
+        part.groupby("bucket")
+        .map_groups(merge_prune, batch_format="pandas")
+        .to_pandas()  # <= n_buckets * n_langs * k rows
+    )
+    rows = []
+    if len(cand):
+        cand = cand.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        )
+        for lang, g in cand.groupby("lang", sort=True):
+            g = g.head(k)
+            kk = len(g)
+            ranks = np.arange(1, kk + 1, dtype=np.float64)
+            x = [int(v) for v in np.floor(np.log10(ranks) * 1e3).astype(np.int64)]
+            y = [
+                int(v)
+                for v in np.floor(
+                    np.log10(g.n.to_numpy().astype(np.float64)) * 1e3
+                ).astype(np.int64)
+            ]
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            den = kk * sxx - sx * sx
+            num = sx * sy - kk * sxy  # >= 0: y non-increasing in x
+            slope_micro = -((num * 1_000_000) // den) if den > 0 else 0
+            rows.append((lang, kk, slope_micro))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_terms": pa.array([r[1] for r in rows], type=pa.int64()),
+            "zipf_slope_micro": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+SQL_ZIPF_SLOPE = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+r AS (SELECT lang, t, c,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS rn
+      FROM cnt),
+q AS (SELECT lang,
+             CAST(floor(log10(CAST(rn AS DOUBLE)) * 1000) AS HUGEINT) AS x,
+             CAST(floor(log10(CAST(c AS DOUBLE)) * 1000) AS HUGEINT) AS y
+      FROM r WHERE rn <= 100),
+s AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS kk,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM q GROUP BY lang)
+SELECT lang, CAST(kk AS BIGINT) AS n_terms,
+       CAST(CASE WHEN kk * sxx - sx * sx > 0
+                 THEN -(((sx * sy - kk * sxy) * 1000000) // (kk * sxx - sx * sx))
+                 ELSE 0 END AS BIGINT) AS zipf_slope_micro
+FROM s
+"""
+
+
+def q_soft_dedup_weights(sf_dir: str, n_buckets: int = 64):
+    """SoftDeDup: instead of dropping exact duplicates, down-weight each
+    document by its duplicate-cluster size (weight_micro = 1e6 //
+    cluster_size) so the training sampler sees each CONTENT once in
+    expectation — the soft alternative every modern data mix uses when
+    hard dedup is too lossy.
+
+    Scale shape: content never shuffles — each scan task md5s its rows
+    and ships (doc_id, key) only; ONE bounded bucket shuffle (a key lives
+    in one bucket) computes exact cluster sizes and emits every member
+    with its weight.  md5 is the SQL-shared key (DuckDB md5(text)), so
+    the oracle is a pure window COUNT."""
+    import hashlib
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        # per-doc md5 of the raw text (oracle-pinned: DuckDB md5());
+        # per-doc string hashing is inherently per-row work
+        keys = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in batch.column("text").to_pylist()
+        ]
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in keys),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "key": pa.array(keys, type=pa.string()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+
+    def weights(group: pd.DataFrame) -> pd.DataFrame:
+        sizes = group.groupby("key")["doc_id"].transform("size").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": group.doc_id.to_numpy().astype(np.int64),
+                "n_dups": sizes.astype(np.int64),
+                "weight_micro": (1_000_000 // sizes).astype(np.int64),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(weights, batch_format="pandas")
+
+
+SQL_SOFT_DEDUP_WEIGHTS = """
+SELECT doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_dups,
+       CAST(1000000 // COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+           AS weight_micro
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5300,6 +5581,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_percentile_rank": q_lang_percentile_rank,
     "video_pixel_dup_groups": q_video_pixel_dup_groups,
     "orders_left_outer_agg": q_orders_left_outer_agg,
+    "temperature_resample": q_temperature_resample,
+    "zipf_slope": q_zipf_slope,
+    "soft_dedup_weights": q_soft_dedup_weights,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5388,4 +5672,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_percentile_rank": SQL_LANG_PERCENTILE_RANK,
     "video_pixel_dup_groups": SQL_VIDEO_PIXEL_DUP_GROUPS,
     "orders_left_outer_agg": SQL_ORDERS_LEFT_OUTER_AGG,
+    "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
 }

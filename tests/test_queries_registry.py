@@ -79,6 +79,9 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "lang_percentile_rank",
         "video_pixel_dup_groups",
         "orders_left_outer_agg",
+        "temperature_resample",
+        "zipf_slope",
+        "soft_dedup_weights",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):
