@@ -5490,6 +5490,459 @@ FROM documents
 """
 
 
+_NB_CACHE: dict = {}
+
+
+def q_nb_classify(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: int = 64):
+    """Distributed multinomial Naive Bayes, trained AND applied in one
+    pipeline (the quality-classifier shape: CCNet/GPT-3 train a linear
+    model on corpus counts, then score every doc with it).  Label =
+    lang; features = whitespace tokens; Laplace +1 smoothing.
+
+    Training is pure aggregation — per-(lang, token) counts, per-lang
+    token totals, the global vocabulary size, per-lang doc priors — so
+    the 'model fit' is exactly SQL-expressible and the whole op is
+    hash-checkable, unlike gradient training.  Scoring: score_l(doc) =
+    log10(d_l/D) + sum_t log10((c_lt + 1)/(n_l + V)); prediction =
+    argmax_l with lang-ASC tie-break.
+
+    Determinism pins: every log is quantized floor(log10(q)*1e6) int64
+    (the fuzz-pinned kernel — q is an IEEE-exact int/int quotient on
+    both engines), per-doc sums are int64, and the argmax compares
+    integers with an explicit lexicographic tie-break.  Because the
+    grid is dense over the CORPUS vocabulary, a scored token is never
+    out-of-vocabulary (it appeared somewhere), so there is no unseen
+    branch to diverge on.
+
+    Scale shape: token explosion stays in scan tasks; counts merge
+    through ONE token-bucketed shuffle (lang is a bounded categorical,
+    so the per-token lang vector is a fixed-width row).  Under
+    ``broadcast_limit`` vocab rows, the dense (V x L) int64 matrix
+    broadcasts once (ray.put + worker LRU) and scoring is a single
+    streaming map_batches (gather + segment-sum + argmax — no shuffle).
+    Past the limit, the matrix never materializes on the driver: lp
+    vectors attach to exploded tokens in the same token buckets, per-doc
+    vector partials merge in ONE doc-bucketed shuffle, and the argmax
+    runs vectorized per bucket (equality-pinned by test)."""
+    import zlib
+
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        langs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
+        flat = pc.list_flatten(toks)
+        t = pa.table(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "token": flat,
+                "n": np.ones(len(flat), dtype=np.int64),
+            }
+        )
+        agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        # one doc-count row per (lang) rides along with token counts so a
+        # single pass feeds counts, priors and totals (token "" cannot
+        # collide: doc rows are marked by n = -count)
+        dagg = (
+            pa.table({"lang": batch.column("lang")})
+            .group_by(["lang"])
+            .aggregate([("lang", "count")])
+        )
+        buckets = np.fromiter(
+            (
+                zlib.crc32(s.encode()) % n_buckets
+                for s in agg.column("token").to_pylist()
+            ),
+            dtype=np.int64,
+            count=agg.num_rows,
+        )
+        tok_part = pa.table(
+            {
+                "lang": agg.column("lang"),
+                "token": agg.column("token"),
+                "n": agg.column("n_sum"),
+                "bucket": buckets,
+            }
+        )
+        doc_part = pa.table(
+            {
+                "lang": dagg.column("lang"),
+                "token": pa.array([None] * dagg.num_rows, type=pa.string()),
+                "n": pc.multiply(dagg.column("lang_count"), -1),
+                "bucket": pa.array([0] * dagg.num_rows, type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([tok_part, doc_part])
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["lang", "token"], dropna=False, as_index=False)["n"].sum()
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    # model-build inputs: per-lang doc counts (negative marker rows),
+    # per-lang token totals and vocabulary size are all LANG- or
+    # VOCAB-bounded aggregates, never corpus-sized
+    cdf = counts.to_pandas() if counts.count() <= broadcast_limit else None
+
+    if cdf is None:
+        raise NotImplementedError(
+            "nb_classify: vocabulary x lang grid exceeds broadcast_limit; "
+            "use the bucketed fallback via q_nb_classify_bucketed"
+        )
+    return _nb_finish_broadcast(ds, cdf, ray)
+
+
+def _nb_model(cdf: pd.DataFrame):
+    """(lang-sorted priors, token->row index, dense (V x L) lp matrix)
+    from the merged (lang, token, n) frame (doc counts as n<0 rows)."""
+    doc_rows = cdf[cdf.n < 0]
+    tok_rows = cdf[cdf.n > 0]
+    d_by_lang = doc_rows.groupby("lang")["n"].sum().mul(-1)
+    langs = sorted(d_by_lang.index)  # argmax tie-break = lang ASC
+    d_total = int(d_by_lang.sum())
+    n_by_lang = tok_rows.groupby("lang")["n"].sum().reindex(langs).fillna(0)
+    vocab = np.sort(tok_rows.token.unique())
+    v = len(vocab)
+    tok_index = pd.Series(np.arange(v, dtype=np.int64), index=vocab)
+    # dense grid: smoothing default, overwrite observed cells
+    lp = np.empty((v, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        denom = float(int(n_by_lang[lang]) + v)
+        lp[:, j] = np.floor(np.log10(1.0 / denom) * 1e6).astype(np.int64)
+        sub = tok_rows[tok_rows.lang == lang]
+        rows = tok_index[sub.token].to_numpy()
+        lp[rows, j] = np.floor(
+            np.log10((sub.n.to_numpy(np.float64) + 1.0) / denom) * 1e6
+        ).astype(np.int64)
+    prior = np.array(
+        [
+            int(np.floor(np.log10(float(d_by_lang[lang]) / d_total) * 1e6))
+            for lang in langs
+        ],
+        dtype=np.int64,
+    )
+    return langs, prior, tok_index, lp
+
+
+def _nb_finish_broadcast(ds, cdf: pd.DataFrame, ray):
+    langs, prior, tok_index, lp = _nb_model(cdf)
+    ref = ray.put((langs, prior, tok_index, lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        mlangs, mprior, mindex, mlp = lru_cache_get(
+            _NB_CACHE, ref.hex(), lambda: ray.get(ref)
+        )
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_pandas()
+        rows = flat.map(mindex).to_numpy(dtype=np.int64)
+        per_tok = mlp[rows]  # (n_instances, L) int64 gather
+        cs = np.concatenate(
+            [np.zeros((1, per_tok.shape[1]), dtype=np.int64), np.cumsum(per_tok, axis=0)]
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        scores = cs[ends] - cs[starts] + mprior[None, :]
+        best = np.argmax(scores, axis=1)  # first max = lang-ASC tie-break
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "nb_pred": pa.array(
+                    np.asarray(mlangs, dtype=object)[best], type=pa.string()
+                ),
+                "nb_score_micro": pa.array(
+                    scores[np.arange(len(best)), best], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64):
+    """Large-vocab NB fallback: the (V x L) grid never reaches the
+    driver.  lp vectors are computed per token INSIDE the count-merge
+    buckets (each needs only lang totals + V — tiny scalars broadcast by
+    value), attach to exploded doc tokens in the same buckets, and
+    per-doc partial score vectors merge through one doc-bucketed
+    shuffle.  Must equal q_nb_classify bit-for-bit (pinned by test)."""
+    import zlib
+
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    # pass 1: lang-bounded scalars (doc counts, token totals) + vocab size
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        lt = pd.DataFrame(
+            {"lang": np.asarray(batch.column("lang"), dtype=object), "nt": lens}
+        ).groupby("lang")
+        return pa.table(
+            {
+                "lang": pa.array(lt.size().index, type=pa.string()),
+                "d": pa.array(lt.size().to_numpy(np.int64), type=pa.int64()),
+                "nt": pa.array(lt["nt"].sum().to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    lang_df = (
+        ds.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.groupby("lang", as_index=False)[["d", "nt"]].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    langs = sorted(lang_df.lang)
+    lang_df = lang_df.set_index("lang").reindex(langs)
+    d_total = int(lang_df.d.sum())
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        lgs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
+        flat = pc.list_flatten(toks)
+        t = pa.table(
+            {
+                "lang": pa.array(lgs, type=pa.string()),
+                "token": flat,
+                "n": np.ones(len(flat), dtype=np.int64),
+            }
+        )
+        agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        buckets = np.fromiter(
+            (
+                zlib.crc32(s.encode()) % n_buckets
+                for s in agg.column("token").to_pylist()
+            ),
+            dtype=np.int64,
+            count=agg.num_rows,
+        )
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "token": agg.column("token"),
+                "n": agg.column("n_sum"),
+                "bucket": buckets,
+            }
+        )
+
+    tok_counts = ds.map_batches(tok_partial, batch_format="pyarrow")
+    # v = global distinct tokens: distinct per bucket sums exactly
+    v = int(
+        tok_counts.groupby("bucket")
+        .map_groups(
+            lambda g: pd.DataFrame({"nv": [g.token.nunique()]}),
+            batch_format="pandas",
+        )
+        .sum("nv")
+    )
+    n_by_lang = {L: int(lang_df.nt[L]) for L in langs}
+    prior = np.array(
+        [
+            int(np.floor(np.log10(float(lang_df.d[L]) / d_total) * 1e6))
+            for L in langs
+        ],
+        dtype=np.int64,
+    )
+    unseen = np.array(
+        [
+            int(np.floor(np.log10(1.0 / float(n_by_lang[L] + v)) * 1e6))
+            for L in langs
+        ],
+        dtype=np.int64,
+    )
+    scal_ref = ray.put((langs, prior, unseen, n_by_lang, v))
+
+    lp_cols = [f"lp{j}" for j in range(len(langs))]
+
+    def grid_rows(group: pd.DataFrame) -> pd.DataFrame:
+        """merged counts -> per-token dense lp vector (within bucket)."""
+        mlangs, _, munseen, mn, mv = lru_cache_get(
+            _NB_CACHE, "s" + scal_ref.hex(), lambda: ray.get(scal_ref)
+        )
+        g = group.groupby(["lang", "token"], as_index=False)["n"].sum()
+        toks = np.sort(g.token.unique())
+        idx = pd.Series(np.arange(len(toks)), index=toks)
+        lp = np.tile(munseen, (len(toks), 1))
+        for j, lang in enumerate(mlangs):
+            sub = g[g.lang == lang]
+            if len(sub):
+                lp[idx[sub.token].to_numpy(), j] = np.floor(
+                    np.log10(
+                        (sub.n.to_numpy(np.float64) + 1.0) / float(mn[lang] + mv)
+                    )
+                    * 1e6
+                ).astype(np.int64)
+        out = pd.DataFrame({"token": toks, "doc_id": np.int64(-1)})
+        for j, c in enumerate(lp_cols):
+            out[c] = lp[:, j]
+        out["bucket"] = group.bucket.iloc[0]
+        return out
+
+    grid = (
+        tok_counts.groupby("bucket")
+        .map_groups(grid_rows, batch_format="pandas")
+        # identity arrow pass: union requires both sides on arrow blocks
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(np.asarray(batch.column("doc_id")), lens)
+        out = {
+            "token": flat,
+            "doc_id": pa.array(ids, type=pa.int64()),
+        }
+        zero = np.zeros(len(ids), dtype=np.int64)
+        for c in lp_cols:
+            out[c] = pa.array(zero, type=pa.int64())
+        out["bucket"] = pa.array(
+            [zlib.crc32(s.encode()) % n_buckets for s in flat.to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.table(out)
+
+    both = grid.union(ds.map_batches(explode, batch_format="pyarrow"))
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        vv = group[group.doc_id < 0]
+        inst = group[group.doc_id >= 0]
+        if not len(inst):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    **{c: pd.Series([], dtype=np.int64) for c in lp_cols},
+                    "n_toks": pd.Series([], dtype=np.int64),
+                    "dbucket": pd.Series([], dtype=np.int64),
+                }
+            )
+        lk = vv.set_index("token")[lp_cols]
+        m = lk.loc[inst.token.to_numpy()]
+        m.index = inst.doc_id.to_numpy()
+        g = m.groupby(level=0)
+        out = g.sum()
+        out["n_toks"] = g.size().to_numpy(np.int64)
+        out = out.reset_index(names="doc_id")
+        out["dbucket"] = (
+            out.doc_id.to_numpy(np.uint64) * np.uint64(2654435761)
+            % np.uint64(2**32)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    partials = both.groupby("bucket").map_groups(attach, batch_format="pandas")
+
+    # lang of each doc rides in a narrow side table joined in the final
+    # doc-bucketed merge (same buckets)
+    def doc_lang(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "dbucket": pa.array(
+                    (ids * np.uint64(2654435761) % np.uint64(2**32) % np.uint64(n_buckets)).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    side = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        doc_lang, batch_format="pyarrow"
+    )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        mlangs, mprior, _, _, _ = lru_cache_get(
+            _NB_CACHE, "s" + scal_ref.hex(), lambda: ray.get(scal_ref)
+        )
+        lang_rows = group[group.lang.notna()][["doc_id", "lang"]]
+        score_rows = group[group.lang.isna()]
+        g = score_rows.groupby("doc_id")[lp_cols].sum()
+        scores = g.to_numpy(np.int64) + mprior[None, :]
+        best = np.argmax(scores, axis=1)
+        out = pd.DataFrame(
+            {
+                "doc_id": g.index.to_numpy(np.int64),
+                "nb_pred": np.asarray(mlangs, dtype=object)[best],
+                "nb_score_micro": scores[np.arange(len(best)), best],
+            }
+        )
+        return out.merge(lang_rows, on="doc_id")[
+            ["doc_id", "lang", "nb_pred", "nb_score_micro"]
+        ]
+
+    def _tag(batch: pa.Table, with_lang: bool) -> pa.Table:
+        n = batch.num_rows
+        cols = {"doc_id": batch.column("doc_id"), "dbucket": batch.column("dbucket")}
+        cols["lang"] = (
+            batch.column("lang")
+            if with_lang
+            else pa.array([None] * n, type=pa.string())
+        )
+        for c in lp_cols:
+            cols[c] = (
+                batch.column(c)
+                if not with_lang
+                else pa.array(np.zeros(n, dtype=np.int64), type=pa.int64())
+            )
+        return pa.table(cols)
+
+    merged = partials.map_batches(
+        lambda b: _tag(b, False), batch_format="pyarrow"
+    ).union(side.map_batches(lambda b: _tag(b, True), batch_format="pyarrow"))
+    return merged.groupby("dbucket").map_groups(finish, batch_format="pandas")
+
+
+SQL_NB_CLASSIFY = """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+vocab AS (SELECT DISTINCT t FROM tok),
+vtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_docs FROM documents GROUP BY lang),
+dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM documents),
+ln AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_toks FROM tok GROUP BY lang),
+ct AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, t),
+grid AS (SELECT ln.lang, v.t,
+                CAST(floor(log10((COALESCE(ct.c, 0) + 1)
+                                 / CAST(ln.n_toks + vtot.v AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS lp
+         FROM ln CROSS JOIN vocab v
+         LEFT JOIN ct ON ct.lang = ln.lang AND ct.t = v.t, vtot),
+prior AS (SELECT lang,
+                 CAST(floor(log10(CAST(d_docs AS DOUBLE) / dd) * 1000000)
+                      AS BIGINT) AS lp0
+          FROM lc, dtot),
+scores AS (SELECT tok.doc_id, g.lang, SUM(g.lp) AS s
+           FROM tok JOIN grid g ON g.t = tok.t
+           GROUP BY tok.doc_id, g.lang),
+tot AS (SELECT s.doc_id, s.lang,
+               CAST(s.s + p.lp0 AS BIGINT) AS score
+        FROM scores s JOIN prior p USING (lang)),
+best AS (SELECT doc_id, lang AS nb_pred, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang ASC) AS rn
+         FROM tot)
+SELECT d.doc_id, d.lang, b.nb_pred, CAST(b.score AS BIGINT) AS nb_score_micro
+FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5584,6 +6037,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "temperature_resample": q_temperature_resample,
     "zipf_slope": q_zipf_slope,
     "soft_dedup_weights": q_soft_dedup_weights,
+    "nb_classify": q_nb_classify,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5675,4 +6129,5 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
+    "nb_classify": SQL_NB_CLASSIFY,
 }

@@ -82,6 +82,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "temperature_resample",
         "zipf_slope",
         "soft_dedup_weights",
+        "nb_classify",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -1,0 +1,134 @@
+"""Distributed Naive Bayes train+classify: separability, tie-breaks,
+oracle parity, and broadcast==bucketed equality."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rapidocr_ray.pipelines import queries as q
+
+
+def _docs_dir(tmp_path, ids, texts, langs, name="docs"):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": texts,
+            "lang": langs,
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _oracle(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(q.ORACLE_SQL["nb_classify"]).df()
+
+
+def _compare(got, want_df):
+    df = got.to_pandas()
+    cols = sorted(df.columns)
+    assert cols == sorted(want_df.columns), (cols, sorted(want_df.columns))
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = want_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return df
+
+
+def test_nb_separable_corpus_perfect_train_accuracy(ray_session, tmp_path):
+    """Disjoint vocabularies per lang: the classifier must recover every
+    label on the training set (and match the oracle)."""
+    texts, langs, ids = [], [], []
+    for i in range(20):
+        texts.append(f"aaa bbb ccc w{i % 4}")
+        langs.append("en")
+        ids.append(i)
+    for i in range(20, 35):
+        texts.append(f"xxx yyy zzz v{i % 3}")
+        langs.append("fr")
+        ids.append(i)
+    d = _docs_dir(tmp_path, ids, texts, langs)
+    df = _compare(q.QUERIES["nb_classify"](d), _oracle(d))
+    assert (df.lang == df.nb_pred).all()
+
+
+def test_nb_tie_breaks_lang_asc(ray_session, tmp_path):
+    """Perfectly symmetric two-lang corpus: every doc scores identically
+    under both labels, so every prediction must fall to the ASC lang —
+    on BOTH engines (the tie-break is part of the contract)."""
+    d = _docs_dir(
+        tmp_path,
+        [0, 1],
+        ["tok", "tok"],
+        ["bb", "aa"],
+    )
+    df = _compare(q.QUERIES["nb_classify"](d), _oracle(d))
+    assert (df.nb_pred == "aa").all()
+
+
+def test_nb_empty_text_gets_prior_only(ray_session, tmp_path):
+    """Empty text splits to the '' token on both engines; a lang-skewed
+    prior must decide the prediction for it."""
+    texts = ["", "common common", "common common", "common common"]
+    langs = ["en", "fr", "fr", "fr"]
+    d = _docs_dir(tmp_path, [0, 1, 2, 3], texts, langs)
+    df = _compare(q.QUERIES["nb_classify"](d), _oracle(d))
+    assert len(df) == 4
+
+
+def test_nb_bucketed_equals_broadcast(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    vocab = {
+        "en": [f"e{i}" for i in range(30)],
+        "fr": [f"f{i}" for i in range(30)],
+        "es": [f"s{i}" for i in range(30)],
+    }
+    shared = [f"c{i}" for i in range(10)]
+    texts, langs, ids = [], [], []
+    for i in range(120):
+        lang = ["en", "fr", "es"][i % 3]
+        own = rng.choice(vocab[lang], size=rng.integers(2, 8))
+        mix = rng.choice(shared, size=rng.integers(0, 4))
+        texts.append(" ".join(list(own) + list(mix)))
+        langs.append(lang)
+        ids.append(i)
+    d = _docs_dir(tmp_path, ids, texts, langs)
+    a = (
+        q.QUERIES["nb_classify"](d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q.q_nb_classify_bucketed(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    # and both match the oracle
+    _compare(q.QUERIES["nb_classify"](d), _oracle(d))
+
+
+def test_nb_randomized_cross_check(ray_session, tmp_path):
+    """Seeded random corpus with overlapping skewed vocabularies and a
+    singleton lang — bit-exact oracle parity."""
+    rng = np.random.default_rng(20260820)
+    vocab = np.array([f"w{i}" for i in range(60)])
+    pv = (1.0 / np.arange(1, 61)) / np.sum(1.0 / np.arange(1, 61))
+    n = 200
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25), p=pv)) for _ in range(n)
+    ]
+    langs = list(rng.choice(["en", "fr", "es", "de"], size=n, p=[0.5, 0.3, 0.15, 0.05]))
+    langs[0] = "zz"
+    d = _docs_dir(tmp_path, list(range(n)), texts, langs)
+    _compare(q.QUERIES["nb_classify"](d), _oracle(d))
