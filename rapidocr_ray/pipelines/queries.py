@@ -5910,6 +5910,135 @@ def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64):
     return merged.groupby("dbucket").map_groups(finish, batch_format="pandas")
 
 
+def q_gopher_quality_filter(sf_dir: str):
+    """Gopher-style rule filter (the published word-level rule family):
+    per-doc word count band, mean-word-length band, fraction of words
+    containing an alphabetic character, stopword hits, and the
+    duplicate-2-gram character fraction (position i counts as duplicated
+    iff its pair w_i+' '+w_{i+1} occurs >= 2 times in the doc; the
+    fraction is sum(len(w_i)) over duplicated positions / over all pair
+    positions).  Ratios quantized to MILLI ints (floor(1000*a/b) — pure
+    integer on both engines) so the keep decision is bit-pinned.
+
+    Scale shape: entirely within-doc — one streaming map_batches, no
+    shuffle; the pair explosion lives and dies inside the scan task.
+    Line-based Gopher rules (bullet/ellipsis ratios) are meaningless on
+    the single-line synthetic corpus and are intentionally out of scope
+    here; quality_scores carries the float ratio variants."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = (
+            pc.match_substring_regex(flat, "[A-Za-z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        stop = (
+            pc.is_in(flat, value_set=pa.array(list(STOPWORDS)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+
+        def seg_sum(v: np.ndarray) -> np.ndarray:
+            cs = np.concatenate([[0], np.cumsum(v)])
+            return cs[ends] - cs[starts]
+
+        n_words = lens
+        sum_len = seg_sum(tlen)
+        n_alpha = seg_sum(alpha)
+        n_stop = seg_sum(stop)
+        # duplicate-2-gram char fraction: pairs never cross doc bounds
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        w = np.asarray(flat, dtype=object)
+        pair_mask = np.ones(len(w), dtype=bool)
+        pair_mask[ends - 1] = False  # last token of each doc starts no pair
+        pi = np.flatnonzero(pair_mask)
+        dup2 = np.zeros(len(lens), dtype=np.int64)
+        tot2 = np.zeros(len(lens), dtype=np.int64)
+        if len(pi):
+            pdf = pd.DataFrame(
+                {
+                    "d": doc_idx[pi],
+                    "p": w[pi] + " " + w[pi + 1],
+                    "l1": tlen[pi],
+                }
+            )
+            dupd = pdf.groupby(["d", "p"])["p"].transform("size").to_numpy() >= 2
+            gtot = pdf.groupby("d")["l1"].sum()
+            gdup = pdf[dupd].groupby("d")["l1"].sum()
+            tot2[gtot.index.to_numpy()] = gtot.to_numpy()
+            dup2[gdup.index.to_numpy()] = gdup.to_numpy()
+        mwl_milli = 1000 * sum_len // n_words
+        alpha_milli = 1000 * n_alpha // n_words
+        dup2_milli = np.where(tot2 > 0, 1000 * dup2 // np.maximum(tot2, 1), 0)
+        keep = (
+            (n_words >= 5)
+            & (n_words <= 10000)
+            & (mwl_milli >= 2000)
+            & (mwl_milli <= 12000)
+            & (alpha_milli >= 700)
+            & (n_stop >= 1)
+            & (dup2_milli <= 600)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "mean_word_len_milli": pa.array(mwl_milli, type=pa.int64()),
+                "frac_alpha_milli": pa.array(alpha_milli, type=pa.int64()),
+                "stopword_hits": pa.array(n_stop, type=pa.int64()),
+                "dup2gram_milli": pa.array(dup2_milli, type=pa.int64()),
+                "keep": pa.array(keep, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+_SW_IN = ",".join(f"'{w}'" for w in STOPWORDS)
+SQL_GOPHER_QUALITY_FILTER = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
+                CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+                    AS sum_len,
+                CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                     AS BIGINT) AS n_alpha,
+                CAST(len(list_filter(ws, x -> x IN ({_SW_IN}))) AS BIGINT)
+                    AS n_stop
+         FROM w),
+pairs AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS p,
+                 CAST(length(ws[i]) AS BIGINT) AS l1
+          FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 2),
+pc_ AS (SELECT doc_id, p, l1,
+               COUNT(*) OVER (PARTITION BY doc_id, p) AS cnt
+        FROM pairs),
+p2 AS (SELECT doc_id, CAST(SUM(l1) AS BIGINT) AS tot2,
+              CAST(COALESCE(SUM(l1) FILTER (WHERE cnt >= 2), 0) AS BIGINT)
+                  AS dup2
+       FROM pc_ GROUP BY doc_id),
+m AS (SELECT b.doc_id, b.nw, 1000 * b.sum_len // b.nw AS mwl,
+             1000 * b.n_alpha // b.nw AS fam, b.n_stop,
+             CASE WHEN COALESCE(p2.tot2, 0) > 0
+                  THEN 1000 * p2.dup2 // p2.tot2 ELSE 0 END AS d2
+      FROM base b LEFT JOIN p2 ON p2.doc_id = b.doc_id)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       CAST(mwl AS BIGINT) AS mean_word_len_milli,
+       CAST(fam AS BIGINT) AS frac_alpha_milli,
+       CAST(n_stop AS BIGINT) AS stopword_hits,
+       CAST(d2 AS BIGINT) AS dup2gram_milli,
+       (nw >= 5 AND nw <= 10000 AND mwl >= 2000 AND mwl <= 12000
+        AND fam >= 700 AND n_stop >= 1 AND d2 <= 600) AS keep
+FROM m
+"""
+
+
 SQL_NB_CLASSIFY = """
 WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
 vocab AS (SELECT DISTINCT t FROM tok),
@@ -6038,6 +6167,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zipf_slope": q_zipf_slope,
     "soft_dedup_weights": q_soft_dedup_weights,
     "nb_classify": q_nb_classify,
+    "gopher_quality_filter": q_gopher_quality_filter,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6130,4 +6260,5 @@ ORACLE_SQL: dict[str, str] = {
     "zipf_slope": SQL_ZIPF_SLOPE,
     "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
     "nb_classify": SQL_NB_CLASSIFY,
+    "gopher_quality_filter": SQL_GOPHER_QUALITY_FILTER,
 }

@@ -83,6 +83,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "zipf_slope",
         "soft_dedup_weights",
         "nb_classify",
+        "gopher_quality_filter",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -1,0 +1,97 @@
+"""Gopher-rule quality filter: per-rule edges + randomized oracle parity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rapidocr_ray.pipelines import queries as q
+
+
+def _docs_dir(tmp_path, ids, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _oracle(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(q.ORACLE_SQL["gopher_quality_filter"]).df()
+
+
+def _compare(got, want_df):
+    df = got.to_pandas()
+    cols = sorted(df.columns)
+    assert cols == sorted(want_df.columns), (cols, sorted(want_df.columns))
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = want_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return df
+
+
+def test_gopher_rules_per_rule_edges(ray_session, tmp_path):
+    texts = [
+        "the quick brown fox jumps",        # 0: clean -> keep
+        "the cat",                           # 1: too short (n_words < 5)
+        "x y z w v u the",                   # 2: mean word len 1000 < 2000
+        "1 22 333 4444 55555 6666",          # 3: no alpha words, no stopword
+        "spam ham spam ham spam ham the x",  # 4: duplicated 2-grams dominate
+        "the word the word the word",        # 5: dup pairs + stopwords
+        "single",                            # 6: one word, no pairs
+        "",                                  # 7: empty -> '' token
+    ]
+    d = _docs_dir(tmp_path, list(range(len(texts))), texts)
+    df = _compare(q.QUERIES["gopher_quality_filter"](d), _oracle(d))
+    r = df.set_index("doc_id")
+    assert bool(r.loc[0, "keep"])
+    assert not bool(r.loc[1, "keep"]) and r.loc[1, "n_words"] == 2
+    assert not bool(r.loc[2, "keep"]) and r.loc[2, "mean_word_len_milli"] < 2000
+    assert not bool(r.loc[3, "keep"]) and r.loc[3, "frac_alpha_milli"] == 0
+    assert r.loc[3, "stopword_hits"] == 0
+    assert not bool(r.loc[4, "keep"]) and r.loc[4, "dup2gram_milli"] > 600
+    # doc 5: 'the word' x3 and 'word the' x2 -> every pair duplicated
+    assert r.loc[5, "dup2gram_milli"] == 1000
+    assert r.loc[6, "dup2gram_milli"] == 0  # no pairs at all
+    assert r.loc[7, "n_words"] == 1  # '' splits to one empty token
+
+
+def test_gopher_dup2gram_exact_value(ray_session, tmp_path):
+    """Hand-computed fraction: 'a b a b c' has pairs [a b],[b a],[a b],
+    [b c]; 'a b' duplicated -> dup chars = len(a)+len(a) = 2 of total
+    len(a)+len(b)+len(a)+len(b) = 4 -> 500 milli."""
+    d = _docs_dir(tmp_path, [0], ["a b a b c"])
+    df = _compare(q.QUERIES["gopher_quality_filter"](d), _oracle(d))
+    assert df.dup2gram_milli.iloc[0] == 500
+
+
+def test_gopher_randomized_cross_check(ray_session, tmp_path):
+    rng = np.random.default_rng(20260820)
+    vocab = np.array(
+        [f"w{i}" for i in range(25)]
+        + ["the", "a", "of", "in"]
+        + ["123", "45", "!!!", "---"]
+    )
+    n = 250
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(1, 30))
+        ws = list(rng.choice(vocab, size=k))
+        if i % 7 == 0 and k >= 4:  # plant heavy pair repetition
+            ws = ws[:2] * (k // 2)
+        texts.append(" ".join(ws))
+    texts[0] = ""
+    d = _docs_dir(tmp_path, list(range(n)), texts)
+    _compare(q.QUERIES["gopher_quality_filter"](d), _oracle(d))
