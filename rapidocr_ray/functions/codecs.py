@@ -2062,6 +2062,32 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     return x.mean(axis=1).astype(np.float32), rate, n_ch
 
 
+def encode_wav_pcm(
+    samples: np.ndarray, fmt: str, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Typed-width RIFF/WAVE writer for the cross-codec dedup fixtures:
+    ``fmt`` one of u8 (8-bit PCM), i16, i32 (integer PCM), f32 (IEEE
+    float).  ``samples`` must already be in the target dtype/interleave
+    (callers pick values whose decode is bit-identical across widths —
+    see q_audio_sample_dup_groups)."""
+    dt = {"u8": np.uint8, "i16": "<i2", "i32": "<i4", "f32": "<f4"}[fmt]
+    tag = 3 if fmt == "f32" else 1
+    bits = {"u8": 8, "i16": 16, "i32": 32, "f32": 32}[fmt]
+    raw = np.asarray(samples).astype(dt).tobytes()
+    block = (bits // 8) * n_channels
+    fmt_chunk = struct.pack(
+        "<HHIIHH", tag, n_channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    if len(raw) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
     """float samples in [-1, 1] (flat mono or (n, ch)) -> 16-bit PCM
     RIFF/WAVE bytes (test/debug writer)."""

@@ -5910,6 +5910,70 @@ def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64):
     return merged.groupby("dbucket").map_groups(finish, batch_format="pandas")
 
 
+def q_audio_sample_dup_groups(sf_dir: str, n_buckets: int = 64):
+    """Cross-codec AUDIO dedup on DECODED SAMPLES — completes the
+    image/video/audio dedup trio: the same 8-bit-quantized signal
+    written as 8-bit PCM, 16-bit PCM, 32-bit PCM, IEEE float32, and
+    duplicated-channel stereo 16-bit PCM must md5 to ONE sample group.
+    The widths are chosen so every decode path is IEEE-exact (s8/128
+    reachable losslessly from all five: integer shifts are powers of
+    two, the stereo downmix averages two equal floats), so any decoder
+    divergence — scaling, sign, interleave, word alignment — splits a
+    group and flips the driver hash.  Signal keys off doc_id % 29,
+    container off doc_id % 5; the oracle is pure integer arithmetic.
+    Scale shape: synth+encode+decode+hash fuse in one map_batches, then
+    the exact-dedup bucket shuffle carries only (doc_id, key,
+    container)."""
+    import hashlib
+
+    from rapidocr_ray.functions.codecs import decode_wav, encode_wav_pcm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth_hash(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        keys, containers = [], []
+        for d in ids:
+            d = int(d)
+            gk = d % 29
+            n = 40 + gk % 3
+            s8 = ((gk * 37 + np.arange(n, dtype=np.int64) * 11) % 256) - 128
+            container = d % 5
+            if container == 0:
+                payload = encode_wav_pcm((s8 + 128).astype(np.uint8), "u8")
+            elif container == 1:
+                payload = encode_wav_pcm((s8 * 256).astype("<i2"), "i16")
+            elif container == 2:
+                payload = encode_wav_pcm((s8 * 256 * 65536).astype("<i4"), "i32")
+            elif container == 3:
+                payload = encode_wav_pcm(
+                    (s8.astype(np.float64) / 128.0).astype("<f4"), "f32"
+                )
+            else:  # duplicated-channel stereo: downmix mean is exact
+                st = np.repeat((s8 * 256).astype("<i2"), 2)
+                payload = encode_wav_pcm(st, "i16", n_channels=2)
+            x, rate, _ = decode_wav(payload)
+            h = hashlib.md5(
+                len(x).to_bytes(4, "big") + rate.to_bytes(4, "big") + x.tobytes()
+            )
+            keys.append(h.hexdigest())
+            containers.append(container)
+        return _pixel_key_table(ids, keys, containers, n_buckets)
+
+    keyed = ds.map_batches(synth_hash, batch_format="pyarrow", batch_size=64)
+    return keyed.groupby("bucket").map_groups(
+        _pixel_dup_merge, batch_format="pandas"
+    )
+
+
+SQL_AUDIO_SAMPLE_DUP_GROUPS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(COUNT(DISTINCT ((doc_id % 5) + 5) % 5) AS BIGINT) AS n_containers
+FROM documents GROUP BY ((doc_id % 29) + 29) % 29
+"""
+
+
 def q_gopher_quality_filter(sf_dir: str):
     """Gopher-style rule filter (the published word-level rule family):
     per-doc word count band, mean-word-length band, fraction of words
@@ -6168,6 +6232,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "soft_dedup_weights": q_soft_dedup_weights,
     "nb_classify": q_nb_classify,
     "gopher_quality_filter": q_gopher_quality_filter,
+    "audio_sample_dup_groups": q_audio_sample_dup_groups,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6261,4 +6326,5 @@ ORACLE_SQL: dict[str, str] = {
     "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
     "nb_classify": SQL_NB_CLASSIFY,
     "gopher_quality_filter": SQL_GOPHER_QUALITY_FILTER,
+    "audio_sample_dup_groups": SQL_AUDIO_SAMPLE_DUP_GROUPS,
 }

@@ -84,6 +84,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "soft_dedup_weights",
         "nb_classify",
         "gopher_quality_filter",
+        "audio_sample_dup_groups",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

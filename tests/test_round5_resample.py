@@ -143,3 +143,47 @@ def test_resample_ops_randomized_cross_check(ray_session, tmp_path):
     d = _docs_dir(tmp_path, list(range(n)), texts, langs)
     for name in ("temperature_resample", "zipf_slope", "soft_dedup_weights"):
         _compare(q.QUERIES[name](d), _oracle(d, name))
+
+
+def test_audio_cross_codec_decode_equality():
+    """The five dedup containers (u8/i16/i32/f32/stereo-i16) of the same
+    8-bit-quantized signal must decode to bit-identical float32 mono —
+    the invariant q_audio_sample_dup_groups' single-group hash rests on."""
+    import numpy as np
+
+    from rapidocr_ray.functions.codecs import decode_wav, encode_wav_pcm
+
+    for gk in (0, 7, 28):
+        n = 40 + gk % 3
+        s8 = ((gk * 37 + np.arange(n, dtype=np.int64) * 11) % 256) - 128
+        payloads = [
+            encode_wav_pcm((s8 + 128).astype(np.uint8), "u8"),
+            encode_wav_pcm((s8 * 256).astype("<i2"), "i16"),
+            encode_wav_pcm((s8 * 256 * 65536).astype("<i4"), "i32"),
+            encode_wav_pcm((s8.astype(np.float64) / 128.0).astype("<f4"), "f32"),
+            encode_wav_pcm(
+                np.repeat((s8 * 256).astype("<i2"), 2), "i16", n_channels=2
+            ),
+        ]
+        ref = None
+        for i, p in enumerate(payloads):
+            x, rate, _ = decode_wav(p)
+            assert len(x) == n and rate == 8000
+            if ref is None:
+                ref = x.tobytes()
+            else:
+                assert x.tobytes() == ref, f"container {i} diverges at gk={gk}"
+
+
+def test_audio_dup_groups_odd_length_word_alignment():
+    """An odd-byte u8 data chunk exercises the RIFF pad byte: the padded
+    container must still decode to the exact sample count."""
+    import numpy as np
+
+    from rapidocr_ray.functions.codecs import decode_wav, encode_wav_pcm
+
+    s8 = np.array([1, -2, 3], dtype=np.int64)  # 3 bytes as u8 -> pad
+    p = encode_wav_pcm((s8 + 128).astype(np.uint8), "u8")
+    assert len(p) % 2 == 0
+    x, _, _ = decode_wav(p)
+    assert len(x) == 3
