@@ -158,6 +158,9 @@ def main() -> None:
         # tiny top-k merge)
         "ccnet_buckets",
         "bm25_topk",
+        # distributed NB train+classify: the heaviest round-5 widening
+        # op (vocab-grid bucket merge + broadcast (V x L) scoring)
+        "nb_classify",
         # link-graph family: edge derivation is two bounded shuffles
         # (the real cost at toy scale); the 5-round rank loop
         # auto-selects the driver-local tier on this 60-edge graph

@@ -617,6 +617,46 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_user_event_gaps(sf_dir: str):
+    """LAG window primitive: per-event gap to the user's PREVIOUS event
+    (MICROSECONDS — the storage resolution, so the delta is an exact
+    integer on both engines; date_diff('second') counts boundary
+    crossings and would diverge from floor on sub-second timestamps.
+    First event per user gets a -1 sentinel so the column stays int64).
+    Completes the window family (running totals = prefix SUM,
+    sessionize = gap THRESHOLD, this = the raw LAG delta).  Same scale
+    shape as user_running_totals: one shuffle keyed by user, in-group
+    sort (ts, event_id) tiebreak, vectorized diff — a user's history
+    fits a group."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = -1
+        if len(g) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "gap_us": gap,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+SQL_USER_EVENT_GAPS = """
+SELECT event_id, user_id,
+       CAST(COALESCE(
+           date_diff('microsecond', LAG(ts) OVER w, ts), -1) AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_score_filter(sf_dir: str):
     """M15 filter analog as a standalone relational op: vectorized
     predicate inside map_batches (score >= threshold)."""
@@ -6233,6 +6273,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nb_classify": q_nb_classify,
     "gopher_quality_filter": q_gopher_quality_filter,
     "audio_sample_dup_groups": q_audio_sample_dup_groups,
+    "user_event_gaps": q_user_event_gaps,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6327,4 +6368,5 @@ ORACLE_SQL: dict[str, str] = {
     "nb_classify": SQL_NB_CLASSIFY,
     "gopher_quality_filter": SQL_GOPHER_QUALITY_FILTER,
     "audio_sample_dup_groups": SQL_AUDIO_SAMPLE_DUP_GROUPS,
+    "user_event_gaps": SQL_USER_EVENT_GAPS,
 }

@@ -95,3 +95,40 @@ def test_gopher_randomized_cross_check(ray_session, tmp_path):
     texts[0] = ""
     d = _docs_dir(tmp_path, list(range(n)), texts)
     _compare(q.QUERIES["gopher_quality_filter"](d), _oracle(d))
+
+
+def test_user_event_gaps_lag_semantics(ray_session, tmp_path):
+    """Sub-second timestamps: the exact-microsecond LAG delta must match
+    DuckDB (date_diff('microsecond')) including the -1 first-event
+    sentinel and the (ts, event_id) tiebreak on equal timestamps."""
+    rows = [
+        (1, "2026-01-01T00:00:00.900000", 7, "view"),
+        (2, "2026-01-01T00:00:01.000000", 7, "view"),   # 100ms gap
+        (3, "2026-01-01T00:00:01.000000", 7, "click"),  # tie -> event_id order
+        (4, "2026-01-01T00:00:05.000000", 9, "view"),   # other user: sentinel
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([1.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["user_event_gaps"]).df()
+    df = _compare(q.QUERIES["user_event_gaps"](str(d)), want)
+    r = df.set_index("event_id").gap_us
+    assert r[1] == -1 and r[4] == -1
+    assert r[2] == 100_000  # 100 ms in exact microseconds
+    assert r[3] == 0  # equal ts, tiebreak by event_id
