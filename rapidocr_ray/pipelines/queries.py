@@ -6014,6 +6014,357 @@ FROM documents GROUP BY ((doc_id % 29) + 29) % 29
 """
 
 
+_BIGRAM_CACHE: dict = {}
+
+
+def q_bigram_logprob(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: int = 64):
+    """Bigram-LM quality score (the unigram perplexity filter's
+    conditioned sibling): per-doc sum of lp(w_i | w_{i-1}) =
+    floor(log10((c2(w_{i-1} w_i) + 1) / (c1(w_{i-1}) + V)) * 1e6) over
+    adjacent-pair positions, add-one smoothing, V = corpus vocabulary.
+    Docs with < 2 tokens emit (0, 0) on both engines.
+
+    Training-set scoring means every scored pair was observed, so the
+    broadcast table needs only OBSERVED pairs (corpus-bounded, never
+    vocab^2).  Pins are the unigram op's: int/int quotient then the
+    fuzz-pinned log10, per-doc sums integer.
+
+    Scale shape: two count passes merge through token-/pair-bucketed
+    shuffles; under ``broadcast_limit`` distinct pairs the lp Series
+    broadcasts once (ray.put + worker LRU) and scoring streams
+    shuffle-free.  Past it, lp rows are computed in w1-keyed buckets
+    (c2 joins c1 where both live), re-keyed by pair to attach to
+    exploded doc pairs, and per-doc partials merge doc-bucketed —
+    q_bigram_logprob_bucketed, equality-pinned by test."""
+    import zlib
+
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        agg = pa.table({"t": flat}).group_by(["t"]).aggregate([("t", "count")])
+        bucket = pa.array(
+            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("t").to_pylist()),
+            type=pa.int64(),
+        )
+        return agg.rename_columns(["t", "c"]).append_column("bucket", bucket)
+
+    def uni_merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("t", sort=False)["c"].sum()
+        return pd.DataFrame({"t": g.index, "c": g.to_numpy().astype(np.int64)})
+
+    uni_ds = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uni_merge, batch_format="pandas")
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        ends = np.cumsum(lens)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[ends - 1] = False
+        pi = np.flatnonzero(mask)
+        df = pd.DataFrame({"w1": flat[pi], "p": flat[pi] + " " + flat[pi + 1]})
+        g = df.groupby(["w1", "p"], as_index=False).size()
+        g["bucket"] = [zlib.crc32(s.encode()) % n_buckets for s in g.p]
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c2"}), preserve_index=False
+        )
+
+    def pair_merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["w1", "p"], as_index=False)["c2"].sum()
+        g["c2"] = g.c2.astype(np.int64)
+        return g
+
+    pair_ds = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_merge, batch_format="pandas")
+    )
+
+    n_pairs = pair_ds.count()
+    if n_pairs > broadcast_limit:
+        return q_bigram_logprob_bucketed(sf_dir, n_buckets=n_buckets)
+
+    uni = uni_ds.to_pandas()  # vocab-bounded
+    pairs = pair_ds.to_pandas()  # observed-pair-bounded (<= broadcast_limit)
+    v = len(uni)
+    if len(pairs):
+        c1 = pd.Series(uni.c.to_numpy(np.int64), index=uni.t)
+        denom = c1[pairs.w1].to_numpy(np.float64) + float(v)
+        lp_vals = np.floor(
+            np.log10((pairs.c2.to_numpy(np.float64) + 1.0) / denom) * 1e6
+        ).astype(np.int64)
+        lp = pd.Series(lp_vals, index=pairs.p)
+    else:
+        lp = pd.Series(np.array([], dtype=np.int64), index=pd.Index([], dtype=object))
+    ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lk = lru_cache_get(_BIGRAM_CACHE, ref.hex(), lambda: ray.get(ref))
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        ends = np.cumsum(lens)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[ends - 1] = False
+        pi = np.flatnonzero(mask)
+        lpv = (
+            pd.Series(flat[pi] + " " + flat[pi + 1]).map(lk).to_numpy(np.int64)
+            if len(pi)
+            else np.array([], dtype=np.int64)
+        )
+        # per-doc segment sums over the PAIR positions (n_i - 1 each)
+        plens = np.maximum(lens - 1, 0)
+        pends = np.cumsum(plens)
+        pstarts = pends - plens
+        cs = np.concatenate([[0], np.cumsum(lpv)])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(plens, type=pa.int64()),
+                "bigram_lp_micro_sum": pa.array(
+                    cs[pends] - cs[pstarts], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_bigram_logprob_bucketed(sf_dir: str, n_buckets: int = 64):
+    """Large-pair-table bigram fallback: lp rows computed in w1-keyed
+    buckets (pair counts meet their conditioning unigram counts where
+    both live), re-keyed by pair hash to attach to exploded doc pairs,
+    per-doc partials merged doc-bucketed.  Only scalars (V) broadcast.
+    Must equal q_bigram_logprob bit-for-bit (pinned by test)."""
+    import zlib
+
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # unigram counts bucketed by crc32(t) — the W1 key space
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        agg = pa.table({"t": flat}).group_by(["t"]).aggregate([("t", "count")])
+        bucket = pa.array(
+            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("t").to_pylist()),
+            type=pa.int64(),
+        )
+        return agg.rename_columns(["t", "c"]).append_column("bucket", bucket)
+
+    def uni_merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("t", sort=False)["c"].sum()
+        return pd.DataFrame({"t": g.index, "c": g.to_numpy().astype(np.int64)})
+
+    uni_ds = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uni_merge, batch_format="pandas")
+    )
+    v = int(uni_ds.count())
+
+    # pair counts bucketed by crc32(w1) so c2 meets c1 in one bucket
+    def pair_partial_w1(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        ends = np.cumsum(lens)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[ends - 1] = False
+        pi = np.flatnonzero(mask)
+        df = pd.DataFrame({"w1": flat[pi], "p": flat[pi] + " " + flat[pi + 1]})
+        g = df.groupby(["w1", "p"], as_index=False).size()
+        g["c"] = g["size"].astype(np.int64)
+        g["bucket"] = [zlib.crc32(s.encode()) % n_buckets for s in g.w1]
+        return pa.Table.from_pandas(g[["w1", "p", "c", "bucket"]], preserve_index=False)
+
+    # unigram rows ride in the SAME w1 buckets, marked by p = NULL
+    def uni_as_w1_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w1": batch.column("t"),
+                "p": pa.array([None] * batch.num_rows, type=pa.string()),
+                "c": batch.column("c"),
+                "bucket": pa.array(
+                    [
+                        zlib.crc32(s.encode()) % n_buckets
+                        for s in batch.column("t").to_pylist()
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    both_counts = ds.map_batches(pair_partial_w1, batch_format="pyarrow").union(
+        uni_ds.map_batches(uni_as_w1_rows, batch_format="pyarrow")
+    )
+
+    def lp_rows(group: pd.DataFrame) -> pd.DataFrame:
+        unis = group[group.p.isna()]
+        prs = group[group.p.notna()]
+        if not len(prs):
+            return pd.DataFrame(
+                {
+                    "p": pd.Series([], dtype=object),
+                    "lp": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = prs.groupby(["w1", "p"], as_index=False)["c"].sum()
+        c1 = pd.Series(unis.c.to_numpy(np.int64), index=unis.w1)
+        denom = c1[g.w1].to_numpy(np.float64) + float(v)
+        lp = np.floor(
+            np.log10((g.c.to_numpy(np.float64) + 1.0) / denom) * 1e6
+        ).astype(np.int64)
+        return pd.DataFrame({"p": g.p.to_numpy(object), "lp": lp})
+
+    lp_ds = (
+        both_counts.groupby("bucket")
+        .map_groups(lp_rows, batch_format="pandas")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "p": b.column("p"),
+                    "lp": b.column("lp"),
+                    "doc_id": pa.array([-1] * b.num_rows, type=pa.int64()),
+                    "bucket": pa.array(
+                        [
+                            zlib.crc32(s.encode()) % n_buckets
+                            for s in b.column("p").to_pylist()
+                        ],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        ends = np.cumsum(lens)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[ends - 1] = False
+        pi = np.flatnonzero(mask)
+        ids = np.repeat(np.asarray(batch.column("doc_id")), np.maximum(lens - 1, 0))
+        ps = flat[pi] + " " + flat[pi + 1] if len(pi) else np.array([], dtype=object)
+        return pa.table(
+            {
+                "p": pa.array(ps, type=pa.string()),
+                "lp": pa.array(np.zeros(len(ids), dtype=np.int64), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(
+                    [zlib.crc32(s.encode()) % n_buckets for s in ps],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    both = lp_ds.union(ds.map_batches(explode_pairs, batch_format="pyarrow"))
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        vv = group[group.doc_id < 0]
+        inst = group[group.doc_id >= 0]
+        if not len(inst):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                    "s": pd.Series([], dtype=np.int64),
+                    "dbucket": pd.Series([], dtype=np.int64),
+                }
+            )
+        lk = pd.Series(vv.lp.to_numpy(np.int64), index=vv.p)
+        lpv = inst.p.map(lk).to_numpy(np.int64)
+        g = pd.DataFrame({"doc_id": inst.doc_id.to_numpy(np.int64), "lp": lpv}).groupby(
+            "doc_id", sort=False
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": g["lp"].sum().index.to_numpy(np.int64),
+                "n": g["lp"].count().to_numpy(np.int64),
+                "s": g["lp"].sum().to_numpy(np.int64),
+            }
+        )
+        out["dbucket"] = (
+            out.doc_id.to_numpy(np.uint64) * np.uint64(2654435761)
+            % np.uint64(2**32)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    partials = (
+        both.groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    )
+
+    # all-docs side table so < 2-token docs emit (0, 0)
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "s": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "dbucket": pa.array(
+                    (
+                        ids * np.uint64(2654435761) % np.uint64(2**32) % np.uint64(n_buckets)
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    side = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        doc_side, batch_format="pyarrow"
+    )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("doc_id", as_index=False)[["n", "s"]].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": g.doc_id.to_numpy(np.int64),
+                "n_bigrams": g.n.to_numpy(np.int64),
+                "bigram_lp_micro_sum": g.s.to_numpy(np.int64),
+            }
+        )
+
+    return partials.union(side).groupby("dbucket").map_groups(
+        finish, batch_format="pandas"
+    )
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+vtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+pairs AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS p
+          FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 2),
+c2 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY p),
+lp AS (SELECT pr.doc_id,
+              CAST(floor(log10((c2.c2 + 1) / CAST(c1.c + vtot.v AS DOUBLE))
+                         * 1000000) AS BIGINT) AS lp
+       FROM pairs pr JOIN c2 ON c2.p = pr.p JOIN c1 ON c1.t = pr.w1, vtot),
+s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lp) AS BIGINT) AS s FROM lp GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.s, 0) AS BIGINT) AS bigram_lp_micro_sum
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_gopher_quality_filter(sf_dir: str):
     """Gopher-style rule filter (the published word-level rule family):
     per-doc word count band, mean-word-length band, fraction of words
@@ -6274,6 +6625,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gopher_quality_filter": q_gopher_quality_filter,
     "audio_sample_dup_groups": q_audio_sample_dup_groups,
     "user_event_gaps": q_user_event_gaps,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6369,4 +6721,5 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_quality_filter": SQL_GOPHER_QUALITY_FILTER,
     "audio_sample_dup_groups": SQL_AUDIO_SAMPLE_DUP_GROUPS,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
 }

@@ -86,6 +86,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "gopher_quality_filter",
         "audio_sample_dup_groups",
         "user_event_gaps",
+        "bigram_logprob",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

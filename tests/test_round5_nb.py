@@ -132,3 +132,54 @@ def test_nb_randomized_cross_check(ray_session, tmp_path):
     langs[0] = "zz"
     d = _docs_dir(tmp_path, list(range(n)), texts, langs)
     _compare(q.QUERIES["nb_classify"](d), _oracle(d))
+
+
+def test_bigram_logprob_hand_computed(ray_session, tmp_path):
+    """'a b a b' + 'c': V=3; pairs: (a b)x2, (b a)x1.  lp(a b) =
+    floor(log10(3/(2+3))*1e6), lp(b a) = floor(log10(2/(2+3))*1e6);
+    doc 1 has no pairs -> (0, 0).  Oracle parity + exact values."""
+    import math
+
+    d = _docs_dir(tmp_path, [0, 1], ["a b a b", "c"], ["en", "en"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["bigram_logprob"]).df()
+    df = _compare(q.QUERIES["bigram_logprob"](d), want)
+    r = df.set_index("doc_id")
+    lp_ab = math.floor(math.log10(3 / 5) * 1e6)
+    lp_ba = math.floor(math.log10(2 / 5) * 1e6)
+    assert r.loc[0, "n_bigrams"] == 3
+    assert r.loc[0, "bigram_lp_micro_sum"] == 2 * lp_ab + lp_ba
+    assert r.loc[1, "n_bigrams"] == 0 and r.loc[1, "bigram_lp_micro_sum"] == 0
+
+
+def test_bigram_bucketed_equals_broadcast_randomized(ray_session, tmp_path):
+    rng = np.random.default_rng(99)
+    vocab = np.array([f"w{i}" for i in range(20)])
+    n = 150
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 15))) for _ in range(n)
+    ]
+    texts[3] = ""  # empty -> one '' token, zero pairs
+    d = _docs_dir(tmp_path, list(range(n)), texts, ["en"] * n)
+    a = (
+        q.QUERIES["bigram_logprob"](d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q.q_bigram_logprob_bucketed(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["bigram_logprob"]).df()
+    _compare(q.QUERIES["bigram_logprob"](d), want)
