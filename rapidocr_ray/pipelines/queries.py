@@ -6014,6 +6014,74 @@ FROM documents GROUP BY ((doc_id % 29) + 29) % 29
 """
 
 
+def q_snapshot_full_outer(sf_dir: str, n_buckets: int = 64):
+    """Snapshot diff as a FULL OUTER join — the join-algebra member the
+    registry lacked (inner/left/anti/semi/range/as-of are covered): per
+    leading-content fingerprint, how many docs carry it in the PRIOR
+    snapshot (doc_id%3==0, the incremental_dedup stand-in) vs the NEW
+    one, keys present on EITHER side only reported with a 0 on the
+    other — the churn report a recurring crawl ingest prints.
+
+    Scale shape: both sides collapse to per-task (key, side) count
+    partials BEFORE the shuffle (content never moves — 8-word keys md5
+    to 16 bytes), then ONE key-bucketed merge pivots prior/new counts
+    with zero-fill; per-bucket groups are exact because a key lives in
+    one bucket."""
+    import hashlib
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        keys = [
+            hashlib.md5(_lead_key(t).encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        df = pd.DataFrame({"k": keys, "prior": (ids % 3 == 0).astype(np.int64)})
+        g = df.groupby(["k", "prior"], as_index=False).size()
+        g["bucket"] = [zlib.crc32(s.encode()) % n_buckets for s in g.k]
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["k", "prior"], as_index=False)["c"].sum()
+        piv = g.pivot_table(
+            index="k", columns="prior", values="c", aggfunc="sum", fill_value=0
+        )
+        n_prior = (
+            piv[1].to_numpy(np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+        )
+        n_new = (
+            piv[0].to_numpy(np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+        )
+        return pd.DataFrame(
+            {"fp_md5": piv.index.to_numpy(object), "n_prior": n_prior, "n_new": n_new}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_SNAPSHOT_FULL_OUTER = """
+WITH k AS (SELECT doc_id,
+                  md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_md5
+           FROM documents),
+p AS (SELECT fp_md5, CAST(COUNT(*) AS BIGINT) AS n_prior
+      FROM k WHERE doc_id % 3 = 0 GROUP BY fp_md5),
+n AS (SELECT fp_md5, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM k WHERE doc_id % 3 != 0 GROUP BY fp_md5)
+SELECT COALESCE(p.fp_md5, n.fp_md5) AS fp_md5,
+       CAST(COALESCE(p.n_prior, 0) AS BIGINT) AS n_prior,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+FROM p FULL OUTER JOIN n ON p.fp_md5 = n.fp_md5
+"""
+
+
 _BIGRAM_CACHE: dict = {}
 
 
@@ -6626,6 +6694,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_sample_dup_groups": q_audio_sample_dup_groups,
     "user_event_gaps": q_user_event_gaps,
     "bigram_logprob": q_bigram_logprob,
+    "snapshot_full_outer": q_snapshot_full_outer,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6722,4 +6791,5 @@ ORACLE_SQL: dict[str, str] = {
     "audio_sample_dup_groups": SQL_AUDIO_SAMPLE_DUP_GROUPS,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "snapshot_full_outer": SQL_SNAPSHOT_FULL_OUTER,
 }

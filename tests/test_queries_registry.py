@@ -87,6 +87,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "audio_sample_dup_groups",
         "user_event_gaps",
         "bigram_logprob",
+        "snapshot_full_outer",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -132,3 +132,30 @@ def test_user_event_gaps_lag_semantics(ray_session, tmp_path):
     assert r[1] == -1 and r[4] == -1
     assert r[2] == 100_000  # 100 ms in exact microseconds
     assert r[3] == 0  # equal ts, tiebreak by event_id
+
+
+def test_snapshot_full_outer_all_three_regions(ray_session, tmp_path):
+    """Hand-planted snapshot diff: a key only in PRIOR (doc_id%3==0), a
+    key only in NEW, and a shared key — full-outer zero-fill on both
+    engines; docs sharing the first 8 words collapse to one key."""
+    texts = [
+        "gone gone gone",              # 0 (prior): prior-only key
+        "fresh fresh fresh",           # 1 (new): new-only key
+        "same same same",              # 2 (new): shared key ...
+        "same same same",              # 3 (prior): ... also in prior
+        "fresh fresh fresh",           # 4 (new): second new hit
+        "w1 w2 w3 w4 w5 w6 w7 w8 TAIL DIFFERS",   # 5 (new): 8-word prefix ...
+        "w1 w2 w3 w4 w5 w6 w7 w8 OTHER TAIL",     # 6 (prior): ... same key
+    ]
+    d = _docs_dir(tmp_path, [0, 1, 2, 3, 4, 5, 6], texts)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["snapshot_full_outer"]).df()
+    df = _compare(q.QUERIES["snapshot_full_outer"](d), want)
+    by = df.set_index("fp_md5")
+    assert len(df) == 4
+    counts = sorted(map(tuple, df[["n_prior", "n_new"]].to_numpy().tolist()))
+    # (prior, new): gone=(1,0), fresh=(0,2), same=(1,1), w1..w8=(1,1)
+    assert counts == [(0, 2), (1, 0), (1, 1), (1, 1)]
