@@ -6014,6 +6014,163 @@ FROM documents GROUP BY ((doc_id % 29) + 29) % 29
 """
 
 
+def _bpe_apply_merges(
+    flat: np.ndarray, lens: np.ndarray, merges: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Apply BPE merges in order with greedy leftmost-nonoverlapping
+    in-doc semantics, vectorized across the whole batch.  A merge is a
+    pair KEY (left + chr(1) + right): any adjacent (t_i, t_{i+1}) whose
+    sep-concatenation equals the key merges into the key itself — the
+    exact semantics of the oracle's `t || chr(1) || tn = pair` match
+    (no left/right re-parse, so a key with an ambiguous split merges
+    every reading, identically on both engines).  A run of consecutive
+    matches keeps even run offsets (greedy leftmost).  Returns the new
+    (flat tokens, per-doc lengths)."""
+    sep = "\x01"
+    for key in merges:
+        if len(flat) < 2:
+            break
+        ends = np.cumsum(lens)
+        m = np.zeros(len(flat), dtype=bool)
+        m[:-1] = (flat[:-1] + sep + flat[1:]) == key
+        m[ends - 1] = False  # pairs never cross doc bounds
+        if not m.any():
+            continue
+        idx = np.flatnonzero(m)
+        new_run = np.concatenate([[True], np.diff(idx) != 1])
+        rs = np.maximum.accumulate(np.where(new_run, idx, 0))
+        ki = idx[((idx - rs) % 2) == 0]
+        flat = flat.copy()
+        flat[ki] = key
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        lens = lens - np.bincount(doc_of[ki + 1], minlength=len(lens)).astype(
+            np.int64
+        )
+        delmask = np.zeros(len(flat), dtype=bool)
+        delmask[ki + 1] = True
+        flat = flat[~delmask]
+    return flat, lens
+
+
+def q_bpe_train_merges(sf_dir: str, n_merges: int = 3, n_buckets: int = 64):
+    """BPE tokenizer-training LOOP (the iterative sibling of the
+    single-shot bpe_merge_pairs statistic): ``n_merges`` rounds of
+    [recount all adjacent token pairs corpus-wide under the merges
+    chosen so far] -> [pick the global argmax pair (count DESC, pair
+    ASC)] -> [merge every greedy-leftmost occurrence].  Merged tokens
+    join with chr(1) so they can merge again in later rounds; new pairs
+    created by a merge count from the NEXT round (single left-to-right
+    pass per round — the pinned semantics, mirrored by the oracle's
+    unrolled CTEs).  Output: one row per round (it, pair, pair_count) —
+    tiny, but its hash covers the full iterated computation, since
+    round k's argmax depends on the exact global recount after k-1
+    merges.
+
+    Scale shape: the classic distributed BPE trainer — k streaming
+    passes over the corpus, each applying the (tiny, broadcast-by-
+    value) merge list in the scan task and counting pairs via in-task
+    partials + ONE crc32(pair)-bucketed merge with per-bucket argmax
+    pruning; only n_buckets candidate rows reach the driver per
+    round."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    merges: list[str] = []
+    out_rows = []
+    for it in range(1, n_merges + 1):
+        cur = list(merges)
+
+        def partial(batch: pa.Table, _m=cur) -> pa.Table:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            flat = np.asarray(pc.list_flatten(toks), dtype=object)
+            flat, lens = _bpe_apply_merges(flat, lens, _m)
+            ends = np.cumsum(lens)
+            mask = np.ones(len(flat), dtype=bool)
+            mask[ends - 1] = False
+            pi = np.flatnonzero(mask)
+            df = pd.DataFrame({"p": flat[pi] + "\x01" + flat[pi + 1]})
+            g = df.groupby("p", as_index=False).size()
+            g["bucket"] = [zlib.crc32(s.encode()) % n_buckets for s in g.p]
+            return pa.Table.from_pandas(
+                g.rename(columns={"size": "c"}), preserve_index=False
+            )
+
+        def bucket_top1(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.groupby("p", as_index=False)["c"].sum()
+            g = g.sort_values(["c", "p"], ascending=[False, True], kind="mergesort")
+            return g.head(1)[["p", "c"]]
+
+        cand = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_top1, batch_format="pandas")
+            .to_pandas()  # <= n_buckets rows
+        )
+        if not len(cand):
+            break
+        cand = cand.sort_values(["c", "p"], ascending=[False, True], kind="mergesort")
+        best_p, best_c = cand.p.iloc[0], int(cand.c.iloc[0])
+        out_rows.append((it, best_p, best_c))
+        merges.append(best_p)
+    return pa.table(
+        {
+            "it": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "pair": pa.array([r[1] for r in out_rows], type=pa.string()),
+            "pair_count": pa.array([r[2] for r in out_rows], type=pa.int64()),
+        }
+    )
+
+
+def _bpe_sql(n_merges: int = 3) -> str:
+    """Unrolled-iteration DuckDB oracle for q_bpe_train_merges: same
+    greedy leftmost-nonoverlapping merge semantics (run parity over
+    consecutive match positions), same (count DESC, pair ASC) argmax."""
+    parts = [
+        "WITH tok0 AS (SELECT doc_id, i, ws[i] AS t\n"
+        "              FROM (SELECT doc_id, string_split(text, ' ') AS ws\n"
+        "                    FROM documents) w,\n"
+        "                   UNNEST(generate_series(1, len(ws))) AS g(i))"
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"tok{k - 1}"
+        parts.append(
+            f"seq{k} AS (SELECT doc_id, i, t,\n"
+            f"                  LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS tn\n"
+            f"           FROM {prev}),\n"
+            f"cnt{k} AS (SELECT t || chr(1) || tn AS p, COUNT(*) AS c\n"
+            f"           FROM seq{k} WHERE tn IS NOT NULL GROUP BY p),\n"
+            f"best{k} AS (SELECT p, c FROM cnt{k} ORDER BY c DESC, p ASC LIMIT 1),\n"
+            f"m{k} AS (SELECT s.doc_id, s.i\n"
+            f"         FROM seq{k} s, best{k} b\n"
+            f"         WHERE s.tn IS NOT NULL AND s.t || chr(1) || s.tn = b.p),\n"
+            f"runs{k} AS (SELECT doc_id, i,\n"
+            f"                   i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rid\n"
+            f"            FROM m{k}),\n"
+            f"keep{k} AS (SELECT doc_id, i FROM (\n"
+            f"              SELECT doc_id, i,\n"
+            f"                     MIN(i) OVER (PARTITION BY doc_id, rid) AS rmin\n"
+            f"              FROM runs{k})\n"
+            f"            WHERE (i - rmin) % 2 = 0),\n"
+            f"tok{k} AS (SELECT s.doc_id,\n"
+            f"                  ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY s.i) AS i,\n"
+            f"                  CASE WHEN km.i IS NOT NULL THEN s.t || chr(1) || s.tn\n"
+            f"                       ELSE s.t END AS t\n"
+            f"           FROM seq{k} s\n"
+            f"           LEFT JOIN keep{k} km ON km.doc_id = s.doc_id AND km.i = s.i\n"
+            f"           LEFT JOIN keep{k} kp ON kp.doc_id = s.doc_id AND kp.i = s.i - 1\n"
+            f"           WHERE kp.i IS NULL)"
+        )
+    selects = [
+        f"SELECT {k} AS it, p AS pair, CAST(c AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_BPE_TRAIN_MERGES = _bpe_sql(3)
+
+
 def q_snapshot_full_outer(sf_dir: str, n_buckets: int = 64):
     """Snapshot diff as a FULL OUTER join — the join-algebra member the
     registry lacked (inner/left/anti/semi/range/as-of are covered): per
@@ -6695,6 +6852,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_event_gaps": q_user_event_gaps,
     "bigram_logprob": q_bigram_logprob,
     "snapshot_full_outer": q_snapshot_full_outer,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6792,4 +6950,5 @@ ORACLE_SQL: dict[str, str] = {
     "user_event_gaps": SQL_USER_EVENT_GAPS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "snapshot_full_outer": SQL_SNAPSHOT_FULL_OUTER,
+    "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
 }

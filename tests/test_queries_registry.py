@@ -88,6 +88,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "user_event_gaps",
         "bigram_logprob",
         "snapshot_full_outer",
+        "bpe_train_merges",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -183,3 +183,64 @@ def test_bigram_bucketed_equals_broadcast_randomized(ray_session, tmp_path):
     )
     want = con.execute(q.ORACLE_SQL["bigram_logprob"]).df()
     _compare(q.QUERIES["bigram_logprob"](d), want)
+
+
+def test_bpe_train_merges_hand_traced(ray_session, tmp_path):
+    """'x y x y x y' x3 docs: round 1 merges 'x y' (count 9, greedy
+    leftmost); round 2 must merge the MERGED token with its neighbor —
+    pinning that merged tokens re-enter the pair pool."""
+    d = _docs_dir(tmp_path, [0, 1, 2], ["x y x y x y"] * 3, ["en"] * 3)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["bpe_train_merges"]).df()
+    df = _compare(q.QUERIES["bpe_train_merges"](d), want)
+    r = df.set_index("it")
+    assert r.loc[1, "pair"] == "x\x01y" and r.loc[1, "pair_count"] == 9
+    # after round 1 every doc is [xy, xy, xy]: round 2 pair = (xy, xy),
+    # count 6 (two adjacencies per doc)
+    assert r.loc[2, "pair"] == "x\x01y\x01x\x01y"
+    assert r.loc[2, "pair_count"] == 6
+
+
+def test_bpe_greedy_same_token_run_parity(ray_session, tmp_path):
+    """'a a a a a' (5 tokens): pair (a,a) matches at 4 consecutive
+    positions; greedy leftmost keeps offsets 0 and 2 -> [aa, aa, a].
+    Count reported for round 1 is 4 (pre-merge adjacency count); round
+    2's recount must see [aa, aa, a] on both engines."""
+    d = _docs_dir(tmp_path, [0], ["a a a a a"], ["en"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["bpe_train_merges"]).df()
+    df = _compare(q.QUERIES["bpe_train_merges"](d), want)
+    r = df.set_index("it")
+    assert r.loc[1, "pair"] == "a\x01a" and r.loc[1, "pair_count"] == 4
+    # round 2 recount on [aa, aa, a]: (aa,aa) and (aa,a) tie at 1;
+    # pair-ASC picks the shorter key (prefix sorts first) -> (aa, a)
+    assert r.loc[2, "pair"] == "a\x01a\x01a" and r.loc[2, "pair_count"] == 1
+    # round 3 on [aa, aaa]: the single remaining adjacency
+    assert r.loc[3, "pair"] == "a\x01a\x01a\x01a\x01a"
+    assert r.loc[3, "pair_count"] == 1
+
+
+def test_bpe_randomized_cross_check(ray_session, tmp_path):
+    rng = np.random.default_rng(20260820)
+    vocab = np.array([f"w{i}" for i in range(12)])
+    pv = (1.0 / np.arange(1, 13)) / np.sum(1.0 / np.arange(1, 13))
+    n = 120
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 20), p=pv))
+        for _ in range(n)
+    ]
+    texts[5] = "w0 w0 w0 w0 w0 w0"  # same-token run stress
+    d = _docs_dir(tmp_path, list(range(n)), texts, ["en"] * n)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["bpe_train_merges"]).df()
+    df = _compare(q.QUERIES["bpe_train_merges"](d), want)
+    assert len(df) == 3
