@@ -34,7 +34,11 @@ from rapidocr_ray.functions.textstats import (
     quality_stats_batch,
     rolling_fingerprint,
 )
-from rapidocr_ray.util import ensure_worker_importable, lru_cache_get
+from rapidocr_ray.util import (
+    ensure_worker_importable,
+    lru_cache_get,
+    stack_list_column,
+)
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -6014,6 +6018,147 @@ FROM documents GROUP BY ((doc_id % 29) + 29) % 29
 """
 
 
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB's `//` on signed
+    values, verified: -7 // 2 = -3) — Python's // floors, so negative
+    centroid sums would diverge without this."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def q_kmeans_int_iters(sf_dir: str, k: int = 4, n_iter: int = 3, scale: int = 1_000_000):
+    """Distributed Lloyd's k-means, bit-pinned end to end — the
+    iterative ML-training sibling of bpe_train_merges: embeddings
+    quantize to int64 micros (floor(float64(x)*1e6) — float32→double
+    is exact, so both engines see identical ints), distances are exact
+    int64 L2 sums, assignment ties break to the lowest cluster id, and
+    the centroid update is TRUNCATING integer mean (DuckDB `//`
+    semantics, mirrored by _tdiv) with empty clusters keeping their
+    previous centroid.  Seeds = the k smallest vec_ids' vectors.
+    Output = the third assignment pass (vec_id, cluster, dist) — its
+    hash covers every distance, argmin and update of the full loop.
+
+    Scale shape: the canonical distributed k-means — per-batch
+    assignment + per-cluster (count, dim-sum) partials inside the scan
+    task (centroids broadcast by value: k x dim ints), driver reduces
+    k x n_blocks partial rows per round; the corpus never shuffles."""
+    ids, mat = _load_queries(sf_dir, n=k)
+    cent = np.floor(mat * scale).astype(np.int64)  # (k, dim)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = cent.shape[1]
+
+    def quant(batch: pa.Table) -> np.ndarray:
+        # stack_list_column imported at module top: a function-local
+        # `from rapidocr_ray...` import inside a WORKER closure breaks
+        # under by-value module shipping (the verify-skill gotcha)
+        return np.floor(
+            stack_list_column(batch.column("embedding"), dtype=np.float64) * scale
+        ).astype(np.int64)
+
+    def assign(emb: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        dists = np.empty((len(emb), len(c)), dtype=np.int64)
+        for j in range(len(c)):
+            d = emb - c[j]
+            dists[:, j] = np.einsum("ij,ij->i", d, d)
+        best = np.argmin(dists, axis=1)  # first min = lowest-id tiebreak
+        return best, dists[np.arange(len(emb)), best]
+
+    for _ in range(n_iter - 1):
+        c_now = cent.copy()
+
+        def partials(batch: pa.Table, _c=c_now) -> pa.Table:
+            emb = quant(batch)
+            best, _ = assign(emb, _c)
+            rows = []
+            for j in range(len(_c)):
+                sel = emb[best == j]
+                rows.append((j, len(sel), sel.sum(axis=0, dtype=np.int64)))
+            return pa.table(
+                {
+                    "cl": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "n": pa.array([r[1] for r in rows], type=pa.int64()),
+                    "s": pa.array(
+                        [r[2].tolist() for r in rows], type=pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+        pdf = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        new = cent.copy()
+        for j in range(k):
+            sub = pdf[pdf.cl == j]
+            n = int(sub.n.sum())
+            if n == 0:
+                continue  # empty cluster keeps its previous centroid
+            sums = np.sum(np.stack(sub.s.to_numpy()), axis=0)
+            # Python ints: exact at any corpus size; trunc-div pin
+            new[j] = [_tdiv(int(s), n) for s in sums]
+        cent = new
+
+    c_final = cent
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        emb = quant(batch)
+        best, dist = assign(emb, c_final)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(best.astype(np.int64), type=pa.int64()),
+                "dist": pa.array(dist, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _kmeans_sql(k: int = 4, n_iter: int = 3) -> str:
+    """Unrolled-iteration DuckDB oracle for q_kmeans_int_iters: same
+    int64 quantization, exact L2, (dist, cl) argmin, truncating `//`
+    centroid mean, COALESCE empty-cluster carry."""
+    parts = [
+        "WITH q AS (SELECT vec_id, i,\n"
+        "                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)\n"
+        "                       AS BIGINT) AS v\n"
+        "           FROM embeddings,\n"
+        "                UNNEST(generate_series(1, len(embedding))) AS g(i)),\n"
+        f"seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl\n"
+        f"          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),\n"
+        "c0 AS (SELECT s.cl, q.i, q.v AS c FROM seeds s JOIN q USING (vec_id))"
+    ]
+    for r in range(1, n_iter):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, cl FROM (\n"
+            f"           SELECT q.vec_id, c.cl,\n"
+            f"                  ROW_NUMBER() OVER (PARTITION BY q.vec_id\n"
+            f"                      ORDER BY SUM((q.v - c.c) * (q.v - c.c)) ASC,\n"
+            f"                               c.cl ASC) AS rn\n"
+            f"           FROM q JOIN c{r - 1} c ON c.i = q.i\n"
+            f"           GROUP BY q.vec_id, c.cl) WHERE rn = 1),\n"
+            f"u{r} AS (SELECT a.cl, q.i, CAST(SUM(q.v) // COUNT(*) AS BIGINT) AS c\n"
+            f"         FROM a{r} a JOIN q USING (vec_id) GROUP BY a.cl, q.i),\n"
+            f"c{r} AS (SELECT p.cl, p.i, COALESCE(u.c, p.c) AS c\n"
+            f"         FROM c{r - 1} p LEFT JOIN u{r} u ON u.cl = p.cl AND u.i = p.i)"
+        )
+    last = n_iter - 1
+    parts.append(
+        f"fin AS (SELECT q.vec_id, c.cl,\n"
+        f"               SUM((q.v - c.c) * (q.v - c.c)) AS d,\n"
+        f"               ROW_NUMBER() OVER (PARTITION BY q.vec_id\n"
+        f"                   ORDER BY SUM((q.v - c.c) * (q.v - c.c)) ASC,\n"
+        f"                            c.cl ASC) AS rn\n"
+        f"        FROM q JOIN c{last} c ON c.i = q.i\n"
+        f"        GROUP BY q.vec_id, c.cl)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist"
+        + "\nFROM fin WHERE rn = 1"
+    )
+
+
+SQL_KMEANS_INT_ITERS = _kmeans_sql(4, 3)
+
+
 def _bpe_apply_merges(
     flat: np.ndarray, lens: np.ndarray, merges: list[str]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -6853,6 +6998,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_logprob": q_bigram_logprob,
     "snapshot_full_outer": q_snapshot_full_outer,
     "bpe_train_merges": q_bpe_train_merges,
+    "kmeans_int_iters": q_kmeans_int_iters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6951,4 +7097,5 @@ ORACLE_SQL: dict[str, str] = {
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "snapshot_full_outer": SQL_SNAPSHOT_FULL_OUTER,
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
+    "kmeans_int_iters": SQL_KMEANS_INT_ITERS,
 }

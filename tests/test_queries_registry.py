@@ -89,6 +89,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "bigram_logprob",
         "snapshot_full_outer",
         "bpe_train_merges",
+        "kmeans_int_iters",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -244,3 +244,104 @@ def test_bpe_randomized_cross_check(ray_session, tmp_path):
     want = con.execute(q.ORACLE_SQL["bpe_train_merges"]).df()
     df = _compare(q.QUERIES["bpe_train_merges"](d), want)
     assert len(df) == 3
+
+
+def _emb_dir(tmp_path, ids, vecs, name="emb"):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), type=pa.int32()),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def _km_oracle(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con.execute(q.ORACLE_SQL["kmeans_int_iters"]).df()
+
+
+def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
+    """Four tight well-separated blobs, seeds one-per-blob (smallest
+    vec_ids 0..3 land in distinct blobs): Lloyd must assign every
+    member to its blob and match the oracle bit-for-bit; negative
+    coordinates exercise the truncating `//` centroid mean."""
+    rng = np.random.default_rng(5)
+    centers = np.array(
+        [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4, [-5.0] * 4 + [5.0] * 4]
+    )
+    ids, vecs = [], []
+    for j in range(4):
+        ids.append(j)  # seed for blob j
+        vecs.append(centers[j])
+    nid = 4
+    for j in range(4):
+        for _ in range(20):
+            ids.append(nid)
+            vecs.append(centers[j] + rng.normal(0, 0.3, size=8))
+            nid += 1
+    d = _emb_dir(tmp_path, ids, vecs)
+    df = q.QUERIES["kmeans_int_iters"](d).to_pandas()
+    want = _km_oracle(d)
+    cols = sorted(df.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # blob membership recovered exactly (separation >> noise)
+    r = df.set_index("vec_id").cluster
+    for j in range(4):
+        members = [j] + [4 + j * 20 + t for t in range(20)]
+        assert (r[members] == r[j]).all()
+    assert r[[0, 1, 2, 3]].nunique() == 4
+
+
+def test_kmeans_empty_cluster_keeps_seed(ray_session, tmp_path):
+    """A seed with no nearby points loses every assignment round; its
+    centroid must carry over unchanged (COALESCE pin) on both engines."""
+    vecs = [
+        [100.0, 100.0],  # vec 0: isolated seed — nothing assigns closer to others? it keeps itself
+        [0.0, 0.0],
+        [0.1, 0.1],
+        [0.2, 0.0],
+        [-0.1, 0.0],
+        [0.0, 0.1],
+        [50.0, 50.0],  # between, but nearer the origin blob? no - nearer 100? equidistantish
+    ]
+    ids = list(range(len(vecs)))
+    d = _emb_dir(tmp_path, ids, vecs)
+    df = q.QUERIES["kmeans_int_iters"](d).to_pandas()
+    want = _km_oracle(d)
+    cols = sorted(df.columns)
+    pd.testing.assert_frame_equal(
+        df[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_kmeans_randomized_cross_check(ray_session, tmp_path):
+    """Seeded random embeddings incl. negatives and near-ties — 3 Lloyd
+    rounds must match the unrolled oracle bit-for-bit."""
+    rng = np.random.default_rng(20260820)
+    n, dim = 120, 16
+    vecs = rng.normal(0, 1, size=(n, dim))
+    vecs[10] = vecs[11]  # exact duplicate -> identical dist rows
+    d = _emb_dir(tmp_path, list(range(n)), vecs)
+    df = q.QUERIES["kmeans_int_iters"](d).to_pandas()
+    want = _km_oracle(d)
+    cols = sorted(df.columns)
+    pd.testing.assert_frame_equal(
+        df[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
