@@ -5253,7 +5253,99 @@ FROM documents
 """
 
 
-def q_temperature_resample(sf_dir: str, alpha_is_half: bool = True):
+def _doc_bucket(ids_col, n_buckets: int) -> pa.Array:
+    """Shared multiplicative doc_id -> bucket hash for the doc-keyed
+    merge shuffles (one definition so the NB/bigram bucketed plans and
+    their side tables cannot mis-partition by a drifted copy)."""
+    ids = np.asarray(ids_col, dtype=np.uint64)
+    return pa.array(
+        (ids * np.uint64(2654435761) % np.uint64(2**32) % np.uint64(n_buckets)).astype(
+            np.int64
+        ),
+        type=pa.int64(),
+    )
+
+
+def _uni_count_partial(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Per-batch corpus unigram count partial, crc32(token)-bucketed —
+    shared by the bigram twins (their bit-equality is test-pinned, so
+    the tokenize/count/bucket kernel must be ONE definition)."""
+    import zlib
+
+    flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+    agg = pa.table({"t": flat}).group_by(["t"]).aggregate([("t", "count")])
+    bucket = pa.array(
+        (zlib.crc32(s.encode()) % n_buckets for s in agg.column("t").to_pylist()),
+        type=pa.int64(),
+    )
+    return pa.table(
+        {"t": agg.column("t"), "c": agg.column("t_count"), "bucket": bucket}
+    )
+
+
+def _uni_count_merge(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.groupby("t", sort=False)["c"].sum()
+    return pd.DataFrame({"t": g.index, "c": g.to_numpy().astype(np.int64)})
+
+
+def _bigram_pair_partial(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Per-batch (w1, pair) count partial, crc32(pair)-bucketed — the
+    one tokenize/pair/bucket kernel both bigram plans share."""
+    import zlib
+
+    toks = pc.split_pattern(batch.column("text"), " ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = np.asarray(pc.list_flatten(toks), dtype=object)
+    ends = np.cumsum(lens)
+    mask = np.ones(len(flat), dtype=bool)
+    mask[ends - 1] = False
+    pi = np.flatnonzero(mask)
+    df = pd.DataFrame({"w1": flat[pi], "p": flat[pi] + " " + flat[pi + 1]})
+    g = df.groupby(["w1", "p"], as_index=False).size()
+    g["bucket"] = [zlib.crc32(s.encode()) % n_buckets for s in g.p]
+    return pa.Table.from_pandas(g.rename(columns={"size": "c2"}), preserve_index=False)
+
+
+def _bigram_pair_merge(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.groupby(["w1", "p"], as_index=False)["c2"].sum()
+    g["c2"] = g.c2.astype(np.int64)
+    return g
+
+
+def _lang_token_partial(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Per-batch (lang, token) count partial, crc32(token)-bucketed —
+    shared by zipf_slope and the NB plans (one tokenize/bucket kernel
+    so the oracle-pinned twins cannot drift)."""
+    import zlib
+
+    toks = pc.split_pattern(batch.column("text"), " ")
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    langs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
+    flat = pc.list_flatten(toks)
+    t = pa.table(
+        {
+            "lang": pa.array(langs, type=pa.string()),
+            "token": flat,
+            "n": np.ones(len(flat), dtype=np.int64),
+        }
+    )
+    agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+    buckets = np.fromiter(
+        (zlib.crc32(s.encode()) % n_buckets for s in agg.column("token").to_pylist()),
+        dtype=np.int64,
+        count=agg.num_rows,
+    )
+    return pa.table(
+        {
+            "lang": agg.column("lang"),
+            "token": agg.column("token"),
+            "n": agg.column("n_sum"),
+            "bucket": buckets,
+        }
+    )
+
+
+def q_temperature_resample(sf_dir: str):
     """Multilingual temperature resampling (the XLM-R/mT5 alpha-smoothed
     rebalance): per-lang sampling mass q_l proportional to n_l^0.5, and a
     deterministic per-doc keep decision at rate r_l = q_l * N / n_l (capped
@@ -5276,12 +5368,14 @@ def q_temperature_resample(sf_dir: str, alpha_is_half: bool = True):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        return (
+        agg = (
             pa.table({"lang": batch.column("lang")})
             .group_by(["lang"])
             .aggregate([("lang", "count")])
-            .rename_columns(["lang", "n"])
         )
+        # by-name access: positional rename assumes keys-first aggregate
+        # output, which has differed across pyarrow majors
+        return pa.table({"lang": agg.column("lang"), "n": agg.column("lang_count")})
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("lang", sort=False)["n"].sum()
@@ -5344,11 +5438,15 @@ r AS (SELECT lang,
       FROM w, t)
 SELECT d.doc_id, d.lang, CAST(r.rate_micro AS BIGINT) AS rate_micro
 FROM documents d JOIN r USING (lang)
-WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < r.rate_micro
+WHERE (((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
+        + 4294967296) % 4294967296) % 1000000 < r.rate_micro
 """
 
 
-def q_zipf_slope(sf_dir: str, k: int = 100, n_buckets: int = 64):
+_ZIPF_K = 100
+
+
+def q_zipf_slope(sf_dir: str, k: int = _ZIPF_K, n_buckets: int = 64):
     """Per-language Zipf exponent: OLS slope of log10(count) on
     log10(rank) over the top-k vocabulary (count desc, token asc rank
     order) — the corpus-health statistic a crawl curation run charts per
@@ -5369,41 +5467,10 @@ def q_zipf_slope(sf_dir: str, k: int = 100, n_buckets: int = 64):
     shuffle with per-bucket per-lang top-k pruning (the top_terms shape —
     the second shuffle carries <= n_buckets * n_langs * k rows), and only
     n_langs * k rows reach the driver for the exact-int OLS."""
-    import zlib
-
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), " ")
-        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-        langs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
-        flat = pc.list_flatten(toks)
-        t = pa.table(
-            {
-                "lang": pa.array(langs, type=pa.string()),
-                "token": flat,
-                "n": np.ones(len(flat), dtype=np.int64),
-            }
-        )
-        agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
-        buckets = np.fromiter(
-            (
-                zlib.crc32(s.encode()) % n_buckets
-                for s in agg.column("token").to_pylist()
-            ),
-            dtype=np.int64,
-            count=agg.num_rows,
-        )
-        return pa.table(
-            {
-                "lang": agg.column("lang"),
-                "token": agg.column("token"),
-                "n": agg.column("n_sum"),
-                "bucket": buckets,
-            }
-        )
-
-    part = ds.map_batches(partial, batch_format="pyarrow")
+    part = ds.map_batches(
+        lambda b: _lang_token_partial(b, n_buckets), batch_format="pyarrow"
+    )
 
     def merge_prune(group: pd.DataFrame) -> pd.DataFrame:
         out = group.groupby(["lang", "token"], as_index=False)["n"].sum()
@@ -5451,7 +5518,7 @@ def q_zipf_slope(sf_dir: str, k: int = 100, n_buckets: int = 64):
     )
 
 
-SQL_ZIPF_SLOPE = """
+SQL_ZIPF_SLOPE = f"""
 WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
 cnt AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
 r AS (SELECT lang, t, c,
@@ -5460,7 +5527,7 @@ r AS (SELECT lang, t, c,
 q AS (SELECT lang,
              CAST(floor(log10(CAST(rn AS DOUBLE)) * 1000) AS HUGEINT) AS x,
              CAST(floor(log10(CAST(c AS DOUBLE)) * 1000) AS HUGEINT) AS y
-      FROM r WHERE rn <= 100),
+      FROM r WHERE rn <= {_ZIPF_K}),
 s AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS kk,
              SUM(x) AS sx, SUM(y) AS sy,
              SUM(x * y) AS sxy, SUM(x * x) AS sxx
@@ -5568,25 +5635,12 @@ def q_nb_classify(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: int 
     vectors attach to exploded tokens in the same token buckets, per-doc
     vector partials merge in ONE doc-bucketed shuffle, and the argmax
     runs vectorized per bucket (equality-pinned by test)."""
-    import zlib
-
     import ray
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), " ")
-        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-        langs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
-        flat = pc.list_flatten(toks)
-        t = pa.table(
-            {
-                "lang": pa.array(langs, type=pa.string()),
-                "token": flat,
-                "n": np.ones(len(flat), dtype=np.int64),
-            }
-        )
-        agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        tok_part = _lang_token_partial(batch, n_buckets)
         # one doc-count row per (lang) rides along with token counts so a
         # single pass feeds counts, priors and totals (token "" cannot
         # collide: doc rows are marked by n = -count)
@@ -5594,22 +5648,6 @@ def q_nb_classify(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: int 
             pa.table({"lang": batch.column("lang")})
             .group_by(["lang"])
             .aggregate([("lang", "count")])
-        )
-        buckets = np.fromiter(
-            (
-                zlib.crc32(s.encode()) % n_buckets
-                for s in agg.column("token").to_pylist()
-            ),
-            dtype=np.int64,
-            count=agg.num_rows,
-        )
-        tok_part = pa.table(
-            {
-                "lang": agg.column("lang"),
-                "token": agg.column("token"),
-                "n": agg.column("n_sum"),
-                "bucket": buckets,
-            }
         )
         doc_part = pa.table(
             {
@@ -5629,19 +5667,17 @@ def q_nb_classify(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: int 
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(merge, batch_format="pandas")
+        .materialize()  # consumed twice (count gate + collect/fallback)
     )
 
+    if counts.count() > broadcast_limit:
+        # grid too large for the driver: the documented bucketed plan,
+        # reusing the counts already materialized above
+        return q_nb_classify_bucketed(sf_dir, n_buckets=n_buckets, _counts_ds=counts)
     # model-build inputs: per-lang doc counts (negative marker rows),
     # per-lang token totals and vocabulary size are all LANG- or
     # VOCAB-bounded aggregates, never corpus-sized
-    cdf = counts.to_pandas() if counts.count() <= broadcast_limit else None
-
-    if cdf is None:
-        raise NotImplementedError(
-            "nb_classify: vocabulary x lang grid exceeds broadcast_limit; "
-            "use the bucketed fallback via q_nb_classify_bucketed"
-        )
-    return _nb_finish_broadcast(ds, cdf, ray)
+    return _nb_finish_broadcast(ds, counts.to_pandas(), ray)
 
 
 def _nb_model(cdf: pd.DataFrame):
@@ -5712,36 +5748,82 @@ def _nb_finish_broadcast(ds, cdf: pd.DataFrame, ray):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64):
+def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64, _counts_ds=None):
     """Large-vocab NB fallback: the (V x L) grid never reaches the
     driver.  lp vectors are computed per token INSIDE the count-merge
     buckets (each needs only lang totals + V — tiny scalars broadcast by
     value), attach to exploded doc tokens in the same buckets, and
     per-doc partial score vectors merge through one doc-bucketed
-    shuffle.  Must equal q_nb_classify bit-for-bit (pinned by test)."""
+    shuffle.  Must equal q_nb_classify bit-for-bit (pinned by test).
+
+    ``_counts_ds`` lets q_nb_classify hand over its already-materialized
+    merged (lang, token, n) table (doc-prior rows marked n < 0) so the
+    over-limit handoff does not recount the corpus from raw text."""
     import zlib
 
     import ray
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
-    # pass 1: lang-bounded scalars (doc counts, token totals) + vocab size
+    if _counts_ds is None:
+        # standalone entry: build the same merged counts q_nb_classify
+        # builds (shared _lang_token_partial kernel + doc-marker rows)
+        def partial(batch: pa.Table) -> pa.Table:
+            tok_part = _lang_token_partial(batch, n_buckets)
+            dagg = (
+                pa.table({"lang": batch.column("lang")})
+                .group_by(["lang"])
+                .aggregate([("lang", "count")])
+            )
+            doc_part = pa.table(
+                {
+                    "lang": dagg.column("lang"),
+                    "token": pa.array([None] * dagg.num_rows, type=pa.string()),
+                    "n": pc.multiply(dagg.column("lang_count"), -1),
+                    "bucket": pa.array([0] * dagg.num_rows, type=pa.int64()),
+                }
+            )
+            return pa.concat_tables([tok_part, doc_part])
+
+        _counts_ds = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(
+                lambda g: g.groupby(
+                    ["lang", "token"], dropna=False, as_index=False
+                )["n"].sum(),
+                batch_format="pandas",
+            )
+            .materialize()  # consumed three times below
+        )
+
+    # lang-bounded scalars (doc counts, token totals) from the counts
+    # table — one cheap pass over vocab-sized rows, not the corpus
     def lang_partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), " ")
-        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-        lt = pd.DataFrame(
-            {"lang": np.asarray(batch.column("lang"), dtype=object), "nt": lens}
-        ).groupby("lang")
+        df = pd.DataFrame(
+            {
+                "lang": np.asarray(batch.column("lang"), dtype=object),
+                "tok_null": pc.is_null(batch.column("token")).to_numpy(
+                    zero_copy_only=False
+                ),
+                "n": np.asarray(batch.column("n"), dtype=np.int64),
+            }
+        )
+        langs_u = pd.Index(pd.unique(df.lang))
+        d = (
+            df[df.tok_null].groupby("lang").n.sum().mul(-1).reindex(langs_u).fillna(0)
+        )
+        nt = df[~df.tok_null].groupby("lang").n.sum().reindex(langs_u).fillna(0)
         return pa.table(
             {
-                "lang": pa.array(lt.size().index, type=pa.string()),
-                "d": pa.array(lt.size().to_numpy(np.int64), type=pa.int64()),
-                "nt": pa.array(lt["nt"].sum().to_numpy(np.int64), type=pa.int64()),
+                "lang": pa.array(langs_u, type=pa.string()),
+                "d": pa.array(d.to_numpy(np.int64), type=pa.int64()),
+                "nt": pa.array(nt.to_numpy(np.int64), type=pa.int64()),
             }
         )
 
     lang_df = (
-        ds.map_batches(lang_partial, batch_format="pyarrow")
+        _counts_ds.map_batches(lang_partial, batch_format="pyarrow")
         .groupby("lang")
         .map_groups(
             lambda g: g.groupby("lang", as_index=False)[["d", "nt"]].sum(),
@@ -5753,37 +5835,25 @@ def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64):
     lang_df = lang_df.set_index("lang").reindex(langs)
     d_total = int(lang_df.d.sum())
 
-    def tok_partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), " ")
-        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-        lgs = np.repeat(np.asarray(batch.column("lang"), dtype=object), lens)
-        flat = pc.list_flatten(toks)
-        t = pa.table(
-            {
-                "lang": pa.array(lgs, type=pa.string()),
-                "token": flat,
-                "n": np.ones(len(flat), dtype=np.int64),
-            }
-        )
-        agg = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
-        buckets = np.fromiter(
-            (
-                zlib.crc32(s.encode()) % n_buckets
-                for s in agg.column("token").to_pylist()
-            ),
-            dtype=np.int64,
-            count=agg.num_rows,
-        )
+    def rebucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column("token"))
+        t = batch.filter(keep)
         return pa.table(
             {
-                "lang": agg.column("lang"),
-                "token": agg.column("token"),
-                "n": agg.column("n_sum"),
-                "bucket": buckets,
+                "lang": t.column("lang"),
+                "token": t.column("token"),
+                "n": t.column("n"),
+                "bucket": pa.array(
+                    [
+                        zlib.crc32(s.encode()) % n_buckets
+                        for s in t.column("token").to_pylist()
+                    ],
+                    type=pa.int64(),
+                ),
             }
         )
 
-    tok_counts = ds.map_batches(tok_partial, batch_format="pyarrow")
+    tok_counts = _counts_ds.map_batches(rebucket, batch_format="pyarrow")
     # v = global distinct tokens: distinct per bucket sums exactly
     v = int(
         tok_counts.groupby("bucket")
@@ -5882,11 +5952,7 @@ def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64):
         out = g.sum()
         out["n_toks"] = g.size().to_numpy(np.int64)
         out = out.reset_index(names="doc_id")
-        out["dbucket"] = (
-            out.doc_id.to_numpy(np.uint64) * np.uint64(2654435761)
-            % np.uint64(2**32)
-            % np.uint64(n_buckets)
-        ).astype(np.int64)
+        out["dbucket"] = np.asarray(_doc_bucket(out.doc_id.to_numpy(np.int64), n_buckets))
         return out
 
     partials = both.groupby("bucket").map_groups(attach, batch_format="pandas")
@@ -5894,17 +5960,11 @@ def q_nb_classify_bucketed(sf_dir: str, n_buckets: int = 64):
     # lang of each doc rides in a narrow side table joined in the final
     # doc-bucketed merge (same buckets)
     def doc_lang(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "lang": batch.column("lang"),
-                "dbucket": pa.array(
-                    (ids * np.uint64(2654435761) % np.uint64(2**32) % np.uint64(n_buckets)).astype(
-                        np.int64
-                    ),
-                    type=pa.int64(),
-                ),
+                "dbucket": _doc_bucket(batch.column("doc_id"), n_buckets),
             }
         )
 
@@ -6412,54 +6472,31 @@ def q_bigram_logprob(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: i
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
-        agg = pa.table({"t": flat}).group_by(["t"]).aggregate([("t", "count")])
-        bucket = pa.array(
-            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("t").to_pylist()),
-            type=pa.int64(),
-        )
-        return agg.rename_columns(["t", "c"]).append_column("bucket", bucket)
-
-    def uni_merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("t", sort=False)["c"].sum()
-        return pd.DataFrame({"t": g.index, "c": g.to_numpy().astype(np.int64)})
-
     uni_ds = (
-        ds.map_batches(uni_partial, batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: _uni_count_partial(b, n_buckets), batch_format="pyarrow"
+        )
         .groupby("bucket")
-        .map_groups(uni_merge, batch_format="pandas")
+        .map_groups(_uni_count_merge, batch_format="pandas")
     )
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), " ")
-        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = np.asarray(pc.list_flatten(toks), dtype=object)
-        ends = np.cumsum(lens)
-        mask = np.ones(len(flat), dtype=bool)
-        mask[ends - 1] = False
-        pi = np.flatnonzero(mask)
-        df = pd.DataFrame({"w1": flat[pi], "p": flat[pi] + " " + flat[pi + 1]})
-        g = df.groupby(["w1", "p"], as_index=False).size()
-        g["bucket"] = [zlib.crc32(s.encode()) % n_buckets for s in g.p]
-        return pa.Table.from_pandas(
-            g.rename(columns={"size": "c2"}), preserve_index=False
-        )
-
-    def pair_merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby(["w1", "p"], as_index=False)["c2"].sum()
-        g["c2"] = g.c2.astype(np.int64)
-        return g
-
     pair_ds = (
-        ds.map_batches(pair_partial, batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: _bigram_pair_partial(b, n_buckets), batch_format="pyarrow"
+        )
         .groupby("bucket")
-        .map_groups(pair_merge, batch_format="pandas")
+        .map_groups(_bigram_pair_merge, batch_format="pandas")
+        .materialize()  # consumed twice (count gate + collect/handoff)
     )
 
     n_pairs = pair_ds.count()
     if n_pairs > broadcast_limit:
-        return q_bigram_logprob_bucketed(sf_dir, n_buckets=n_buckets)
+        # hand the finished count tables to the bucketed plan — the
+        # corpus is re-read only for the cheap explode pass, never
+        # recounted
+        return q_bigram_logprob_bucketed(
+            sf_dir, n_buckets=n_buckets, _uni_ds=uni_ds, _pair_ds=pair_ds
+        )
 
     uni = uni_ds.to_pandas()  # vocab-bounded
     pairs = pair_ds.to_pandas()  # observed-pair-bounded (<= broadcast_limit)
@@ -6507,53 +6544,59 @@ def q_bigram_logprob(sf_dir: str, broadcast_limit: int = 2_000_000, n_buckets: i
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def q_bigram_logprob_bucketed(sf_dir: str, n_buckets: int = 64):
+def q_bigram_logprob_bucketed(sf_dir: str, n_buckets: int = 64, _uni_ds=None, _pair_ds=None):
     """Large-pair-table bigram fallback: lp rows computed in w1-keyed
     buckets (pair counts meet their conditioning unigram counts where
     both live), re-keyed by pair hash to attach to exploded doc pairs,
     per-doc partials merged doc-bucketed.  Only scalars (V) broadcast.
-    Must equal q_bigram_logprob bit-for-bit (pinned by test)."""
+    Must equal q_bigram_logprob bit-for-bit (pinned by test).
+
+    ``_uni_ds``/``_pair_ds`` let q_bigram_logprob hand over its already
+    merged count tables on the over-limit path, so the corpus is
+    re-read only for the cheap explode pass — never recounted."""
     import zlib
 
     import ray
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    # unigram counts bucketed by crc32(t) — the W1 key space
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
-        agg = pa.table({"t": flat}).group_by(["t"]).aggregate([("t", "count")])
-        bucket = pa.array(
-            (zlib.crc32(s.encode()) % n_buckets for s in agg.column("t").to_pylist()),
-            type=pa.int64(),
+    if _uni_ds is None:
+        _uni_ds = (
+            ds.map_batches(
+                lambda b: _uni_count_partial(b, n_buckets), batch_format="pyarrow"
+            )
+            .groupby("bucket")
+            .map_groups(_uni_count_merge, batch_format="pandas")
         )
-        return agg.rename_columns(["t", "c"]).append_column("bucket", bucket)
-
-    def uni_merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("t", sort=False)["c"].sum()
-        return pd.DataFrame({"t": g.index, "c": g.to_numpy().astype(np.int64)})
-
-    uni_ds = (
-        ds.map_batches(uni_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(uni_merge, batch_format="pandas")
-    )
+    uni_ds = _uni_ds.materialize()  # consumed twice (v + w1-row union)
     v = int(uni_ds.count())
 
-    # pair counts bucketed by crc32(w1) so c2 meets c1 in one bucket
-    def pair_partial_w1(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), " ")
-        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = np.asarray(pc.list_flatten(toks), dtype=object)
-        ends = np.cumsum(lens)
-        mask = np.ones(len(flat), dtype=bool)
-        mask[ends - 1] = False
-        pi = np.flatnonzero(mask)
-        df = pd.DataFrame({"w1": flat[pi], "p": flat[pi] + " " + flat[pi + 1]})
-        g = df.groupby(["w1", "p"], as_index=False).size()
-        g["c"] = g["size"].astype(np.int64)
-        g["bucket"] = [zlib.crc32(s.encode()) % n_buckets for s in g.w1]
-        return pa.Table.from_pandas(g[["w1", "p", "c", "bucket"]], preserve_index=False)
+    if _pair_ds is None:
+        _pair_ds = (
+            ds.map_batches(
+                lambda b: _bigram_pair_partial(b, n_buckets), batch_format="pyarrow"
+            )
+            .groupby("bucket")
+            .map_groups(_bigram_pair_merge, batch_format="pandas")
+        )
+
+    # re-key the merged pair counts by crc32(w1) so c2 meets c1 in one
+    # bucket (vocab-sized re-map, not a corpus recount)
+    def pair_as_w1_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "p": batch.column("p"),
+                "c": batch.column("c2"),
+                "bucket": pa.array(
+                    [
+                        zlib.crc32(s.encode()) % n_buckets
+                        for s in batch.column("w1").to_pylist()
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
 
     # unigram rows ride in the SAME w1 buckets, marked by p = NULL
     def uni_as_w1_rows(batch: pa.Table) -> pa.Table:
@@ -6572,9 +6615,9 @@ def q_bigram_logprob_bucketed(sf_dir: str, n_buckets: int = 64):
             }
         )
 
-    both_counts = ds.map_batches(pair_partial_w1, batch_format="pyarrow").union(
-        uni_ds.map_batches(uni_as_w1_rows, batch_format="pyarrow")
-    )
+    both_counts = _pair_ds.map_batches(
+        pair_as_w1_rows, batch_format="pyarrow"
+    ).union(uni_ds.map_batches(uni_as_w1_rows, batch_format="pyarrow"))
 
     def lp_rows(group: pd.DataFrame) -> pd.DataFrame:
         unis = group[group.p.isna()]
@@ -6664,11 +6707,7 @@ def q_bigram_logprob_bucketed(sf_dir: str, n_buckets: int = 64):
                 "s": g["lp"].sum().to_numpy(np.int64),
             }
         )
-        out["dbucket"] = (
-            out.doc_id.to_numpy(np.uint64) * np.uint64(2654435761)
-            % np.uint64(2**32)
-            % np.uint64(n_buckets)
-        ).astype(np.int64)
+        out["dbucket"] = np.asarray(_doc_bucket(out.doc_id.to_numpy(np.int64), n_buckets))
         return out
 
     partials = (
@@ -6679,19 +6718,13 @@ def q_bigram_logprob_bucketed(sf_dir: str, n_buckets: int = 64):
 
     # all-docs side table so < 2-token docs emit (0, 0)
     def doc_side(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
         n = batch.num_rows
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
                 "s": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
-                "dbucket": pa.array(
-                    (
-                        ids * np.uint64(2654435761) % np.uint64(2**32) % np.uint64(n_buckets)
-                    ).astype(np.int64),
-                    type=pa.int64(),
-                ),
+                "dbucket": _doc_bucket(batch.column("doc_id"), n_buckets),
             }
         )
 

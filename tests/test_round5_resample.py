@@ -187,3 +187,68 @@ def test_audio_dup_groups_odd_length_word_alignment():
     assert len(p) % 2 == 0
     x, _, _ = decode_wav(p)
     assert len(x) == 3
+
+
+def test_temperature_resample_negative_doc_ids(ray_session, tmp_path):
+    """Corpus doc_ids are non-negative by contract, but the oracle's
+    HUGEINT positive-mod hash must still equal numpy's uint64 wrap on
+    negatives (the recurring mod-keyed-oracle pitfall)."""
+    ids = [-7, -3, -1, 0, 2, 5, 9, 11]
+    d = _docs_dir(tmp_path, ids, [f"t {abs(i)}" for i in ids])
+    _compare(q.QUERIES["temperature_resample"](d), _oracle(d, "temperature_resample"))
+
+
+def test_nb_auto_fallback_at_zero_limit(ray_session, tmp_path):
+    """broadcast_limit=0 must route q_nb_classify through the bucketed
+    plan automatically (not raise) and return the identical result."""
+    texts = [f"aaa w{i % 5}" if i % 2 else f"xxx v{i % 3}" for i in range(40)]
+    langs = ["en" if i % 2 else "fr" for i in range(40)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), type=pa.int64()),
+            "text": texts,
+            "lang": langs,
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "nbfb"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    a = (
+        q.q_nb_classify(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q.q_nb_classify(str(d), broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_bigram_auto_fallback_at_zero_limit(ray_session, tmp_path):
+    """broadcast_limit=0 must route q_bigram_logprob through the
+    bucketed plan (reusing the handed-over count tables) and return the
+    identical result."""
+    d = _docs_dir(
+        tmp_path,
+        [0, 1, 2],
+        ["a b a b c", "b c b", "solo"],
+        name="bgfb",
+    )
+    a = (
+        q.q_bigram_logprob(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q.q_bigram_logprob(d, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
