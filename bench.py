@@ -103,6 +103,8 @@ def bench_extract_multiline(sf_dir: str) -> tuple[float, int]:
 
 
 def _consume(ds) -> int:
+    if not hasattr(ds, "iter_batches"):  # driver-side pa.Table results
+        return ds.num_rows
     n = 0
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
         n += batch.num_rows
@@ -161,6 +163,9 @@ def main() -> None:
         # distributed NB train+classify: the heaviest round-5 widening
         # op (vocab-grid bucket merge + broadcast (V x L) scoring)
         "nb_classify",
+        # iterative BPE trainer: 3 full recount passes over the corpus
+        # (the k-pass distributed-trainer shape, cost ~ 3x a count op)
+        "bpe_train_merges",
         # link-graph family: edge derivation is two bounded shuffles
         # (the real cost at toy scale); the 5-round rank loop
         # auto-selects the driver-local tier on this 60-edge graph

@@ -2947,6 +2947,84 @@ FROM r
 """
 
 
+def q_events_cube(sf_dir: str):
+    """CUBE aggregate over (event_type, hour) — all FOUR grouping sets
+    (rollup emits three; the hour-only subtotal is the cube-specific
+    one), sentinel-encoded ('ALL' / -1) like events_rollup so the hash
+    compare is null-free.  Same scale shape: the finest key space is
+    bounded (#event_types x 24), per-batch partials collapse to ≤120
+    rows, ONE single-group merge derives every level vectorized."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+                "cents": pa.array(_cents(np.asarray(batch.column("value")))),
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        agg = t.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "hour": agg.column("hour"),
+                "cents": agg.column("cents_sum"),
+                "n": agg.column("n_sum"),
+                "bucket": np.zeros(agg.num_rows, dtype=np.int64),
+            }
+        )
+
+    import ray.data
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    # seed: CUBE over an empty table still emits the grand-total row
+    seed = ray.data.from_items(
+        [{"event_type": "\x00seed", "hour": -1, "cents": 0, "n": 0, "bucket": 0}]
+    )
+    part = part.union(seed)
+
+    def cube(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g.event_type != "\x00seed"]
+        fine = real.groupby(["event_type", "hour"], as_index=False)[["n", "cents"]].sum()
+        by_type = fine.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+        by_type["hour"] = -1
+        by_hour = fine.groupby("hour", as_index=False)[["n", "cents"]].sum()
+        by_hour["event_type"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "hour": [-1],
+                "n": [fine.n.sum()],
+                "cents": [fine.cents.sum()],
+            }
+        )
+        out = pd.concat([fine, by_type, by_hour, total], ignore_index=True)
+        out = out.rename(columns={"n": "n_events", "cents": "value_cents"})
+        out["hour"] = out.hour.astype(np.int64)
+        out["n_events"] = out.n_events.astype(np.int64)
+        out["value_cents"] = out.value_cents.astype(np.int64)
+        return out[["event_type", "hour", "n_events", "value_cents"]]
+
+    return part.groupby("bucket").map_groups(cube, batch_format="pandas")
+
+
+SQL_EVENTS_CUBE = """
+WITH r AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         count(*) AS n, SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY CUBE(event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT))
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(hour, -1) AS hour,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(COALESCE(cents, 0) AS BIGINT) AS value_cents
+FROM r
+"""
+
+
 def q_length_outliers(sf_dir: str):
     """Percentile-threshold filter (the 'drop the verbose tail'
     curation gate): keep documents at or above their language's exact
@@ -7032,6 +7110,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "snapshot_full_outer": q_snapshot_full_outer,
     "bpe_train_merges": q_bpe_train_merges,
     "kmeans_int_iters": q_kmeans_int_iters,
+    "events_cube": q_events_cube,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7131,4 +7210,5 @@ ORACLE_SQL: dict[str, str] = {
     "snapshot_full_outer": SQL_SNAPSHOT_FULL_OUTER,
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "kmeans_int_iters": SQL_KMEANS_INT_ITERS,
+    "events_cube": SQL_EVENTS_CUBE,
 }

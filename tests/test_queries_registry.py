@@ -90,6 +90,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "snapshot_full_outer",
         "bpe_train_merges",
         "kmeans_int_iters",
+        "events_cube",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

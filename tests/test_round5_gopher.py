@@ -159,3 +159,42 @@ def test_snapshot_full_outer_all_three_regions(ray_session, tmp_path):
     counts = sorted(map(tuple, df[["n_prior", "n_new"]].to_numpy().tolist()))
     # (prior, new): gone=(1,0), fresh=(0,2), same=(1,1), w1..w8=(1,1)
     assert counts == [(0, 2), (1, 0), (1, 1), (1, 1)]
+
+
+def test_events_cube_four_grouping_sets(ray_session, tmp_path):
+    """Two types x two hours: the cube must emit exactly fine(≤4) +
+    by-type(2) + by-hour(2) + total(1) rows with consistent sums, and
+    match GROUP BY CUBE bit-for-bit."""
+    rows = [
+        (1, "2026-01-01T03:10:00", 1, "view", 2.5),
+        (2, "2026-01-01T03:20:00", 1, "click", 1.0),
+        (3, "2026-01-01T07:30:00", 2, "view", 4.0),
+        (4, "2026-01-01T07:40:00", 2, "view", 0.5),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["events_cube"]).df()
+    df = _compare(q.QUERIES["events_cube"](str(d)), want)
+    # 3 fine cells + 2 type subtotals + 2 hour subtotals + 1 total
+    assert len(df) == 8
+    total = df[(df.event_type == "ALL") & (df.hour == -1)]
+    assert total.n_events.iloc[0] == 4 and total.value_cents.iloc[0] == 800
+    hour7 = df[(df.event_type == "ALL") & (df.hour == 7)]
+    assert hour7.n_events.iloc[0] == 2 and hour7.value_cents.iloc[0] == 450
