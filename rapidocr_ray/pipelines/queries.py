@@ -661,6 +661,139 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_user_running_totals_salted(sf_dir: str):
+    """The documented single-hot-key ESCALATION of user_running_totals,
+    implemented for real: a pathological user whose whole history cannot
+    fit one task is split into TIME-RANGE salt buckets (hour floor —
+    range salts stay contiguous in the running order, unlike hash
+    salts), each bucket computes its local prefix sums, a tiny
+    per-(user, bucket) totals table derives exclusive cross-bucket
+    offsets, and a second bucket-keyed pass adds them.  Output and
+    oracle are IDENTICAL to user_running_totals (equality-pinned) — the
+    price of skew safety is one extra bounded shuffle of narrow rows.
+
+    Scale shape: every shuffled group is bounded by a user-HOUR (not a
+    user); the offsets table is users x active-hours rows and never
+    holds raw events; no driver-side collection anywhere."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hb = pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "cents": pa.array(_cents(np.asarray(batch.column("value")))),
+                "hb": hb,
+            }
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+
+    def local_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        out = pd.DataFrame(
+            {
+                "event_id": g.event_id.to_numpy(np.int64),
+                "user_id": g.user_id.to_numpy(np.int64),
+                "hb": g.hb.to_numpy(np.int64),
+                "local_n": np.arange(1, len(g) + 1, dtype=np.int64),
+                "local_cents": np.cumsum(g.cents.to_numpy(np.int64)).astype(np.int64),
+            }
+        )
+        return out
+
+    local = rows.groupby(["user_id", "hb"]).map_groups(
+        local_prefix, batch_format="pandas"
+    )
+    # tiny totals: last local row per (user, bucket) — derived from the
+    # local table by a per-batch prune + the same bounded groupby
+    def bucket_totals(g: pd.DataFrame) -> pd.DataFrame:
+        last = g.loc[g.local_n.idxmax()]
+        return pd.DataFrame(
+            {
+                "user_id": [int(last.user_id)],
+                "hb": [int(last.hb)],
+                "tot_n": [int(last.local_n)],
+                "tot_cents": [int(last.local_cents)],
+            }
+        )
+
+    totals = local.groupby(["user_id", "hb"]).map_groups(
+        bucket_totals, batch_format="pandas"
+    )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hb")
+        return pd.DataFrame(
+            {
+                "user_id": g.user_id.to_numpy(np.int64),
+                "hb": g.hb.to_numpy(np.int64),
+                "off_n": np.concatenate(
+                    [[0], np.cumsum(g.tot_n.to_numpy(np.int64))[:-1]]
+                ).astype(np.int64),
+                "off_cents": np.concatenate(
+                    [[0], np.cumsum(g.tot_cents.to_numpy(np.int64))[:-1]]
+                ).astype(np.int64),
+            }
+        )
+
+    # per-user offset derivation shuffles only users x active-hours rows
+    off = totals.groupby("user_id").map_groups(offsets, batch_format="pandas")
+
+    def tag_local(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "hb": b.column("hb"),
+                "event_id": b.column("event_id"),
+                "local_n": b.column("local_n"),
+                "local_cents": b.column("local_cents"),
+                "off_n": pa.array(np.full(b.num_rows, -1), type=pa.int64()),
+                "off_cents": pa.array(np.full(b.num_rows, -1), type=pa.int64()),
+            }
+        )
+
+    def tag_off(b: pa.Table) -> pa.Table:
+        z = pa.array(np.full(b.num_rows, -1), type=pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "hb": b.column("hb"),
+                "event_id": z,
+                "local_n": z,
+                "local_cents": z,
+                "off_n": b.column("off_n"),
+                "off_cents": b.column("off_cents"),
+            }
+        )
+
+    merged = local.map_batches(tag_local, batch_format="pyarrow").union(
+        off.map_batches(tag_off, batch_format="pyarrow")
+    )
+
+    def add_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        orow = g[g.event_id < 0]
+        ev = g[g.event_id >= 0]
+        on = int(orow.off_n.iloc[0])
+        oc = int(orow.off_cents.iloc[0])
+        return pd.DataFrame(
+            {
+                "event_id": ev.event_id.to_numpy(np.int64),
+                "user_id": ev.user_id.to_numpy(np.int64),
+                "running_n": (ev.local_n.to_numpy(np.int64) + on).astype(np.int64),
+                "running_cents": (
+                    ev.local_cents.to_numpy(np.int64) + oc
+                ).astype(np.int64),
+            }
+        )
+
+    return merged.groupby(["user_id", "hb"]).map_groups(
+        add_offsets, batch_format="pandas"
+    )
+
+
 def q_score_filter(sf_dir: str):
     """M15 filter analog as a standalone relational op: vectorized
     predicate inside map_batches (score >= threshold)."""
@@ -7111,6 +7244,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "kmeans_int_iters": q_kmeans_int_iters,
     "events_cube": q_events_cube,
+    "user_running_totals_salted": q_user_running_totals_salted,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7211,4 +7345,6 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "kmeans_int_iters": SQL_KMEANS_INT_ITERS,
     "events_cube": SQL_EVENTS_CUBE,
+    # identical semantics to the unsalted plan — same oracle
+    "user_running_totals_salted": SQL_USER_RUNNING_TOTALS,
 }

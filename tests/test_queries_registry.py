@@ -91,6 +91,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "bpe_train_merges",
         "kmeans_int_iters",
         "events_cube",
+        "user_running_totals_salted",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

@@ -198,3 +198,44 @@ def test_events_cube_four_grouping_sets(ray_session, tmp_path):
     assert total.n_events.iloc[0] == 4 and total.value_cents.iloc[0] == 800
     hour7 = df[(df.event_type == "ALL") & (df.hour == 7)]
     assert hour7.n_events.iloc[0] == 2 and hour7.value_cents.iloc[0] == 450
+
+
+def test_salted_running_totals_hot_key(ray_session, tmp_path):
+    """One user owns 95% of events spread over many hours (the skew case
+    the salted plan exists for), with boundary ties and same-ts rows —
+    the range-salted prefix plan must equal the window oracle exactly."""
+    rows = []
+    eid = 0
+    for h in range(12):  # hot user: 20 events in each of 12 hour buckets
+        for j in range(20):
+            rows.append((eid, f"2026-01-01T{h:02d}:{j:02d}:30", 7, "view", 1.25))
+            eid += 1
+    rows.append((eid, "2026-01-01T03:00:00", 9, "view", 2.0)); eid += 1
+    rows.append((eid, "2026-01-01T03:00:00", 9, "view", 3.0)); eid += 1  # same-ts tie
+    # boundary: hot user event exactly on an hour edge
+    rows.append((eid, "2026-01-01T05:00:00", 7, "view", 0.5)); eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["user_running_totals_salted"]).df()
+    df = _compare(q.QUERIES["user_running_totals_salted"](str(d)), want)
+    hot = df[df.user_id == 7].sort_values("running_n")
+    assert hot.running_n.tolist() == list(range(1, 242))
+    # the boundary event lands inside hour 5's bucket after 5 full hours
+    assert len(df[df.user_id == 9]) == 2
