@@ -661,6 +661,43 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic 98/1/1 train/val/test split — the reproducible
+    assignment every training corpus needs (hash-based, so re-runs and
+    incremental ingests land each url in the same split forever).
+    Split = multiplicative doc_id hash mod 100: <98 train, 98 val, 99
+    test.  Embarrassingly parallel: one streaming map_batches, no
+    shuffle; the oracle is a CASE over the same HUGEINT positive-mod
+    hash."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        hv = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+        names = np.array(["train", "val", "test"], dtype=object)
+        sel = np.where(hv < 98, 0, np.where(hv == 98, 1, 2))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "split": pa.array(names[sel], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN h < 98 THEN 'train' WHEN h = 98 THEN 'val' ELSE 'test' END
+           AS split
+FROM (SELECT doc_id, lang,
+             (((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+               + 4294967296) % 4294967296) % 100 AS h
+      FROM documents)
+"""
+
+
 def q_user_running_totals_salted(sf_dir: str):
     """The documented single-hot-key ESCALATION of user_running_totals,
     implemented for real: a pathological user whose whole history cannot
@@ -7245,6 +7282,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans_int_iters": q_kmeans_int_iters,
     "events_cube": q_events_cube,
     "user_running_totals_salted": q_user_running_totals_salted,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7347,4 +7385,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_cube": SQL_EVENTS_CUBE,
     # identical semantics to the unsalted plan — same oracle
     "user_running_totals_salted": SQL_USER_RUNNING_TOTALS,
+    "dataset_split": SQL_DATASET_SPLIT,
 }

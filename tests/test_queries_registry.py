@@ -92,6 +92,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "kmeans_int_iters",
         "events_cube",
         "user_running_totals_salted",
+        "dataset_split",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

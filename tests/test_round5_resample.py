@@ -252,3 +252,19 @@ def test_bigram_auto_fallback_at_zero_limit(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_dataset_split_deterministic_and_exhaustive(ray_session, tmp_path):
+    """Every doc gets exactly one split; negative ids hash identically
+    on both engines; re-running yields the same assignment."""
+    ids = list(range(-5, 400))
+    d = _docs_dir(tmp_path, ids, [f"t {abs(i)}" for i in ids])
+    df = _compare(q.QUERIES["dataset_split"](d), _oracle(d, "dataset_split"))
+    assert len(df) == len(ids)
+    assert set(df.split) <= {"train", "val", "test"}
+    df2 = q.QUERIES["dataset_split"](d).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True)[df.columns],
+        check_dtype=False,
+    )
