@@ -239,3 +239,32 @@ def test_salted_running_totals_hot_key(ray_session, tmp_path):
     assert hot.running_n.tolist() == list(range(1, 242))
     # the boundary event lands inside hour 5's bucket after 5 full hours
     assert len(df[df.user_id == 9]) == 2
+
+
+def test_gopher_dup2gram_property_vs_scalar(ray_session, tmp_path):
+    """Vectorized duplicate-2-gram fraction == per-doc scalar counting
+    on random corpora with planted repetition."""
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = []
+    for _ in range(80):
+        k = int(rng.integers(1, 12))
+        ws = [vocab[rng.integers(0, len(vocab))] for _ in range(k)]
+        texts.append(" ".join(ws))
+    d = _docs_dir(tmp_path, list(range(len(texts))), texts)
+    df = (
+        q.QUERIES["gopher_quality_filter"](d)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        from collections import Counter
+
+        cnt = Counter(pairs)
+        dup = sum(len(p[0]) for p in pairs if cnt[p] >= 2)
+        tot = sum(len(p[0]) for p in pairs)
+        want = 1000 * dup // tot if tot else 0
+        assert df.loc[i, "dup2gram_milli"] == want, (i, t)

@@ -345,3 +345,46 @@ def test_kmeans_randomized_cross_check(ray_session, tmp_path):
         want[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def _bpe_apply_scalar(tokens, merges):
+    """Reference scalar greedy leftmost merge (one doc)."""
+    sep = "\x01"
+    for key in merges:
+        out = []
+        i = 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] + sep + tokens[i + 1] == key:
+                out.append(key)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        tokens = out
+    return tokens
+
+
+def test_bpe_apply_merges_property_vs_scalar():
+    """Vectorized batch merge == per-doc scalar greedy on random corpora
+    with adversarial same-token runs and chained merge keys."""
+    import numpy as np
+
+    from rapidocr_ray.pipelines.queries import _bpe_apply_merges
+
+    rng = np.random.default_rng(42)
+    vocab = ["a", "b", "c", "ab"]
+    for trial in range(60):
+        docs = [
+            [vocab[rng.integers(0, len(vocab))] for _ in range(rng.integers(1, 12))]
+            for _ in range(rng.integers(1, 8))
+        ]
+        merges = ["a\x01a", "a\x01b", "a\x01a\x01a\x01a", "b\x01c"][
+            : rng.integers(1, 5)
+        ]
+        flat = np.array([t for d in docs for t in d], dtype=object)
+        lens = np.array([len(d) for d in docs], dtype=np.int64)
+        got_flat, got_lens = _bpe_apply_merges(flat, lens, merges)
+        want_docs = [_bpe_apply_scalar(list(d), merges) for d in docs]
+        want_flat = [t for d in want_docs for t in d]
+        assert got_flat.tolist() == want_flat, (trial, docs, merges)
+        assert got_lens.tolist() == [len(d) for d in want_docs]
