@@ -1582,6 +1582,91 @@ def q_decontam_flags(sf_dir: str, window: int = 16):
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def q_decontam_overlap_frac(sf_dir: str, window: int = 16):
+    """Contamination REPORT (decontam_flags' graded sibling): per
+    corpus doc, the fraction of its DISTINCT 16-byte windows that
+    appear anywhere in the benchmark subset (doc_id % 97 == 0) —
+    the thresholdable statistic eval-decontamination sweeps chart,
+    where the binary flag only answers yes/no.  frac_milli =
+    1000*hits // n_windows (0 for sub-window docs).  Same scale shape
+    as decontam_flags: benchmark hash set broadcast once, corpus
+    streams with NO shuffle; ASCII precondition shared with the
+    rolling-hash oracle family."""
+    import ray
+
+    from rapidocr_ray.functions.textstats import rolling_window_hashes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        is_bench = pa.array(
+            batch.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+        )
+        ascii_ok = pc.fill_null(pc.string_is_ascii(batch.column("text")), False)
+        b = batch.filter(pc.and_(is_bench, ascii_ok))
+        hs: set[int] = set()
+        # INTENTIONAL to_pylist: oracle-pinned per-doc rolling hash
+        for t in b.column("text").to_pylist():
+            hs.update(rolling_window_hashes(t, window))
+        return pa.table({"h": pa.array(sorted(hs), type=pa.uint64())})
+
+    bench_parts = ds.map_batches(bench_hashes, batch_format="pyarrow").take_all()
+    bench_set = frozenset(int(r["h"]) for r in bench_parts)
+    ref = ray.put(bench_set)
+
+    def frac(batch: pa.Table) -> pa.Table:
+        bset = lru_cache_get(_DECONTAM_CACHE, "f" + ref.hex(), lambda: ray.get(ref))
+        ascii_mask = pc.fill_null(pc.string_is_ascii(batch.column("text")), False)
+        if not pc.all(ascii_mask).as_py():
+            batch = batch.filter(ascii_mask)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_nw, out_hit, out_frac = [], [], [], []
+        for d, t in zip(ids, texts):
+            if d % 97 == 0:
+                continue
+            hs = rolling_window_hashes(t, window)  # distinct by contract
+            hits = sum(1 for h in hs if h in bset)
+            out_id.append(d)
+            out_nw.append(len(hs))
+            out_hit.append(hits)
+            out_frac.append(1000 * hits // len(hs) if hs else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_windows": pa.array(out_nw, type=pa.int64()),
+                "n_hits": pa.array(out_hit, type=pa.int64()),
+                "overlap_milli": pa.array(out_frac, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(frac, batch_format="pyarrow")
+
+
+SQL_DECONTAM_OVERLAP_FRAC = """
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         list_sum(list_transform(range(16),
+             j -> ascii(substr(text, i + j, 1))::HUGEINT * ({P})[j + 1]))
+           % {M}::HUGEINT AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 14)) AS i)
+  WHERE length(text) >= 16 AND strlen(text) = length(text)
+), b AS (SELECT DISTINCT h FROM w WHERE doc_id % 97 = 0),
+s AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(COUNT(b.h) AS BIGINT) AS n_hits
+      FROM w LEFT JOIN b ON b.h = w.h
+      WHERE w.doc_id % 97 != 0 GROUP BY w.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(s.n_windows, 0) > 0
+                 THEN 1000 * s.n_hits // s.n_windows ELSE 0 END AS BIGINT)
+           AS overlap_milli
+FROM documents d LEFT JOIN s USING (doc_id)
+WHERE d.doc_id % 97 != 0 AND strlen(d.text) = length(d.text)
+""".replace("{P}", _ROLL_P_SQL).replace("{M}", str(_ROLL_M))
+
+
 SQL_DECONTAM_FLAGS = f"""
 WITH w AS (
   SELECT doc_id,
@@ -7283,6 +7368,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_cube": q_events_cube,
     "user_running_totals_salted": q_user_running_totals_salted,
     "dataset_split": q_dataset_split,
+    "decontam_overlap_frac": q_decontam_overlap_frac,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7386,4 +7472,5 @@ ORACLE_SQL: dict[str, str] = {
     # identical semantics to the unsalted plan — same oracle
     "user_running_totals_salted": SQL_USER_RUNNING_TOTALS,
     "dataset_split": SQL_DATASET_SPLIT,
+    "decontam_overlap_frac": SQL_DECONTAM_OVERLAP_FRAC,
 }

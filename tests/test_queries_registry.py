@@ -93,6 +93,7 @@ def test_cheap_query_matches_duckdb(ray_session, name):
         "events_cube",
         "user_running_totals_salted",
         "dataset_split",
+        "decontam_overlap_frac",
     ],
 )
 def test_new_oracle_queries_match_duckdb(ray_session, name):

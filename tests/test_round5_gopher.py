@@ -268,3 +268,31 @@ def test_gopher_dup2gram_property_vs_scalar(ray_session, tmp_path):
         tot = sum(len(p[0]) for p in pairs)
         want = 1000 * dup // tot if tot else 0
         assert df.loc[i, "dup2gram_milli"] == want, (i, t)
+
+
+def test_decontam_overlap_frac_graded(ray_session, tmp_path):
+    """Planted contamination gradient: a doc that IS a benchmark doc's
+    text (overlap 1000), a half-contaminated doc, a clean doc, and a
+    sub-window doc (0 windows) — exact milli fractions on both engines.
+    doc_id 0 is the benchmark row (0 % 97 == 0)."""
+    bench_text = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"  # 36 bytes
+    texts = [
+        bench_text,                              # 0: benchmark row
+        bench_text,                              # 1: fully contaminated
+        bench_text[:20] + "x" * 30,              # 2: partially contaminated
+        "z" * 40,                                # 3: clean
+        "short",                                 # 4: < 16 bytes, 0 windows
+    ]
+    d = _docs_dir(tmp_path, [0, 1, 2, 3, 4], texts)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(q.ORACLE_SQL["decontam_overlap_frac"]).df()
+    df = _compare(q.QUERIES["decontam_overlap_frac"](d), want)
+    r = df.set_index("doc_id")
+    assert 0 not in r.index  # benchmark rows excluded
+    assert r.loc[1, "overlap_milli"] == 1000
+    assert 0 < r.loc[2, "overlap_milli"] < 1000
+    assert r.loc[3, "overlap_milli"] == 0 and r.loc[3, "n_hits"] == 0
+    assert r.loc[4, "n_windows"] == 0 and r.loc[4, "overlap_milli"] == 0
